@@ -1,0 +1,270 @@
+"""Slice segment header parse + write (H.265 clause 7.3.6).
+
+Capability parity with the reference's hls_slice_header
+(reference: libavcodec/hevcdec.c:612) and SliceHeader struct
+(reference: libavcodec/hevc_ps.h:79-234).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .bits import BitReader, BitWriter
+from .nal import is_idr_nal, is_irap_nal
+from .ps import PPS, SPS, ShortTermRPS
+
+SLICE_B = 0
+SLICE_P = 1
+SLICE_I = 2
+
+
+@dataclass
+class SliceHeader:
+    first_slice_in_pic: int = 1
+    no_output_of_prior_pics: int = 0
+    pps_id: int = 0
+    dependent_slice_segment: int = 0
+    segment_address: int = 0  # CTB raster address
+    slice_type: int = SLICE_I
+    pic_output_flag: int = 1
+    pic_order_cnt_lsb: int = 0
+    # RPS: either index into SPS list or explicit
+    short_term_rps_sps_flag: int = 1
+    short_term_rps_idx: int = 0
+    explicit_rps: Optional[ShortTermRPS] = None
+    slice_temporal_mvp_enabled: int = 0
+    sao_luma: int = 0
+    sao_chroma: int = 0
+    num_ref_idx_active_override: int = 0
+    num_ref_idx_l0_active: int = 1
+    num_ref_idx_l1_active: int = 1
+    mvd_l1_zero: int = 0
+    cabac_init_flag: int = 0
+    collocated_from_l0: int = 1
+    collocated_ref_idx: int = 0
+    five_minus_max_num_merge_cand: int = 0
+    qp_delta: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    cu_chroma_qp_offset_enabled: int = 0
+    deblocking_filter_override: int = 0
+    deblocking_filter_disabled: int = 0
+    beta_offset: int = 0
+    tc_offset: int = 0
+    loop_filter_across_slices: int = 0
+    entry_point_offsets: List[int] = field(default_factory=list)
+
+    def max_num_merge_cand(self) -> int:
+        return 5 - self.five_minus_max_num_merge_cand
+
+    def write_rbsp(self, sps: SPS, pps: PPS, nal_type: int,
+                   data_payload: bytes) -> bytes:
+        """Serialize header followed by byte-aligned slice data."""
+        w = BitWriter()
+        w.flag(self.first_slice_in_pic)
+        if is_irap_nal(nal_type):
+            w.flag(self.no_output_of_prior_pics)
+        w.ue(self.pps_id)
+        if not self.first_slice_in_pic:
+            if pps.dependent_slice_segments_enabled:
+                w.flag(self.dependent_slice_segment)
+            import math
+            ctb_count = sps.ctb_w * sps.ctb_h
+            nbits = max(1, math.ceil(math.log2(ctb_count)))
+            w.u(self.segment_address, nbits)
+        if not self.dependent_slice_segment:
+            for _ in range(pps.num_extra_slice_header_bits):
+                w.flag(0)
+            w.ue(self.slice_type)
+            if pps.output_flag_present:
+                w.flag(self.pic_output_flag)
+            if not is_idr_nal(nal_type):
+                w.u(self.pic_order_cnt_lsb, sps.log2_max_poc_lsb)
+                if self.explicit_rps is not None:
+                    w.flag(0)  # short_term_ref_pic_set_sps_flag
+                    self.explicit_rps.write(w, len(sps.st_rps), len(sps.st_rps))
+                else:
+                    w.flag(1)
+                    if len(sps.st_rps) > 1:
+                        import math
+                        nbits = math.ceil(math.log2(len(sps.st_rps)))
+                        w.u(self.short_term_rps_idx, nbits)
+                if sps.long_term_ref_pics_present:
+                    raise NotImplementedError
+                if sps.temporal_mvp_enabled:
+                    w.flag(self.slice_temporal_mvp_enabled)
+            if sps.sao_enabled:
+                w.flag(self.sao_luma)
+                if sps.chroma_format_idc:
+                    w.flag(self.sao_chroma)
+            if self.slice_type != SLICE_I:
+                override = (self.num_ref_idx_l0_active != pps.num_ref_idx_l0_default
+                            or (self.slice_type == SLICE_B
+                                and self.num_ref_idx_l1_active != pps.num_ref_idx_l1_default))
+                w.flag(override)
+                if override:
+                    w.ue(self.num_ref_idx_l0_active - 1)
+                    if self.slice_type == SLICE_B:
+                        w.ue(self.num_ref_idx_l1_active - 1)
+                if pps.lists_modification_present:
+                    raise NotImplementedError
+                if self.slice_type == SLICE_B:
+                    w.flag(self.mvd_l1_zero)
+                if pps.cabac_init_present:
+                    w.flag(self.cabac_init_flag)
+                if self.slice_temporal_mvp_enabled:
+                    if self.slice_type == SLICE_B:
+                        w.flag(self.collocated_from_l0)
+                    nref = (self.num_ref_idx_l0_active if self.collocated_from_l0
+                            else self.num_ref_idx_l1_active)
+                    if nref > 1:
+                        w.ue(self.collocated_ref_idx)
+                if ((pps.weighted_pred and self.slice_type == SLICE_P)
+                        or (pps.weighted_bipred and self.slice_type == SLICE_B)):
+                    raise NotImplementedError("pred_weight_table write")
+                w.ue(self.five_minus_max_num_merge_cand)
+            w.se(self.qp_delta)
+            if pps.slice_chroma_qp_offsets_present:
+                w.se(self.cb_qp_offset)
+                w.se(self.cr_qp_offset)
+            if pps.chroma_qp_offset_list_enabled:
+                w.flag(self.cu_chroma_qp_offset_enabled)
+            if pps.deblocking_filter_control_present:
+                if pps.deblocking_filter_override_enabled:
+                    w.flag(self.deblocking_filter_override)
+                if self.deblocking_filter_override:
+                    w.flag(self.deblocking_filter_disabled)
+                    if not self.deblocking_filter_disabled:
+                        w.se(self.beta_offset // 2)
+                        w.se(self.tc_offset // 2)
+            if (pps.loop_filter_across_slices
+                    and (self.sao_luma or self.sao_chroma
+                         or not self.deblocking_filter_disabled)):
+                w.flag(self.loop_filter_across_slices)
+        if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+            w.ue(len(self.entry_point_offsets))
+            if self.entry_point_offsets:
+                max_off = max(self.entry_point_offsets)
+                nbits = max(1, max_off.bit_length())
+                w.ue(nbits - 1)
+                for off in self.entry_point_offsets:
+                    w.u(off - 1, nbits)
+        if pps.slice_header_extension_present:
+            w.ue(0)
+        # byte_alignment(): stop bit + zeros
+        w.u(1, 1)
+        w.align_zero()
+        return w.getvalue() + data_payload
+
+    @classmethod
+    def parse(cls, r: BitReader, nal_type: int, sps_map, pps_map) -> "SliceHeader":
+        """Parse from a BitReader positioned at the header start.
+
+        Leaves `r` positioned at the first byte of slice data (post
+        byte_alignment). Needs sps_map/pps_map: dict id→PS.
+        """
+        sh = cls()
+        sh.first_slice_in_pic = r.flag()
+        if is_irap_nal(nal_type):
+            sh.no_output_of_prior_pics = r.flag()
+        sh.pps_id = r.ue()
+        pps = pps_map[sh.pps_id]
+        sps = sps_map[pps.sps_id]
+        sh.dependent_slice_segment = 0
+        sh.segment_address = 0
+        if not sh.first_slice_in_pic:
+            if pps.dependent_slice_segments_enabled:
+                sh.dependent_slice_segment = r.flag()
+            import math
+            ctb_count = sps.ctb_w * sps.ctb_h
+            nbits = max(1, math.ceil(math.log2(ctb_count)))
+            sh.segment_address = r.u(nbits)
+        if not sh.dependent_slice_segment:
+            for _ in range(pps.num_extra_slice_header_bits):
+                r.flag()
+            sh.slice_type = r.ue()
+            if pps.output_flag_present:
+                sh.pic_output_flag = r.flag()
+            if sps.separate_colour_plane:
+                r.u(2)
+            if not is_idr_nal(nal_type):
+                sh.pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb)
+                sps_rps = r.flag()
+                sh.short_term_rps_sps_flag = sps_rps
+                if not sps_rps:
+                    sh.explicit_rps = ShortTermRPS.parse(
+                        r, len(sps.st_rps), sps.st_rps, len(sps.st_rps))
+                elif len(sps.st_rps) > 1:
+                    import math
+                    nbits = math.ceil(math.log2(len(sps.st_rps)))
+                    sh.short_term_rps_idx = r.u(nbits)
+                if sps.long_term_ref_pics_present:
+                    raise NotImplementedError("long-term ref pics")
+                if sps.temporal_mvp_enabled:
+                    sh.slice_temporal_mvp_enabled = r.flag()
+            if sps.sao_enabled:
+                sh.sao_luma = r.flag()
+                if sps.chroma_format_idc:
+                    sh.sao_chroma = r.flag()
+            if sh.slice_type in (SLICE_P, SLICE_B):
+                sh.num_ref_idx_l0_active = pps.num_ref_idx_l0_default
+                sh.num_ref_idx_l1_active = pps.num_ref_idx_l1_default
+                if r.flag():
+                    sh.num_ref_idx_active_override = 1
+                    sh.num_ref_idx_l0_active = r.ue() + 1
+                    if sh.slice_type == SLICE_B:
+                        sh.num_ref_idx_l1_active = r.ue() + 1
+                if pps.lists_modification_present:
+                    raise NotImplementedError("ref_pic_lists_modification")
+                if sh.slice_type == SLICE_B:
+                    sh.mvd_l1_zero = r.flag()
+                if pps.cabac_init_present:
+                    sh.cabac_init_flag = r.flag()
+                if sh.slice_temporal_mvp_enabled:
+                    if sh.slice_type == SLICE_B:
+                        sh.collocated_from_l0 = r.flag()
+                    nref = (sh.num_ref_idx_l0_active if sh.collocated_from_l0
+                            else sh.num_ref_idx_l1_active)
+                    if nref > 1:
+                        sh.collocated_ref_idx = r.ue()
+                if ((pps.weighted_pred and sh.slice_type == SLICE_P)
+                        or (pps.weighted_bipred and sh.slice_type == SLICE_B)):
+                    raise NotImplementedError("pred_weight_table")
+                sh.five_minus_max_num_merge_cand = r.ue()
+            sh.qp_delta = r.se()
+            if pps.slice_chroma_qp_offsets_present:
+                sh.cb_qp_offset = r.se()
+                sh.cr_qp_offset = r.se()
+            if pps.chroma_qp_offset_list_enabled:
+                sh.cu_chroma_qp_offset_enabled = r.flag()
+            sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
+            sh.beta_offset = pps.beta_offset
+            sh.tc_offset = pps.tc_offset
+            if pps.deblocking_filter_control_present:
+                if pps.deblocking_filter_override_enabled:
+                    sh.deblocking_filter_override = r.flag()
+                if sh.deblocking_filter_override:
+                    sh.deblocking_filter_disabled = r.flag()
+                    if not sh.deblocking_filter_disabled:
+                        sh.beta_offset = r.se() * 2
+                        sh.tc_offset = r.se() * 2
+            if (pps.loop_filter_across_slices
+                    and (sh.sao_luma or sh.sao_chroma
+                         or not sh.deblocking_filter_disabled)):
+                sh.loop_filter_across_slices = r.flag()
+            else:
+                sh.loop_filter_across_slices = pps.loop_filter_across_slices
+        if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+            n = r.ue()
+            if n:
+                nbits = r.ue() + 1
+                sh.entry_point_offsets = [r.u(nbits) + 1 for _ in range(n)]
+        if pps.slice_header_extension_present:
+            ext_len = r.ue()
+            for _ in range(ext_len):
+                r.u(8)
+        # byte_alignment
+        if r.u(1) != 1:
+            raise ValueError("alignment_bit_equal_to_one != 1")
+        r.align()
+        return sh
