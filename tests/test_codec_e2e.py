@@ -1,0 +1,94 @@
+"""End-to-end codec tests: encoder → decoder bit-exactness, and (when the
+oracle binary is present) bit-exactness against openHEVC.
+
+This is the analogue of the reference's conformance-stream MD5 strategy
+(SURVEY.md §4): the decoded-picture-hash SEI is the correctness oracle.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from hevc_tpu.decoder.core import Decoder
+from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
+from hevc_tpu.encoder.generate import synth_frame
+
+ORACLE = "/root/repo/.oracle/build/hevc_nodisplay"
+
+
+def encode_decode(cfg, frames):
+    enc = IntraEncoder(cfg)
+    stream = bytearray()
+    recons = []
+    for planes in frames:
+        stream += enc.encode_frame(planes)
+        recons.append([p.copy() for p in enc.recon_planes])
+    dec = Decoder()
+    decoded = dec.decode_bytes(bytes(stream))
+    assert len(decoded) == len(frames)
+    for df, rec in zip(decoded, recons):
+        assert df.md5_ok, "decoded-picture-hash mismatch"
+        for a, b in zip(df.planes, rec):
+            assert (a == b).all()
+    return bytes(stream), recons
+
+
+def oracle_decode(stream: bytes, w: int, h: int, tmp_path) -> bytes:
+    sfile = str(tmp_path / "t.265")
+    ofile = str(tmp_path / "o")
+    with open(sfile, "wb") as f:
+        f.write(stream)
+    subprocess.run([ORACLE, "-i", sfile, "-o", ofile],
+                   capture_output=True, timeout=120, check=False)
+    return open(f"{ofile}_{w}x{h}.yuv", "rb").read()
+
+
+def flatten(recons):
+    out = bytearray()
+    for planes in recons:
+        for p in planes:
+            out += p.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("qp", [22, 32, 45])
+def test_roundtrip_qp(qp):
+    frames = [synth_frame("gradient", 64, 48, t) for t in range(2)]
+    cfg = EncoderConfig(width=64, height=48, qp=qp)
+    encode_decode(cfg, frames)
+
+
+def test_roundtrip_noise():
+    frames = [synth_frame("noise", 48, 32, 0)]
+    encode_decode(EncoderConfig(width=48, height=32, qp=30), frames)
+
+
+def test_roundtrip_zoneplate():
+    frames = [synth_frame("zoneplate", 80, 48, 0)]
+    encode_decode(EncoderConfig(width=80, height=48, qp=27), frames)
+
+
+needs_oracle = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                  reason="oracle binary not built")
+
+
+@needs_oracle
+@pytest.mark.parametrize("source,qp", [("gradient", 32), ("noise", 37),
+                                       ("zoneplate", 25)])
+def test_oracle_bitexact(tmp_path, source, qp):
+    w, h = 416, 240
+    frames = [synth_frame(source, w, h, t) for t in range(2)]
+    stream, recons = encode_decode(EncoderConfig(width=w, height=h, qp=qp),
+                                   frames)
+    oracle = oracle_decode(stream, w, h, tmp_path)
+    assert flatten(recons) == oracle
+
+
+@needs_oracle
+def test_oracle_bitexact_small_sizes(tmp_path):
+    for (w, h) in ((16, 16), (32, 16), (48, 48), (64, 32)):
+        frames = [synth_frame("gradient", w, h, 0)]
+        stream, recons = encode_decode(
+            EncoderConfig(width=w, height=h, qp=30), frames)
+        assert flatten(recons) == oracle_decode(stream, w, h, tmp_path)
