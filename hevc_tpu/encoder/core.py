@@ -8,11 +8,16 @@ the decode result; the embedded MD5 makes any drift observable.
 
 Forward transform + quantization follow the HM informative design
 (quantScales, qbits = 29 + qp/6 − bitDepth − log2TrafoSize).
+
+The CU/TU decision policies ("fixed", "variance", "random") exist to
+exercise every decoder path (quadtree depths, NxN partitions, TU splits,
+4x4 DST + mode-dependent scans) against the oracle, not to win rate-
+distortion contests.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -23,7 +28,7 @@ from ..bitstream.sei import (SEI_TYPE_DECODED_PICTURE_HASH,
 from ..bitstream.slice import SLICE_I, SliceHeader
 from ..cabac.ctx import ContextModel
 from ..cabac.engine import CabacEncoder
-from ..coding.picture import (PictureState, chroma_mode_to_idx, mpm_list)
+from ..coding.picture import PictureState, mpm_list
 from ..coding.residual import encode_residual
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
@@ -64,11 +69,37 @@ class EncoderConfig:
     log2_min_cb_size: int = 3
     bit_depth: int = 8
     chroma_format_idc: int = 1
-    # CU size the encoder targets (log2); must be <= log2_max_tb for now
-    log2_cu_size: int = 4
+    log2_cu_size: int = 4  # target CU size for the "fixed" policy
     candidate_modes: tuple = (R.INTRA_PLANAR, R.INTRA_DC, 10, 26, 2, 18, 34)
     sei_hash: bool = True
     deblocking: bool = False  # in-loop deblocking (decoder filter stage)
+    # structure policies: "fixed" | "variance" | "random"
+    split_policy: str = "fixed"
+    max_transform_hierarchy_depth_intra: int = 0
+    nxn_probability: float = 0.5   # random policy: NxN at min CB
+    tu_split_probability: float = 0.5
+    seed: int = 0
+    full_mode_search: bool = False  # search all 35 intra modes
+
+
+class _TuPlan:
+    """One planned transform-tree node."""
+    __slots__ = ("x0", "y0", "log2", "depth", "blk_idx", "split", "children",
+                 "lv_y", "cbf_luma", "lv_cb", "lv_cr", "cbf_cb", "cbf_cr",
+                 "chroma_leaf")
+
+    def __init__(self, x0, y0, log2, depth, blk_idx):
+        self.x0, self.y0, self.log2 = x0, y0, log2
+        self.depth, self.blk_idx = depth, blk_idx
+        self.split = False
+        self.children: List[_TuPlan] = []
+        self.lv_y = None
+        self.cbf_luma = 0
+        self.lv_cb = None
+        self.lv_cr = None
+        self.cbf_cb = 0
+        self.cbf_cr = 0
+        self.chroma_leaf = False
 
 
 class IntraEncoder:
@@ -85,15 +116,16 @@ class IntraEncoder:
             log2_ctb_size=cfg.log2_ctb_size,
             log2_min_tb_size=2,
             log2_max_tb_size=min(5, cfg.log2_ctb_size),
+            max_transform_hierarchy_depth_intra=(
+                cfg.max_transform_hierarchy_depth_intra),
         ).derive()
         self.pps = PPS(
             init_qp=cfg.qp,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
         ).derive(self.sps)
-        assert cfg.log2_cu_size <= self.sps.log2_max_tb_size, \
-            "TU split not yet emitted by the encoder"
         self.frames_encoded = 0
+        self.rng = np.random.default_rng(cfg.seed)
 
     def headers_annexb(self) -> bytes:
         return nalmod.write_annexb([
@@ -146,14 +178,38 @@ class IntraEncoder:
     def recon_planes(self):
         return self.pic.planes
 
-    # ---- recursion -------------------------------------------------------
+    # ---- split policies --------------------------------------------------
+    def _want_cu_split(self, x0, y0, log2_size, depth) -> bool:
+        cfg = self.cfg
+        if cfg.split_policy == "fixed":
+            return log2_size > cfg.log2_cu_size
+        if cfg.split_policy == "random":
+            return bool(self.rng.random() < 0.5)
+        # variance: split when the luma block is busy
+        size = 1 << log2_size
+        blk = self.src[0][y0:y0 + size, x0:x0 + size]
+        return float(blk.std()) > 18.0
+
+    def _want_nxn(self) -> bool:
+        cfg = self.cfg
+        if cfg.split_policy == "random":
+            return bool(self.rng.random() < cfg.nxn_probability)
+        return cfg.split_policy == "variance"
+
+    def _want_tu_split(self, log2_size, depth) -> bool:
+        cfg = self.cfg
+        if cfg.split_policy == "random":
+            return bool(self.rng.random() < cfg.tu_split_probability)
+        return False
+
+    # ---- quadtree --------------------------------------------------------
     def _quadtree(self, x0, y0, log2_size, depth):
-        sps, cfg = self.sps, self.cfg
+        sps = self.sps
         size = 1 << log2_size
         w, h = sps.width, sps.height
         inside = x0 + size <= w and y0 + size <= h
         if inside and log2_size > sps.log2_min_cb_size:
-            split = 1 if log2_size > cfg.log2_cu_size else 0
+            split = 1 if self._want_cu_split(x0, y0, log2_size, depth) else 0
             ctx = self.pic.ctdepth_gt(x0, y0, depth)
             self.e.encode_bin(self.cm.at("split_cu_flag", ctx), split)
         elif not inside:
@@ -170,109 +226,215 @@ class IntraEncoder:
             self._coding_unit(x0, y0, log2_size, depth)
 
     def _choose_mode(self, x0, y0, size) -> int:
+        # intra prediction operates per-TU (max 32); for a 64x64 CU evaluate
+        # the top-left 32x32 as the mode-decision proxy
+        size = min(size, 32)
         src = self.src[0][y0:y0 + size, x0:x0 + size]
+        cand = (range(35) if self.cfg.full_mode_search
+                else self.cfg.candidate_modes)
         best, best_cost = R.INTRA_DC, None
-        for mode in self.cfg.candidate_modes:
+        for mode in cand:
             pred = self.pic.predict_intra(0, x0, y0, size, mode)
             cost = int(np.abs(src - pred).sum())
             if best_cost is None or cost < best_cost:
                 best, best_cost = mode, cost
         return best
 
+    # ---- coding unit -----------------------------------------------------
     def _coding_unit(self, x0, y0, log2_size, depth):
         sps, pps, e, cm, pic = self.sps, self.pps, self.e, self.cm, self.pic
         size = 1 << log2_size
         if pps.transquant_bypass_enabled:
             e.encode_bin(cm.at("cu_transquant_bypass_flag", 0), 0)
+        intra_split = False
         if log2_size == sps.log2_min_cb_size:
-            e.encode_bin(cm.at("part_mode", 0), 1)  # PART_2Nx2N
+            intra_split = self._want_nxn()
+            e.encode_bin(cm.at("part_mode", 0), 0 if intra_split else 1)
 
-        mode = self._choose_mode(x0, y0, size)
-        ca, cb = pic.luma_intra_mode_cand(x0, y0)
-        cands = mpm_list(ca, cb)
-        if mode in cands:
-            idx = cands.index(mode)
-            e.encode_bin(cm.at("prev_intra_luma_pred_flag", 0), 1)
-            if idx == 0:
-                e.encode_bypass(0)
+        gq = size >> 2
+        pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
+
+        # ---- choose + emit luma modes (PB order; map updated per PB so the
+        # next PB's MPM derivation and prediction see it, matching decode) --
+        n_pb = 4 if intra_split else 1
+        pb_size = size >> 1 if intra_split else size
+        modes = []
+        syntax = []  # (prev_flag, payload)
+        for i in range(n_pb):
+            xp = x0 + (i & 1) * pb_size
+            yp = y0 + (i >> 1) * pb_size
+            mode = self._choose_mode(xp, yp, pb_size)
+            ca, cb = pic.luma_intra_mode_cand(xp, yp)
+            cands = mpm_list(ca, cb)
+            if mode in cands:
+                syntax.append((1, cands.index(mode)))
             else:
-                e.encode_bypass(1)
-                e.encode_bypass(idx - 1)
-        else:
-            e.encode_bin(cm.at("prev_intra_luma_pred_flag", 0), 0)
-            rem = mode
-            for m in sorted(cands, reverse=True):
-                if rem > m:
-                    rem -= 1
-            e.encode_bypass_bits(rem, 5)
-        g4 = size >> 2
-        pic.intra_mode_y[y0 >> 2:(y0 >> 2) + g4,
-                         x0 >> 2:(x0 >> 2) + g4] = mode
-        pic.is_intra[y0 >> 2:(y0 >> 2) + g4, x0 >> 2:(x0 >> 2) + g4] = True
-        pic.ct_depth[y0 >> 2:(y0 >> 2) + g4, x0 >> 2:(x0 >> 2) + g4] = depth
+                rem = mode
+                for m in sorted(cands, reverse=True):
+                    if rem > m:
+                        rem -= 1
+                syntax.append((0, rem))
+            modes.append(mode)
+            g = pb_size >> 2
+            pic.intra_mode_y[yp >> 2:(yp >> 2) + g,
+                             xp >> 2:(xp >> 2) + g] = mode
+            pic.is_intra[yp >> 2:(yp >> 2) + g, xp >> 2:(xp >> 2) + g] = True
+        for prev, _ in syntax:
+            e.encode_bin(cm.at("prev_intra_luma_pred_flag", 0), prev)
+        for prev, payload in syntax:
+            if prev:
+                if payload == 0:
+                    e.encode_bypass(0)
+                else:
+                    e.encode_bypass(1)
+                    e.encode_bypass(payload - 1)
+            else:
+                e.encode_bypass_bits(payload, 5)
 
-        # chroma: derived mode (DM) — binarization '0'
-        chroma_mode = mode
-        idx = chroma_mode_to_idx(chroma_mode, mode)
-        assert idx == 4
+        # chroma mode: derived (DM); binarization '0'
+        chroma_mode = modes[0]
         e.encode_bin(cm.at("intra_chroma_pred_mode", 0), 0)
 
-        # ---- single-TU transform tree ----
+        # ---- transform tree: plan, compute (z-order), then emit ----------
+        max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
+                           + (1 if intra_split else 0))
+        root = self._plan_tu(x0, y0, log2_size, 0, 0, intra_split,
+                             max_trafo_depth)
+        self._compute_tu(root, modes, chroma_mode, x0, y0, intra_split,
+                         pb_size)
+        self._propagate_cbf(root)
+        self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode, 1, 1)
+
+    def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
+                 max_trafo_depth) -> _TuPlan:
+        sps = self.sps
+        node = _TuPlan(x0, y0, log2, depth, blk_idx)
+        must = (log2 > sps.log2_max_tb_size
+                or (intra_split and depth == 0))
+        can = (log2 <= sps.log2_max_tb_size
+               and log2 > sps.log2_min_tb_size
+               and depth < max_trafo_depth)
+        node.split = must or (can and self._want_tu_split(log2, depth))
+        if node.split:
+            half = 1 << (log2 - 1)
+            for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                node.children.append(self._plan_tu(
+                    x0 + dx * half, y0 + dy * half, log2 - 1, depth + 1, i,
+                    intra_split, max_trafo_depth))
+        return node
+
+    def _compute_tu(self, node: _TuPlan, modes, chroma_mode, cu_x0, cu_y0,
+                    intra_split, pb_size):
+        """Pass 1: z-order prediction → transform → quant → recon."""
+        if node.split:
+            for ch in node.children:
+                self._compute_tu(ch, modes, chroma_mode, cu_x0, cu_y0,
+                                 intra_split, pb_size)
+            return
+        sps, pic = self.sps, self.pic
+        size = 1 << node.log2
         bd = sps.bit_depth_luma
         maxv = (1 << bd) - 1
-        # luma
-        pred_y = pic.predict_intra(0, x0, y0, size, mode)
-        res_y = self.src[0][y0:y0 + size, x0:x0 + size] - pred_y
-        use_dst = log2_size == 2
-        coef = forward_transform(res_y, bd, dst=use_dst)
-        lv_y = quantize(coef, self.qp_y + sps.qp_bd_offset, log2_size, bd)
-        cbf_luma = 1 if lv_y.any() else 0
+        x0, y0 = node.x0, node.y0
+        mode = int(pic.intra_mode_y[y0 >> 2, x0 >> 2])
+        pred = pic.predict_intra(0, x0, y0, size, mode)
+        res = self.src[0][y0:y0 + size, x0:x0 + size] - pred
+        use_dst = node.log2 == 2
+        coef = forward_transform(res, bd, dst=use_dst)
+        lv = quantize(coef, self.qp_y + sps.qp_bd_offset, node.log2, bd)
+        node.lv_y = lv
+        node.cbf_luma = 1 if lv.any() else 0
+        if node.cbf_luma:
+            dq = R.dequant(lv, self.qp_y + sps.qp_bd_offset, node.log2, bd)
+            r = R.inverse_transform(dq, bd, dst=use_dst)
+            rec = np.clip(pred + r, 0, maxv)
+        else:
+            rec = pred
+        pic.planes[0][y0:y0 + size, x0:x0 + size] = \
+            rec.astype(pic.planes[0].dtype)
+        # chroma leaf? (4:2:0: at log2>2, or the 4th 4x4 of an 8x8)
+        if node.log2 > 2:
+            node.chroma_leaf = True
+            self._compute_chroma(node, x0 >> 1, y0 >> 1, node.log2 - 1,
+                                 chroma_mode)
+        elif node.blk_idx == 3:
+            node.chroma_leaf = True
+            # chroma block of the parent 8x8 area
+            self._compute_chroma(node, (x0 - 4) >> 1, (y0 - 4) >> 1, 2,
+                                 chroma_mode)
 
-        # chroma (4:2:0)
-        xc, yc = x0 >> 1, y0 >> 1
-        log2c = log2_size - 1
-        csize = size >> 1
-        lv_c, pred_c, qp_c = [], [], []
-        for c_idx in (1, 2):
+    def _compute_chroma(self, node: _TuPlan, xc, yc, log2c, chroma_mode):
+        sps, pps, pic = self.sps, self.pps, self.pic
+        csize = 1 << log2c
+        bd = sps.bit_depth_chroma
+        maxv = (1 << bd) - 1
+        for k, c_idx in enumerate((1, 2)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
             qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
-            p = pic.predict_intra(c_idx, xc, yc, csize, chroma_mode)
-            res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - p
-            c = forward_transform(res, sps.bit_depth_chroma)
-            lv = quantize(c, qp, log2c, sps.bit_depth_chroma)
-            lv_c.append(lv)
-            pred_c.append(p)
-            qp_c.append(qp)
-        cbf_cb = 1 if lv_c[0].any() else 0
-        cbf_cr = 1 if lv_c[1].any() else 0
-
-        # cbf syntax (depth 0)
-        e.encode_bin(cm.at("cbf_cbcr", 0), cbf_cb)
-        e.encode_bin(cm.at("cbf_cbcr", 0), cbf_cr)
-        e.encode_bin(cm.at("cbf_luma", 1), cbf_luma)
-
-        # residual syntax + reconstruction
-        scan = scan_idx_for_intra(mode, log2_size, 0, sps.chroma_format_idc)
-        if cbf_luma:
-            encode_residual(e, cm, lv_y, log2_size, 0, scan)
-            dq = R.dequant(lv_y, self.qp_y + sps.qp_bd_offset, log2_size, bd)
-            r = R.inverse_transform(dq, bd, dst=use_dst)
-            rec = np.clip(pred_y + r, 0, maxv)
-        else:
-            rec = pred_y
-        pic.planes[0][y0:y0 + size, x0:x0 + size] = \
-            rec.astype(pic.planes[0].dtype)
-        for k, c_idx in enumerate((1, 2)):
-            cbf = (cbf_cb, cbf_cr)[k]
-            scan_c = scan_idx_for_intra(chroma_mode, log2c, c_idx,
-                                        sps.chroma_format_idc)
+            pred = pic.predict_intra(c_idx, xc, yc, csize, chroma_mode)
+            res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
+            coef = forward_transform(res, bd)
+            lv = quantize(coef, qp, log2c, bd)
+            cbf = 1 if lv.any() else 0
             if cbf:
-                encode_residual(e, cm, lv_c[k], log2c, c_idx, scan_c)
-                dq = R.dequant(lv_c[k], qp_c[k], log2c, sps.bit_depth_chroma)
-                r = R.inverse_transform(dq, sps.bit_depth_chroma)
-                rec = np.clip(pred_c[k] + r, 0, (1 << sps.bit_depth_chroma) - 1)
+                dq = R.dequant(lv, qp, log2c, bd)
+                r = R.inverse_transform(dq, bd)
+                rec = np.clip(pred + r, 0, maxv)
             else:
-                rec = pred_c[k]
+                rec = pred
             pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
                 rec.astype(pic.planes[c_idx].dtype)
+            if c_idx == 1:
+                node.lv_cb, node.cbf_cb = lv, cbf
+            else:
+                node.lv_cr, node.cbf_cr = lv, cbf
+
+    def _propagate_cbf(self, node: _TuPlan):
+        """cbf_cb/cr at internal nodes = OR over children."""
+        if not node.split:
+            return
+        for ch in node.children:
+            self._propagate_cbf(ch)
+        node.cbf_cb = int(any(ch.cbf_cb for ch in node.children))
+        node.cbf_cr = int(any(ch.cbf_cr for ch in node.children))
+
+    def _emit_tu(self, node: _TuPlan, intra_split, max_trafo_depth,
+                 chroma_mode, cbf_cb_par, cbf_cr_par):
+        """Pass 2: emit the transform tree syntax (mirrors decode)."""
+        sps, e, cm = self.sps, self.e, self.cm
+        log2, depth = node.log2, node.depth
+        intra_split_here = intra_split and depth == 0
+        if (log2 <= sps.log2_max_tb_size and log2 > sps.log2_min_tb_size
+                and depth < max_trafo_depth and not intra_split_here):
+            e.encode_bin(cm.at("split_transform_flag", 5 - log2),
+                         1 if node.split else 0)
+        chroma_here = log2 > 2 or sps.chroma_format_idc == 3
+        if chroma_here:
+            if depth == 0 or cbf_cb_par:
+                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb)
+            if depth == 0 or cbf_cr_par:
+                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr)
+        if node.split:
+            for ch in node.children:
+                self._emit_tu(ch, intra_split, max_trafo_depth, chroma_mode,
+                              node.cbf_cb, node.cbf_cr)
+            return
+        # leaf: cbf_luma is always signalled for intra CUs
+        e.encode_bin(cm.at("cbf_luma", 1 if depth == 0 else 0),
+                     node.cbf_luma)
+        mode = int(self.pic.intra_mode_y[node.y0 >> 2, node.x0 >> 2])
+        if node.cbf_luma:
+            scan = scan_idx_for_intra(mode, log2, 0, sps.chroma_format_idc)
+            encode_residual(e, cm, node.lv_y, log2, 0, scan)
+        if node.chroma_leaf:
+            log2c = log2 - 1 if log2 > 2 else 2
+            # inherited cbfs: for log2==2 leaves the parent's cbf applies
+            ccb = node.cbf_cb if log2 > 2 else cbf_cb_par
+            ccr = node.cbf_cr if log2 > 2 else cbf_cr_par
+            scan_c = scan_idx_for_intra(chroma_mode, log2c, 1,
+                                        sps.chroma_format_idc)
+            if ccb:
+                encode_residual(e, cm, node.lv_cb, log2c, 1, scan_c)
+            if ccr:
+                encode_residual(e, cm, node.lv_cr, log2c, 2, scan_c)

@@ -92,3 +92,33 @@ def test_oracle_bitexact_small_sizes(tmp_path):
         stream, recons = encode_decode(
             EncoderConfig(width=w, height=h, qp=30), frames)
         assert flatten(recons) == oracle_decode(stream, w, h, tmp_path)
+
+
+@needs_oracle
+def test_oracle_bitexact_structures(tmp_path):
+    """Random CU/TU structure policies: quadtree depths, NxN partitions,
+    TU trees, 4x4 DST, mode-dependent scans — all vs the oracle."""
+    configs = [
+        EncoderConfig(width=128, height=64, qp=28, log2_ctb_size=6,
+                      split_policy="random",
+                      max_transform_hierarchy_depth_intra=2, seed=1,
+                      full_mode_search=True),
+        EncoderConfig(width=128, height=64, qp=35, log2_ctb_size=5,
+                      split_policy="random",
+                      max_transform_hierarchy_depth_intra=1, seed=2),
+        EncoderConfig(width=96, height=96, qp=22, log2_ctb_size=6,
+                      split_policy="random",
+                      max_transform_hierarchy_depth_intra=3, seed=3,
+                      full_mode_search=True),
+        EncoderConfig(width=128, height=64, qp=30, log2_ctb_size=6,
+                      split_policy="variance",
+                      max_transform_hierarchy_depth_intra=1),
+        EncoderConfig(width=128, height=64, qp=30, log2_ctb_size=6,
+                      log2_cu_size=4),
+    ]
+    for i, cfg in enumerate(configs):
+        src = ("noise", "gradient", "zoneplate")[i % 3]
+        frames = [synth_frame(src, cfg.width, cfg.height, i)]
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+        assert flatten(recons) == oracle, f"config {i} diverged from oracle"
