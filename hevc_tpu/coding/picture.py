@@ -60,6 +60,18 @@ class PictureState:
         self.slice_idx = np.full((sps.ctb_h, sps.ctb_w), -1, np.int32)
         # per-4x4 CU transquant bypass + transform-skip flags (for filters)
         self.tq_bypass = np.zeros((self.h4, self.w4), bool)
+        # deblocking boundary strengths: bs_v = left edge of each 4x4,
+        # bs_h = top edge (reference: hevc_filter.c boundary_strength :765)
+        self.bs_v = np.zeros((self.h4, self.w4), np.int8)
+        self.bs_h = np.zeros((self.h4, self.w4), np.int8)
+
+    def mark_intra_tu_edges(self, x0: int, y0: int, size: int):
+        """Record BS=2 on the left/top edges of an intra TU/CU block."""
+        x4, y4, g = x0 >> 2, y0 >> 2, size >> 2
+        if x0 > 0:
+            self.bs_v[y4:y4 + g, x4] = 2
+        if y0 > 0:
+            self.bs_h[y4, x4:x4 + g] = 2
 
     # -- availability ------------------------------------------------------
     def set_ctb_slice(self, ctb_x: int, ctb_y: int, slice_idx: int):

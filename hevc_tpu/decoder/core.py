@@ -79,7 +79,71 @@ class SliceDecoder:
                 return rs
 
     def _decode_sao(self, xc: int, yc: int) -> None:
-        raise NotImplementedError("SAO parsing lands with the filter stage")
+        """sao() syntax (7.3.8.3)."""
+        from ..ops.sao import SAO_BAND, SAO_EDGE, SaoParams
+        d, cm, sh, pic = self.d, self.cm, self.sh, self.pic
+        sps = self.sps
+        if not hasattr(pic, "sao_map"):
+            pic.sao_map = {}
+        merge_left = merge_up = 0
+        if xc > 0 and self._sao_mergeable(xc - 1, yc, xc, yc):
+            merge_left = d.decode_bin(cm.at("sao_merge_flag", 0))
+        if not merge_left and yc > 0 and self._sao_mergeable(xc, yc - 1,
+                                                            xc, yc):
+            merge_up = d.decode_bin(cm.at("sao_merge_flag", 0))
+        if merge_left:
+            pic.sao_map[(xc, yc)] = pic.sao_map[(xc - 1, yc)].copy()
+            return
+        if merge_up:
+            pic.sao_map[(xc, yc)] = pic.sao_map[(xc, yc - 1)].copy()
+            return
+        prm = SaoParams()
+        cmax = (1 << (min(sps.bit_depth_luma, 10) - 5)) - 1
+        for c_idx in range(3):
+            if c_idx == 0 and not sh.sao_luma:
+                continue
+            if c_idx > 0 and not sh.sao_chroma:
+                continue
+            if c_idx in (0, 1):
+                t = 0
+                if d.decode_bin(cm.at("sao_type_idx", 0)):
+                    t = SAO_EDGE if d.decode_bypass() else SAO_BAND
+                prm.type_idx[c_idx] = t
+                if c_idx == 1:
+                    prm.type_idx[2] = t
+            t = prm.type_idx[c_idx]
+            if t == 0:
+                continue
+            abs_offs = []
+            for _ in range(4):
+                a = 0
+                while a < cmax and d.decode_bypass():
+                    a += 1
+                abs_offs.append(a)
+            if t == SAO_BAND:
+                offs = []
+                for a in abs_offs:
+                    if a and d.decode_bypass():
+                        offs.append(-a)
+                    else:
+                        offs.append(a)
+                prm.offsets[c_idx] = offs
+                prm.band_position[c_idx] = d.decode_bypass_bits(5)
+            else:
+                if c_idx == 0:
+                    prm.eo_class[0] = d.decode_bypass_bits(2)
+                elif c_idx == 1:
+                    ec = d.decode_bypass_bits(2)
+                    prm.eo_class[1] = prm.eo_class[2] = ec
+                prm.offsets[c_idx] = [abs_offs[0], abs_offs[1],
+                                      -abs_offs[2], -abs_offs[3]]
+        pic.sao_map[(xc, yc)] = prm
+
+    def _sao_mergeable(self, xn, yn, xc, yc) -> bool:
+        pic = self.pic
+        return (pic.slice_idx[yn, xn] == pic.slice_idx[yc, xc]
+                and self.pps.tile_of_ctb[yn, xn]
+                == self.pps.tile_of_ctb[yc, xc])
 
     # ---- quadtree --------------------------------------------------------
     def coding_quadtree(self, x0, y0, log2_size, depth):
@@ -253,6 +317,7 @@ class SliceDecoder:
                        cbf_luma, cbf_cb, cbf_cr, cu):
         sps, pic = self.sps, self.pic
         size = 1 << log2_size
+        pic.mark_intra_tu_edges(x0, y0, size)
         bd_l = sps.bit_depth_luma
         maxv_l = (1 << bd_l) - 1
         # ---- luma ----
@@ -370,6 +435,15 @@ class Decoder:
                           self._slice_counter)
         sd.decode_ctus()
         self._slice_counter += 1
+        # filter parameters for the post-pass (single-slice assumption for
+        # per-slice overrides; multi-slice per-CTB params land with tiles)
+        self.cur_pic.deblock_params = None
+        if not sh.deblocking_filter_disabled:
+            self.cur_pic.deblock_params = {
+                "beta_offset": sh.beta_offset, "tc_offset": sh.tc_offset,
+                "cb_qp_offset": pps.cb_qp_offset,
+                "cr_qp_offset": pps.cr_qp_offset,
+            }
 
     def _compute_poc(self, sps: SPS, sh: SliceHeader, nal_type: int) -> int:
         # 8.3.1 (simplified: no msb cycle tracking needed for small tests)
@@ -389,6 +463,23 @@ class Decoder:
     def _finish_picture(self):
         pic = self.cur_pic
         self.cur_pic = None
+        if getattr(pic, "deblock_params", None) is not None:
+            from ..ops.deblock import deblock_frame
+            p = pic.deblock_params
+            deblock_frame(pic.planes, pic.qp_y.astype(np.int32),
+                          pic.bs_v, pic.bs_h,
+                          bit_depth=pic.sps.bit_depth_luma,
+                          beta_offset=p["beta_offset"],
+                          tc_offset=p["tc_offset"],
+                          chroma_format_idc=pic.sps.chroma_format_idc,
+                          cb_qp_offset=p["cb_qp_offset"],
+                          cr_qp_offset=p["cr_qp_offset"])
+        if getattr(pic, "sao_map", None):
+            from ..ops.sao import apply_sao_frame
+            apply_sao_frame(pic.planes, pic.sao_map,
+                            1 << pic.sps.log2_ctb_size,
+                            pic.sps.bit_depth_luma,
+                            pic.sps.sub_w, pic.sps.sub_h)
         frame = DecodedFrame(planes=pic.planes, poc=self.cur_poc)
         if self._pending_sei is not None:
             frame.sei_hash = self._pending_sei

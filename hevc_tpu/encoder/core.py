@@ -73,6 +73,7 @@ class EncoderConfig:
     candidate_modes: tuple = (R.INTRA_PLANAR, R.INTRA_DC, 10, 26, 2, 18, 34)
     sei_hash: bool = True
     deblocking: bool = False  # in-loop deblocking (decoder filter stage)
+    sao: bool = False  # emit random SAO params (exercises the SAO stage)
     # structure policies: "fixed" | "variance" | "random"
     split_policy: str = "fixed"
     max_transform_hierarchy_depth_intra: int = 0
@@ -118,6 +119,7 @@ class IntraEncoder:
             log2_max_tb_size=min(5, cfg.log2_ctb_size),
             max_transform_hierarchy_depth_intra=(
                 cfg.max_transform_hierarchy_depth_intra),
+            sao_enabled=1 if cfg.sao else 0,
         ).derive()
         self.pps = PPS(
             init_qp=cfg.qp,
@@ -144,18 +146,36 @@ class IntraEncoder:
         self.cm = ContextModel(0, cfg.qp)
         self.qp_y = cfg.qp
 
+        self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
         for rs in range(n_ctbs):
             xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
             self.pic.set_ctb_slice(xc, yc, 0)
+            if cfg.sao:
+                self._encode_sao(xc, yc)
             x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
             self._quadtree(x0, y0, sps.log2_ctb_size, 0)
             last = rs == n_ctbs - 1
             self.e.encode_terminate(1 if last else 0)
         self.e.terminate_and_align()
         payload = self.e.getvalue()
+        if cfg.deblocking:
+            from ..ops.deblock import deblock_frame
+            deblock_frame(self.pic.planes, self.pic.qp_y.astype(np.int32),
+                          self.pic.bs_v, self.pic.bs_h,
+                          bit_depth=sps.bit_depth_luma,
+                          chroma_format_idc=sps.chroma_format_idc,
+                          cb_qp_offset=pps.cb_qp_offset,
+                          cr_qp_offset=pps.cr_qp_offset)
+        if cfg.sao:
+            from ..ops.sao import apply_sao_frame
+            apply_sao_frame(self.pic.planes, self.sao_map,
+                            1 << sps.log2_ctb_size, sps.bit_depth_luma,
+                            sps.sub_w, sps.sub_h)
 
-        sh = SliceHeader(slice_type=SLICE_I, qp_delta=cfg.qp - pps.init_qp)
+        sh = SliceHeader(slice_type=SLICE_I, qp_delta=cfg.qp - pps.init_qp,
+                         sao_luma=1 if cfg.sao else 0,
+                         sao_chroma=1 if cfg.sao else 0)
         nal_type = nalmod.NAL_IDR_W_RADL
         slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload)
         au = []
@@ -201,6 +221,73 @@ class IntraEncoder:
         if cfg.split_policy == "random":
             return bool(self.rng.random() < cfg.tu_split_probability)
         return False
+
+    # ---- SAO (random parameter policy, mirrors decoder parse) ------------
+    def _encode_sao(self, xc, yc):
+        from ..ops.sao import SAO_BAND, SAO_EDGE, SaoParams
+        e, cm, sps = self.e, self.cm, self.sps
+        rng = self.rng
+        merge_left = int(xc > 0 and rng.random() < 0.2)
+        if merge_left:
+            e.encode_bin(cm.at("sao_merge_flag", 0), 1)
+            self.sao_map[(xc, yc)] = self.sao_map[(xc - 1, yc)].copy()
+            return
+        if xc > 0:
+            e.encode_bin(cm.at("sao_merge_flag", 0), 0)
+        merge_up = int(yc > 0 and rng.random() < 0.2)
+        if yc > 0:
+            e.encode_bin(cm.at("sao_merge_flag", 0), merge_up)
+        if merge_up:
+            self.sao_map[(xc, yc)] = self.sao_map[(xc, yc - 1)].copy()
+            return
+        prm = SaoParams()
+        cmax = (1 << (min(sps.bit_depth_luma, 10) - 5)) - 1
+        for c_idx in range(3):
+            if c_idx in (0, 1):
+                t = int(rng.choice([0, SAO_BAND, SAO_EDGE],
+                                   p=[0.4, 0.3, 0.3]))
+                prm.type_idx[c_idx] = t
+                if c_idx == 1:
+                    prm.type_idx[2] = t
+                if t == 0:
+                    e.encode_bin(cm.at("sao_type_idx", 0), 0)
+                else:
+                    e.encode_bin(cm.at("sao_type_idx", 0), 1)
+                    e.encode_bypass(1 if t == SAO_EDGE else 0)
+            t = prm.type_idx[c_idx]
+            if t == 0:
+                continue
+            abs_offs = [int(rng.integers(0, cmax + 1)) for _ in range(4)]
+            for a in abs_offs:
+                for _ in range(a):
+                    e.encode_bypass(1)
+                if a < cmax:
+                    e.encode_bypass(0)
+            if t == SAO_BAND:
+                offs = []
+                for a in abs_offs:
+                    if a:
+                        neg = int(rng.integers(0, 2))
+                        e.encode_bypass(neg)
+                        offs.append(-a if neg else a)
+                    else:
+                        offs.append(0)
+                prm.offsets[c_idx] = offs
+                pos = int(rng.integers(0, 29))
+                prm.band_position[c_idx] = pos
+                e.encode_bypass_bits(pos, 5)
+            else:
+                if c_idx == 0:
+                    ec = int(rng.integers(0, 4))
+                    prm.eo_class[0] = ec
+                    e.encode_bypass_bits(ec, 2)
+                elif c_idx == 1:
+                    ec = int(rng.integers(0, 4))
+                    prm.eo_class[1] = prm.eo_class[2] = ec
+                    e.encode_bypass_bits(ec, 2)
+                prm.offsets[c_idx] = [abs_offs[0], abs_offs[1],
+                                      -abs_offs[2], -abs_offs[3]]
+        self.sao_map[(xc, yc)] = prm
 
     # ---- quadtree --------------------------------------------------------
     def _quadtree(self, x0, y0, log2_size, depth):
@@ -253,6 +340,7 @@ class IntraEncoder:
 
         gq = size >> 2
         pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
+        pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
 
         # ---- choose + emit luma modes (PB order; map updated per PB so the
         # next PB's MPM derivation and prediction see it, matching decode) --
@@ -336,6 +424,7 @@ class IntraEncoder:
         bd = sps.bit_depth_luma
         maxv = (1 << bd) - 1
         x0, y0 = node.x0, node.y0
+        pic.mark_intra_tu_edges(x0, y0, size)
         mode = int(pic.intra_mode_y[y0 >> 2, x0 >> 2])
         pred = pic.predict_intra(0, x0, y0, size, mode)
         res = self.src[0][y0:y0 + size, x0:x0 + size] - pred

@@ -122,3 +122,27 @@ def test_oracle_bitexact_structures(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
         assert flatten(recons) == oracle, f"config {i} diverged from oracle"
+
+
+@needs_oracle
+def test_oracle_bitexact_loop_filters(tmp_path):
+    """Deblocking + SAO (band/edge/merge, random per-CTB params)."""
+    for i, (w, h, qp) in enumerate(((64, 64, 33), (96, 48, 30),
+                                    (416, 240, 32))):
+        cfg = EncoderConfig(width=w, height=h, qp=qp, sao=True,
+                            deblocking=True, seed=i)
+        frames = [synth_frame("gradient", w, h, t, i) for t in range(2)]
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, w, h, tmp_path)
+        assert flatten(recons) == oracle, f"filter config {i} diverged"
+
+
+@needs_oracle
+def test_oracle_bitexact_deblock_only(tmp_path):
+    cfg = EncoderConfig(width=128, height=64, qp=35, log2_ctb_size=6,
+                        split_policy="random", deblocking=True,
+                        max_transform_hierarchy_depth_intra=2, seed=11,
+                        full_mode_search=True)
+    frames = [synth_frame("noise", 128, 64, 1)]
+    stream, recons = encode_decode(cfg, frames)
+    assert flatten(recons) == oracle_decode(stream, 128, 64, tmp_path)
