@@ -44,12 +44,31 @@ class _CuState:
                  "max_trafo_depth", "x0", "y0", "log2_size")
 
 
+@dataclass
+class BlockRecord:
+    """One predicted block in decode order (stage A → stage B interface).
+
+    The reconstruction stage replays these records: predict from
+    neighbours, add the (separately batched) residual, write back.
+    """
+    plane: int
+    x: int          # component coords
+    y: int
+    size: int
+    mode: int       # intra prediction mode
+    qp: int         # component QP (incl. bd offset) for dequant
+    levels: Optional[np.ndarray]  # None when cbf == 0
+    dst: bool = False
+    ts: bool = False
+    tqb: bool = False
+
+
 class SliceDecoder:
     """Decodes one slice segment's CTU payload."""
 
     def __init__(self, pic: PictureState, sps: SPS, pps: PPS,
                  sh: SliceHeader, d: CabacDecoder, cm: ContextModel,
-                 slice_idx: int):
+                 slice_idx: int, plan: Optional[list] = None):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -58,6 +77,7 @@ class SliceDecoder:
         self.cm = cm
         self.slice_idx = slice_idx
         self.qp_y = pps.init_qp + sh.qp_delta
+        self.plan = plan  # list to record BlockRecords into (stage-A mode)
 
     # ---- CTU loop --------------------------------------------------------
     def decode_ctus(self) -> int:
@@ -283,53 +303,70 @@ class SliceDecoder:
             self.transform_unit(x0, y0, xb, yb, log2_size, depth, blk_idx,
                                 cbf_luma, cbf_cb, cbf_cr, cu)
 
-    # ---- transform unit (decode + reconstruct) ---------------------------
-    def _residual(self, c_idx, log2_size, mode, cu):
-        """Decode one residual block and return spatial residual."""
+    # ---- transform unit (decode + reconstruct or record) -----------------
+    def _decode_levels(self, c_idx, log2_size, mode, cu):
+        """Decode one residual block's levels (stage A, no transform)."""
         sps, pps = self.sps, self.pps
         scan = scan_idx_for_intra(mode, log2_size, c_idx,
                                   sps.chroma_format_idc) \
             if cu.pred_intra else 0
         ts_allowed = (pps.transform_skip_enabled and not cu.tq_bypass
                       and log2_size <= pps.log2_max_transform_skip_block_size)
-        levels, ts_flag = decode_residual(
+        return decode_residual(
             self.d, self.cm, log2_size, c_idx, scan,
             sign_data_hiding=bool(pps.sign_data_hiding),
             transform_skip_allowed=ts_allowed,
             tq_bypass=bool(cu.tq_bypass))
-        bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
-        if cu.tq_bypass:
-            return levels
+
+    def _component_qp(self, c_idx):
+        sps, pps = self.sps, self.pps
         if c_idx == 0:
-            qp = self.qp_y + sps.qp_bd_offset
-        else:
-            off = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
-                   else pps.cr_qp_offset + self.sh.cr_qp_offset)
-            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
-                             sps.qp_bd_offset)
-        d = R.dequant(levels, qp, log2_size, bd)
-        if ts_flag:
-            return R.transform_skip_residual(d, bd)
+            return self.qp_y + sps.qp_bd_offset
+        off = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
+               else pps.cr_qp_offset + self.sh.cr_qp_offset)
+        return R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+                           sps.qp_bd_offset)
+
+    def _recon_block(self, c_idx, x, y, size, mode, levels, ts, cu):
+        """Reconstruct one block immediately (stage-B NumPy oracle path),
+        or record it into the frame plan."""
+        sps, pic = self.sps, self.pic
+        log2_size = size.bit_length() - 1
+        qp = self._component_qp(c_idx)
         use_dst = (cu.pred_intra and log2_size == 2 and c_idx == 0)
-        return R.inverse_transform(d, bd, dst=use_dst)
+        if self.plan is not None:
+            self.plan.append(BlockRecord(
+                plane=c_idx, x=x, y=y, size=size, mode=mode, qp=qp,
+                levels=None if levels is None else levels.copy(),
+                dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass)))
+            return
+        bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
+        maxv = (1 << bd) - 1
+        pred = pic.predict_intra(c_idx, x, y, size, mode)
+        if levels is not None:
+            if cu.tq_bypass:
+                res = levels
+            else:
+                d = R.dequant(levels, qp, log2_size, bd)
+                res = (R.transform_skip_residual(d, bd) if ts
+                       else R.inverse_transform(d, bd, dst=use_dst))
+            rec = np.clip(pred + res, 0, maxv)
+        else:
+            rec = pred
+        pic.planes[c_idx][y:y + size, x:x + size] = \
+            rec.astype(pic.planes[c_idx].dtype)
 
     def transform_unit(self, x0, y0, xb, yb, log2_size, depth, blk_idx,
                        cbf_luma, cbf_cb, cbf_cr, cu):
         sps, pic = self.sps, self.pic
         size = 1 << log2_size
         pic.mark_intra_tu_edges(x0, y0, size)
-        bd_l = sps.bit_depth_luma
-        maxv_l = (1 << bd_l) - 1
         # ---- luma ----
         mode_y = int(pic.intra_mode_y[y0 >> 2, x0 >> 2])
-        pred = pic.predict_intra(0, x0, y0, size, mode_y)
+        lv_y, ts_y = (None, 0)
         if cbf_luma:
-            res = self._residual(0, log2_size, mode_y, cu)
-            rec = np.clip(pred + res, 0, maxv_l)
-        else:
-            rec = pred
-        pic.planes[0][y0:y0 + size, x0:x0 + size] = \
-            rec.astype(pic.planes[0].dtype)
+            lv_y, ts_y = self._decode_levels(0, log2_size, mode_y, cu)
+        self._recon_block(0, x0, y0, size, mode_y, lv_y, ts_y, cu)
         # ---- chroma ----
         chroma_here = (log2_size > 2 or sps.chroma_format_idc == 3
                        or blk_idx == 3)
@@ -342,27 +379,47 @@ class SliceDecoder:
         else:
             xc, yc, log2c = x0 >> 1, y0 >> 1, log2_size - 1
         csize = 1 << log2c
-        bd_c = sps.bit_depth_chroma
-        maxv_c = (1 << bd_c) - 1
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
             mode_c = cu.chroma_mode
-            pred = pic.predict_intra(c_idx, xc, yc, csize, mode_c)
+            lv, ts = (None, 0)
             if cbf:
-                res = self._residual(c_idx, log2c, mode_c, cu)
-                rec = np.clip(pred + res, 0, maxv_c)
+                lv, ts = self._decode_levels(c_idx, log2c, mode_c, cu)
+            self._recon_block(c_idx, xc, yc, csize, mode_c, lv, ts, cu)
+
+
+def execute_plan_numpy(pic: PictureState, plan) -> None:
+    """Stage-B oracle executor: replay BlockRecords in decode order."""
+    sps = pic.sps
+    for r in plan:
+        bd = sps.bit_depth_luma if r.plane == 0 else sps.bit_depth_chroma
+        maxv = (1 << bd) - 1
+        pred = pic.predict_intra(r.plane, r.x, r.y, r.size, r.mode)
+        if r.levels is not None:
+            if r.tqb:
+                res = r.levels
             else:
-                rec = pred
-            pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
-                rec.astype(pic.planes[c_idx].dtype)
+                log2 = r.size.bit_length() - 1
+                d = R.dequant(r.levels, r.qp, log2, bd)
+                res = (R.transform_skip_residual(d, bd) if r.ts
+                       else R.inverse_transform(d, bd, dst=r.dst))
+            rec = np.clip(pred + res, 0, maxv)
+        else:
+            rec = pred
+        pic.planes[r.plane][r.y:r.y + r.size, r.x:r.x + r.size] = \
+            rec.astype(pic.planes[r.plane].dtype)
 
 
 class Decoder:
     """Stream-level decoder: feed Annex-B bytes, get DecodedFrames."""
 
-    def __init__(self, check_md5: bool = True):
+    def __init__(self, check_md5: bool = True, recon_backend: str = "inline"):
+        """recon_backend: 'inline' reconstructs during parse (NumPy oracle);
+        'plan' records stage-A symbol plans and replays them (NumPy);
+        'jax' records plans and reconstructs on device (hevc_tpu.tpu)."""
         self.vps_map: Dict[int, VPS] = {}
         self.sps_map: Dict[int, SPS] = {}
         self.pps_map: Dict[int, PPS] = {}
+        self.recon_backend = recon_backend
         self.check_md5 = check_md5
         self._pending_sei: Optional[DecodedPictureHash] = None
         self.cur_pic: Optional[PictureState] = None
@@ -417,6 +474,8 @@ class Decoder:
             if self.cur_pic is not None:
                 self._finish_picture()
             self.cur_pic = PictureState(sps, pps)
+            if self.recon_backend != "inline":
+                self.cur_pic.plan = []
             self._slice_counter = 0
             if nalmod.is_idr_nal(nal.type):
                 self.cur_poc = 0
@@ -432,7 +491,8 @@ class Decoder:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
         sd = SliceDecoder(self.cur_pic, sps, pps, sh, d, cm,
-                          self._slice_counter)
+                          self._slice_counter,
+                          plan=getattr(self.cur_pic, "plan", None))
         sd.decode_ctus()
         self._slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
@@ -463,6 +523,13 @@ class Decoder:
     def _finish_picture(self):
         pic = self.cur_pic
         self.cur_pic = None
+        plan = getattr(pic, "plan", None)
+        if plan is not None:
+            if self.recon_backend == "jax":
+                from ..tpu.recon import reconstruct_plan_jax
+                reconstruct_plan_jax(pic, plan)
+            else:
+                execute_plan_numpy(pic, plan)
         if getattr(pic, "deblock_params", None) is not None:
             from ..ops.deblock import deblock_frame
             p = pic.deblock_params
