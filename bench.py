@@ -1,0 +1,181 @@
+"""Benchmark: TPU stage-B decode throughput vs openHEVC oracle.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+What is measured: frames/sec of the full device-side stage-B pipeline
+(batched dequant+IDCT, wavefront intra reconstruction, deblocking, SAO)
+on a generated 720p intra stream (CTB 64), on whatever accelerator JAX
+picks (the real TPU chip under the driver).  Timing loops on-device with
+per-iteration-varying input so the remote runtime cannot memoize.
+Baseline = the openHEVC oracle binary's full-decode fps on the same
+stream on this machine's CPU (cached in .bench/).
+
+Artifacts are cached under .bench/ — delete the directory to regenerate.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, ".bench")
+ORACLE = os.path.join(ROOT, ".oracle", "build", "hevc_nodisplay")
+W, H, QP, FRAMES = 1280, 720, 30, 2
+TAG = f"intra_{W}x{H}_qp{QP}_ctb64_filt"
+
+
+def ensure_stream():
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, TAG + ".265")
+    if not os.path.exists(path):
+        from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
+        from hevc_tpu.encoder.generate import synth_frame
+
+        enc = IntraEncoder(EncoderConfig(
+            width=W, height=H, qp=QP, log2_ctb_size=6, log2_cu_size=6,
+            deblocking=True, sao=True, seed=1))
+        data = bytearray()
+        for t in range(FRAMES):
+            data += enc.encode_frame(synth_frame("gradient", W, H, t))
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+def ensure_packed(stream_path):
+    pkl = os.path.join(CACHE, TAG + ".pkl")
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            return pickle.load(f)
+    import hevc_tpu.decoder.core as dcore
+    from hevc_tpu.decoder.core import Decoder
+    from hevc_tpu.tpu.pack import pack_frame
+    from hevc_tpu.tpu.recon import pack_sao_params
+
+    captured = []
+
+    def capture(pic, plan):
+        captured.append((pic, list(plan)))
+        dcore_orig(pic, plan)
+
+    dcore_orig = dcore.execute_plan_numpy
+    dcore.execute_plan_numpy = capture
+    try:
+        frames = Decoder(recon_backend="plan").decode_bytes(
+            open(stream_path, "rb").read())
+    finally:
+        dcore.execute_plan_numpy = dcore_orig
+    assert all(f.md5_ok for f in frames), "stage-A self check failed"
+    bundles = []
+    for (pic, plan), frame in zip(captured, frames):
+        pf = pack_frame(pic, plan)
+        sao = pack_sao_params(pic)
+        dbp = getattr(pic, "deblock_params", None) or {
+            "beta_offset": 0, "tc_offset": 0,
+            "cb_qp_offset": 0, "cr_qp_offset": 0}
+        bundles.append(dict(
+            pf=pf, qp4=pic.qp_y.astype(np.int32),
+            bsv=pic.bs_v.astype(np.int32), bsh=pic.bs_h.astype(np.int32),
+            sao=sao, dbp=dbp,
+            do_deblock=getattr(pic, "deblock_params", None) is not None,
+            do_sao=bool(getattr(pic, "sao_map", None)),
+            sps=(pic.sps.log2_ctb_size, pic.sps.sub_w, pic.sps.sub_h),
+            ref=[p.copy() for p in frame.planes]))
+    with open(pkl, "wb") as f:
+        pickle.dump(bundles, f)
+    return bundles
+
+
+def oracle_fps(stream_path):
+    meta = os.path.join(CACHE, "oracle_fps_" + TAG + ".json")
+    if os.path.exists(meta):
+        return json.load(open(meta))["fps"]
+    if not os.path.exists(ORACLE):
+        return None
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        r = subprocess.run([ORACLE, "-i", stream_path, "-o", "/dev/null"],
+                           capture_output=True, text=True, timeout=300)
+        dt = time.time() - t0
+        m = re.search(r"frame=\s*(\d+)", r.stdout + r.stderr)
+        n = int(m.group(1)) if m else FRAMES
+        best = max(best, n / dt)
+    json.dump({"fps": best}, open(meta, "w"))
+    return best
+
+
+def main():
+    stream = ensure_stream()
+    bundles = ensure_packed(stream)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hevc_tpu.tpu.recon import decode_frame_device
+
+    b = bundles[0]
+    pf = b["pf"]
+    log2_ctb, sub_w, sub_h = b["sps"]
+    regions = tuple(pf.region[p] for p in range(3))
+    sao_t, sao_b, sao_e, sao_c = b["sao"]
+    args = (
+        jnp.asarray(pf.canvas),
+        tuple(jnp.asarray(v) for v in pf.scal),
+        tuple(jnp.asarray(v) for v in pf.avail),
+        tuple(jnp.asarray(v) for v in pf.levels),
+        tuple(jnp.asarray(v) for v in pf.rmeta),
+        jnp.asarray(b["qp4"]), jnp.asarray(b["bsv"]), jnp.asarray(b["bsh"]),
+        b["dbp"]["beta_offset"], b["dbp"]["tc_offset"],
+        b["dbp"]["cb_qp_offset"], b["dbp"]["cr_qp_offset"],
+        tuple(jnp.asarray(sao_t[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_b[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_e[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_c[p]) for p in range(3)),
+    )
+    statics = dict(bit_depth=pf.bit_depth, n_chunks=pf.n_chunks,
+                   regions=regions, do_deblock=b["do_deblock"],
+                   do_sao=b["do_sao"], ctb_log2=log2_ctb,
+                   sub_w=sub_w, sub_h=sub_h)
+
+    # warmup/compile + bit-exactness vs the NumPy oracle path
+    planes = decode_frame_device(*args, **statics)
+    for p, out in enumerate(planes):
+        assert (np.asarray(out) == b["ref"][p].astype(np.int32)).all(), \
+            f"device pipeline mismatch plane {p}"
+
+    iters = 16
+    canvas = args[0]
+    rest = args[1:]
+
+    @jax.jit
+    def timed_loop(canvas, *rest):
+        def body(i, acc):
+            y, cb, cr = decode_frame_device(canvas + i, *rest, **statics)
+            return acc + y[0, 0] + cb[0, 0] + cr[0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    timed_loop(canvas, *rest).block_until_ready()
+    t0 = time.time()
+    timed_loop(canvas, *rest).block_until_ready()
+    fps = iters / (time.time() - t0)
+
+    base = oracle_fps(stream)
+    vs = round(fps / base, 3) if base else None
+    print(json.dumps({
+        "metric": f"stageB_decode_fps_{W}x{H}_intra",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

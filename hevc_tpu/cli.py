@@ -24,13 +24,16 @@ def main(argv=None):
     ap.add_argument("-v", "--log-level", type=int, default=30)
     ap.add_argument("-n", "--frames", type=int, default=0,
                     help="stop after N frames (0 = all)")
+    ap.add_argument("-b", "--backend", default="inline",
+                    choices=["inline", "plan", "jax"],
+                    help="reconstruction backend (jax = TPU stage B)")
     args = ap.parse_args(argv)
 
     from .decoder.core import Decoder
 
     data = open(args.input, "rb").read()
     t0 = time.time()
-    dec = Decoder(check_md5=not args.no_md5)
+    dec = Decoder(check_md5=not args.no_md5, recon_backend=args.backend)
     frames = dec.decode_bytes(data)
     if args.frames:
         frames = frames[:args.frames]

@@ -526,8 +526,9 @@ class Decoder:
         plan = getattr(pic, "plan", None)
         if plan is not None:
             if self.recon_backend == "jax":
-                from ..tpu.recon import reconstruct_plan_jax
-                reconstruct_plan_jax(pic, plan)
+                # full device stage B: recon + deblock + SAO in one jit
+                from ..tpu.recon import finish_frame_jax
+                finish_frame_jax(pic, plan)
             else:
                 execute_plan_numpy(pic, plan)
         if getattr(pic, "deblock_params", None) is not None:

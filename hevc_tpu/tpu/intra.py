@@ -167,7 +167,10 @@ def make_chunk_body(bd: int, scal: tuple, avail: tuple, resids: tuple,
     dropped)."""
 
     def body(canvas, chunk_idx):
+        all_rows, all_cols, all_vals = [], [], []
         for c, n in enumerate(sizes):
+            if scal[c].shape[1] == 0:
+                continue  # class unused in this frame (packed empty)
             s = scal[c][chunk_idx]
             av = avail[c][chunk_idx]
             cy, cx = s[:, F_CY], s[:, F_CX]
@@ -180,9 +183,15 @@ def make_chunk_body(bd: int, scal: tuple, avail: tuple, resids: tuple,
               s[:, F_EDGE] != 0, res, n, bd)
             ii = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
             jj = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
-            rows = cy[:, None, None] + ii
-            cols = cx[:, None, None] + jj
-            canvas = canvas.at[rows, cols].set(blk, mode="drop")
+            all_rows.append((cy[:, None, None] + ii).reshape(-1))
+            all_cols.append((cx[:, None, None] + jj).reshape(-1))
+            all_vals.append(blk.reshape(-1))
+        # one fused scatter per chunk (disjoint by construction; padding
+        # lanes target out-of-bounds coordinates and are dropped)
+        rows = jnp.concatenate(all_rows)
+        cols = jnp.concatenate(all_cols)
+        vals = jnp.concatenate(all_vals)
+        canvas = canvas.at[rows, cols].set(vals, mode="drop")
         return canvas, None
 
     return body

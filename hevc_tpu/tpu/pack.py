@@ -61,29 +61,37 @@ def region_offsets(sps):
     return reg, ch, cw
 
 
-def _intersects(a, b):
-    ax, ay, aw, ah = a
-    bx, by, bw, bh = b
-    return ax < bx + bw and bx < ax + aw and ay < by + bh and by < ay + ah
+def _schedule_levels(pic: PictureState, plan):
+    """Wavefront scheduling: group records into dependency levels.
 
-
-class _Chunker:
-    """Greedy conflict-free chunk builder."""
-
-    def __init__(self):
-        self.chunks = [[]]
-        self.written = {0: [], 1: [], 2: []}
-
-    def add(self, rec):
-        n2 = 2 * rec.size
-        band = [(rec.x - 1, rec.y - 1, 1, n2 + 1),
-                (rec.x - 1, rec.y - 1, n2 + 1, 1)]
-        if any(_intersects(b, w) for b in band
-               for w in self.written[rec.plane]):
-            self.chunks.append([])
-            self.written = {0: [], 1: [], 2: []}
-        self.chunks[-1].append(rec)
-        self.written[rec.plane].append((rec.x, rec.y, rec.size, rec.size))
+    level(rec) = 1 + max level over the blocks its L-shaped reference
+    band reads from; records of one level are mutually independent, so
+    any topological reorder (here: by level) is a legal reconstruction
+    schedule.  This exposes the full anti-diagonal parallelism of the
+    frame instead of the decode order's left-to-right chain."""
+    sps = pic.sps
+    shapes = {0: (sps.height, sps.width)}
+    shapes[1] = shapes[2] = (sps.height // sps.sub_h, sps.width // sps.sub_w)
+    lvl_map = {p: np.full(shapes[p], -1, np.int32) for p in range(3)}
+    chunks = []
+    for r in plan:
+        m = lvl_map[r.plane]
+        h, w = m.shape
+        n2 = 2 * r.size
+        x0 = max(0, r.x - 1)
+        y0 = max(0, r.y - 1)
+        col = m[y0:min(h, r.y + n2), x0:r.x] if r.x > 0 else None
+        row = m[y0:r.y, x0:min(w, r.x + n2)] if r.y > 0 else None
+        lvl = 0
+        if col is not None and col.size:
+            lvl = max(lvl, int(col.max()) + 1)
+        if row is not None and row.size:
+            lvl = max(lvl, int(row.max()) + 1)
+        m[r.y:r.y + r.size, r.x:r.x + r.size] = lvl
+        while len(chunks) <= lvl:
+            chunks.append([])
+        chunks[lvl].append(r)
+    return chunks
 
 
 def _pow2_at_least(x):
@@ -98,10 +106,7 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
     classes = {4: 0, 8: 1, 16: 2, 32: 3}
     chroma444 = sps.chroma_format_idc == 3
 
-    chunker = _Chunker()
-    for r in plan:
-        chunker.add(r)
-    chunks = chunker.chunks
+    chunks = _schedule_levels(pic, plan)
 
     # residual pools (slot 0 = zeros, prepended on device)
     lv = [[] for _ in range(4)]
@@ -138,10 +143,10 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
 
     # per-class per-chunk arrays, bucketed shapes for jit-cache stability
     n_chunks = _round_up(max(1, len(chunks)), 16)
-    B = [_pow2_at_least(max(1, max((sum(1 for r in chk
-                                        if classes[r.size] == c)
-                                    for chk in chunks), default=1)))
-         for c in range(4)]
+    counts = [max((sum(1 for r in chk if classes[r.size] == c)
+                   for chk in chunks), default=0) for c in range(4)]
+    # B = 0 ⇒ class completely unused: the device skips its branch
+    B = [_pow2_at_least(c) if c else 0 for c in counts]
     scal = []
     avail = []
     for c in range(4):

@@ -62,3 +62,105 @@ def reconstruct_plan_jax(pic, plan) -> None:
     for plane, (oy, ox, h, w) in pf.region.items():
         pic.planes[plane][:] = canvas[oy:oy + h, ox:ox + w].astype(
             pic.planes[plane].dtype)
+
+
+# ---------------------------------------------------------------------------
+# Full device pipeline: recon + deblock + SAO in one jit
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "regions",
+                                   "do_deblock", "do_sao", "ctb_log2",
+                                   "sub_w", "sub_h"))
+def decode_frame_device(canvas, scal, avail, levels, rmeta, qp4, bs_v, bs_h,
+                        beta_off, tc_off, cb_qp_off, cr_qp_off,
+                        sao_type, sao_band_pos, sao_offs4, sao_eo_class,
+                        bit_depth, n_chunks, regions, do_deblock, do_sao,
+                        ctb_log2, sub_w, sub_h):
+    """Stage B end-to-end: returns (y, cb, cr) int32 planes.
+
+    regions: static tuple ((oy, ox, h, w) per plane); sao_* are
+    per-plane tuples of per-CTB parameter maps."""
+    from .filters import deblock_jax, sao_plane_jax
+
+    out = reconstruct_wavefront(
+        canvas, scal, avail,
+        _residuals(levels, rmeta, bit_depth), bit_depth, n_chunks)
+    planes = []
+    for plane, (oy, ox, h, w) in enumerate(regions):
+        planes.append(jax.lax.dynamic_slice(out, (oy, ox), (h, w)))
+    y, cb, cr = planes
+    if do_deblock:
+        y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, beta_off,
+                                tc_off, cb_qp_off, cr_qp_off,
+                                bd=bit_depth, sub_w=sub_w, sub_h=sub_h)
+    if do_sao:
+        outp = []
+        for plane, p in enumerate((y, cb, cr)):
+            lg = ctb_log2 - (0 if plane == 0 else
+                             (sub_w.bit_length() - 1))
+            outp.append(sao_plane_jax(p, sao_type[plane],
+                                      sao_band_pos[plane],
+                                      sao_offs4[plane],
+                                      sao_eo_class[plane], lg, bit_depth))
+        y, cb, cr = outp
+    return y, cb, cr
+
+
+def pack_sao_params(pic):
+    """Per-CTB SAO parameter maps for the device filters (3 planes).
+
+    Returns (type, band_pos, offs4, eo_class) — offs4 carries the 4
+    signed offsets for either band (k=0..3) or edge (categories 1..4)."""
+    sps = pic.sps
+    cty, ctx = sps.ctb_h, sps.ctb_w
+    sao_map = getattr(pic, "sao_map", None) or {}
+    t = np.zeros((3, cty, ctx), np.int32)
+    pos = np.zeros((3, cty, ctx), np.int32)
+    offs = np.zeros((3, cty, ctx, 4), np.int32)
+    ec = np.zeros((3, cty, ctx), np.int32)
+    for (xc, yc), prm in sao_map.items():
+        for p in range(3):
+            ti = prm.type_idx[p]
+            t[p, yc, xc] = ti
+            if ti:
+                offs[p, yc, xc] = prm.offsets[p]
+                pos[p, yc, xc] = prm.band_position[p]
+                ec[p, yc, xc] = prm.eo_class[p]
+    return t, pos, offs, ec
+
+
+def finish_frame_jax(pic, plan) -> None:
+    """Full device stage B (recon + filters) into pic.planes."""
+    sps = pic.sps
+    pf = pack_frame(pic, plan)
+    dbp = getattr(pic, "deblock_params", None)
+    do_deblock = dbp is not None
+    sao_t, sao_b, sao_e, sao_c = pack_sao_params(pic)
+    do_sao = bool(getattr(pic, "sao_map", None))
+    regions = tuple(pf.region[p] for p in range(3))
+    y, cb, cr = decode_frame_device(
+        jnp.asarray(pf.canvas),
+        tuple(jnp.asarray(v) for v in pf.scal),
+        tuple(jnp.asarray(v) for v in pf.avail),
+        tuple(jnp.asarray(v) for v in pf.levels),
+        tuple(jnp.asarray(v) for v in pf.rmeta),
+        jnp.asarray(pic.qp_y.astype(np.int32)),
+        jnp.asarray(pic.bs_v.astype(np.int32)),
+        jnp.asarray(pic.bs_h.astype(np.int32)),
+        dbp["beta_offset"] if do_deblock else 0,
+        dbp["tc_offset"] if do_deblock else 0,
+        dbp["cb_qp_offset"] if do_deblock else 0,
+        dbp["cr_qp_offset"] if do_deblock else 0,
+        tuple(jnp.asarray(sao_t[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_b[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_e[p]) for p in range(3)),
+        tuple(jnp.asarray(sao_c[p]) for p in range(3)),
+        pf.bit_depth, pf.n_chunks, regions, do_deblock, do_sao,
+        sps.log2_ctb_size, sps.sub_w, sps.sub_h)
+    for plane, arr in enumerate((y, cb, cr)):
+        pic.planes[plane][:] = np.asarray(arr).astype(
+            pic.planes[plane].dtype)
+    # filters already applied on device
+    pic.deblock_params = None
+    if hasattr(pic, "sao_map"):
+        pic.sao_map = {}

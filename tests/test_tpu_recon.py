@@ -68,3 +68,20 @@ def test_transforms_bitexact():
                 ref = (R.transform_skip_residual(d, bd) if ts[i]
                        else R.inverse_transform(d, bd, dst=bool(dst[i])))
                 assert (out[i] == ref).all(), (log2, bd, i)
+
+
+def test_jax_full_pipeline_with_filters():
+    """finish_frame_jax: recon + deblock + SAO fused on device."""
+    cfg = EncoderConfig(width=64, height=48, qp=33, sao=True,
+                        deblocking=True, seed=9)
+    frames = [synth_frame("gradient", 64, 48, t, 9) for t in (0, 1)]
+    enc = IntraEncoder(cfg)
+    stream = bytearray()
+    for f in frames:
+        stream += enc.encode_frame(f)
+    ref = Decoder(recon_backend="inline").decode_bytes(bytes(stream))
+    jx = Decoder(recon_backend="jax").decode_bytes(bytes(stream))
+    for a, b in zip(ref, jx):
+        assert b.md5_ok
+        for pa, pb in zip(a.planes, b.planes):
+            assert (pa == pb).all()
