@@ -64,14 +64,54 @@ class PictureState:
         # bs_h = top edge (reference: hevc_filter.c boundary_strength :765)
         self.bs_v = np.zeros((self.h4, self.w4), np.int8)
         self.bs_h = np.zeros((self.h4, self.w4), np.int8)
+        # edge maps (TU or PU boundary) for BS derivation
+        self.edge_v = np.zeros((self.h4, self.w4), bool)
+        self.edge_h = np.zeros((self.h4, self.w4), bool)
+        # per-4x4 luma-cbf (nonzero residual) flag
+        self.cbf_luma = np.zeros((self.h4, self.w4), bool)
+        # motion fields (L0 only for now): mv in quarter-pel, ref poc
+        self.mv_l0 = np.zeros((self.h4, self.w4, 2), np.int32)
+        self.ref_l0 = np.full((self.h4, self.w4), -1, np.int8)
+        self.ref_poc_l0 = np.full((self.h4, self.w4), -(1 << 30), np.int64)
 
-    def mark_intra_tu_edges(self, x0: int, y0: int, size: int):
-        """Record BS=2 on the left/top edges of an intra TU/CU block."""
-        x4, y4, g = x0 >> 2, y0 >> 2, size >> 2
+    def mark_block_edges(self, x0: int, y0: int, w: int, h: int):
+        """Record a TU/PU boundary on the left/top edges of a block."""
+        x4, y4 = x0 >> 2, y0 >> 2
         if x0 > 0:
-            self.bs_v[y4:y4 + g, x4] = 2
+            self.edge_v[y4:y4 + (h >> 2), x4] = True
         if y0 > 0:
-            self.bs_h[y4, x4:x4 + g] = 2
+            self.edge_h[y4, x4:x4 + (w >> 2)] = True
+
+    # backwards-compatible alias used by the intra-only paths
+    def mark_intra_tu_edges(self, x0: int, y0: int, size: int):
+        self.mark_block_edges(x0, y0, size, size)
+
+    def compute_bs(self):
+        """Boundary strengths (8.7.2.4) from the per-4x4 maps.
+
+        bs=2 if either side intra; else 1 if either side has residual, or
+        MV delta >= 4 quarter-pel, or different reference pictures."""
+        for vertical in (True, False):
+            edge = self.edge_v if vertical else self.edge_h
+            bs = self.bs_v if vertical else self.bs_h
+            if vertical:
+                q = np.s_[:, 1:]
+                p = np.s_[:, :-1]
+                tgt = np.s_[:, 1:]
+            else:
+                q = np.s_[1:, :]
+                p = np.s_[:-1, :]
+                tgt = np.s_[1:, :]
+            intra_pq = self.is_intra[q] | self.is_intra[p]
+            resid = self.cbf_luma[q] | self.cbf_luma[p]
+            dmv = np.abs(self.mv_l0[q] - self.mv_l0[p]).max(axis=-1) >= 4
+            dref = self.ref_poc_l0[q] != self.ref_poc_l0[p]
+            one = resid | dmv | dref
+            val = np.where(intra_pq, 2, np.where(one, 1, 0))
+            bs[tgt] = np.where(edge[tgt], val, 0).astype(np.int8)
+        self.bs_v[:, 0] = 0
+        self.bs_h[0, :] = 0
+        return self.bs_v, self.bs_h
 
     # -- availability ------------------------------------------------------
     def set_ctb_slice(self, ctb_x: int, ctb_y: int, slice_idx: int):

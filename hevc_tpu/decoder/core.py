@@ -40,8 +40,8 @@ class DecodedFrame:
 
 
 class _CuState:
-    __slots__ = ("pred_intra", "intra_split", "chroma_mode", "tq_bypass",
-                 "max_trafo_depth", "x0", "y0", "log2_size")
+    __slots__ = ("pred_intra", "intra_split", "inter_split", "chroma_mode",
+                 "tq_bypass", "max_trafo_depth", "x0", "y0", "log2_size")
 
 
 @dataclass
@@ -68,7 +68,8 @@ class SliceDecoder:
 
     def __init__(self, pic: PictureState, sps: SPS, pps: PPS,
                  sh: SliceHeader, d: CabacDecoder, cm: ContextModel,
-                 slice_idx: int, plan: Optional[list] = None):
+                 slice_idx: int, plan: Optional[list] = None,
+                 ref_list=None, cur_poc: int = 0):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -78,6 +79,8 @@ class SliceDecoder:
         self.slice_idx = slice_idx
         self.qp_y = pps.init_qp + sh.qp_delta
         self.plan = plan  # list to record BlockRecords into (stage-A mode)
+        self.ref_list = ref_list or []  # L0: [(poc, [int32 planes]), ...]
+        self.cur_poc = cur_poc
 
     # ---- CTU loop --------------------------------------------------------
     def decode_ctus(self) -> int:
@@ -185,6 +188,127 @@ class SliceDecoder:
         else:
             self.coding_unit(x0, y0, log2_size, depth)
 
+    # ---- inter helpers ---------------------------------------------------
+    def _decode_merge_idx(self) -> int:
+        max_cand = self.sh.max_num_merge_cand()
+        if max_cand <= 1:
+            return 0
+        if not self.d.decode_bin(self.cm.at("merge_idx", 0)):
+            return 0
+        idx = 1
+        while idx < max_cand - 1 and self.d.decode_bypass():
+            idx += 1
+        return idx
+
+    def _decode_ref_idx(self, num_ref: int) -> int:
+        if num_ref <= 1:
+            return 0
+        if not self.d.decode_bin(self.cm.at("ref_idx_l0", 0)):
+            return 0
+        if num_ref == 2:
+            return 1
+        if not self.d.decode_bin(self.cm.at("ref_idx_l0", 1)):
+            return 1
+        idx = 2
+        while idx < num_ref - 1 and self.d.decode_bypass():
+            idx += 1
+        return idx
+
+    def _decode_eg1(self) -> int:
+        sym, count = 0, 1
+        while True:
+            b = self.d.decode_bypass()
+            sym += b << count
+            count += 1
+            if not b:
+                break
+        count -= 1
+        if count:
+            sym += self.d.decode_bypass_bits(count)
+        return sym
+
+    def _decode_mvd(self):
+        """mvd_coding (7.3.8.9)."""
+        d, cm = self.d, self.cm
+        g0x = d.decode_bin(cm.at("abs_mvd_greater0_flag", 0))
+        g0y = d.decode_bin(cm.at("abs_mvd_greater0_flag", 0))
+        g1x = d.decode_bin(cm.at("abs_mvd_greater1_flag", 1)) if g0x else 0
+        g1y = d.decode_bin(cm.at("abs_mvd_greater1_flag", 1)) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if g0:
+                a = (self._decode_eg1() + 2) if g1 else 1
+                if d.decode_bypass():
+                    a = -a
+            else:
+                a = 0
+            out.append(a)
+        return out[0], out[1]
+
+    def _inter_pb(self, x_pb, y_pb, n_w, n_h, mv, ref_idx):
+        """Apply MC prediction for one PB and record its motion."""
+        from ..ops import mc as MC
+        pic, sps = self.pic, self.sps
+        ref_poc, ref_planes = self.ref_list[ref_idx]
+        bd = sps.bit_depth_luma
+        pred = MC.weighted_uni(MC.mc_luma(
+            ref_planes[0], x_pb, y_pb, n_w, n_h, mv[0], mv[1], bd), bd)
+        pic.planes[0][y_pb:y_pb + n_h, x_pb:x_pb + n_w] = \
+            pred.astype(pic.planes[0].dtype)
+        xc, yc = x_pb // sps.sub_w, y_pb // sps.sub_h
+        wc, hc = n_w // sps.sub_w, n_h // sps.sub_h
+        bdc = sps.bit_depth_chroma
+        for c in (1, 2):
+            predc = MC.weighted_uni(MC.mc_chroma(
+                ref_planes[c], xc, yc, wc, hc, mv[0], mv[1], bdc), bdc)
+            pic.planes[c][yc:yc + hc, xc:xc + wc] = \
+                predc.astype(pic.planes[c].dtype)
+        y4, x4 = y_pb >> 2, x_pb >> 2
+        pic.mv_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = mv
+        pic.ref_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = ref_idx
+        pic.ref_poc_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = ref_poc
+        pic.mark_block_edges(x_pb, y_pb, n_w, n_h)
+
+    def _prediction_unit(self, x_pb, y_pb, n_w, n_h, part_idx, part_mode):
+        """prediction_unit (7.3.8.6): merge or AMVP, then MC.
+
+        Returns True if merge was used."""
+        from ..coding import mvs as MV
+        d, cm, sh = self.d, self.cm, self.sh
+        ref_pocs = [p for p, _ in self.ref_list]
+        if d.decode_bin(cm.at("merge_flag", 0)):
+            idx = self._decode_merge_idx()
+            cand = MV.merge_candidates(
+                self.pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
+                sh.max_num_merge_cand(), sh.num_ref_idx_l0_active,
+                ref_pocs)
+            mi = cand[idx]
+            self._inter_pb(x_pb, y_pb, n_w, n_h, list(mi.mv), mi.ref_idx)
+            return True
+        ref_idx = self._decode_ref_idx(sh.num_ref_idx_l0_active)
+        mvd = self._decode_mvd()
+        mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
+        cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h,
+                                   ref_idx, ref_pocs, self.cur_poc)
+        mv = [cands[mvp_flag][0] + mvd[0], cands[mvp_flag][1] + mvd[1]]
+        self._inter_pb(x_pb, y_pb, n_w, n_h, mv, ref_idx)
+        return False
+
+    def _decode_part_mode_inter(self, log2_size):
+        from ..coding.mvs import (PART_2Nx2N, PART_2NxN, PART_Nx2N,
+                                  PART_NxN)
+        d, cm, sps = self.d, self.cm, self.sps
+        if d.decode_bin(cm.at("part_mode", 0)):
+            return PART_2Nx2N
+        if d.decode_bin(cm.at("part_mode", 1)):
+            return PART_2NxN
+        if log2_size == sps.log2_min_cb_size and log2_size > 3:
+            if d.decode_bin(cm.at("part_mode", 2)):
+                return PART_Nx2N
+            return PART_NxN
+        # no AMP: '00' = Nx2N
+        return PART_Nx2N
+
     # ---- coding unit -----------------------------------------------------
     def coding_unit(self, x0, y0, log2_size, depth):
         sps, pps, d, cm, pic = self.sps, self.pps, self.d, self.cm, self.pic
@@ -192,10 +316,41 @@ class SliceDecoder:
         cu = _CuState()
         cu.x0, cu.y0, cu.log2_size = x0, y0, log2_size
         cu.tq_bypass = 0
+        gq = size >> 2
         if pps.transquant_bypass_enabled:
             cu.tq_bypass = d.decode_bin(cm.at("cu_transquant_bypass_flag", 0))
         if self.sh.slice_type != SLICE_I:
-            raise NotImplementedError("inter slices: next milestone")
+            if self.plan is not None:
+                raise NotImplementedError(
+                    "plan/jax backends for inter land next; use inline")
+            # cu_skip_flag, ctx from neighbour skip flags
+            ctx = 0
+            if pic.available(x0, y0, x0 - 1, y0) \
+                    and pic.skip_flag[y0 >> 2, (x0 - 1) >> 2]:
+                ctx += 1
+            if pic.available(x0, y0, x0, y0 - 1) \
+                    and pic.skip_flag[(y0 - 1) >> 2, x0 >> 2]:
+                ctx += 1
+            pic.ct_depth[y0 >> 2:(y0 >> 2) + gq,
+                         x0 >> 2:(x0 >> 2) + gq] = depth
+            pic.qp_y[y0 >> 2:(y0 >> 2) + gq,
+                     x0 >> 2:(x0 >> 2) + gq] = self.qp_y
+            if d.decode_bin(cm.at("cu_skip_flag", ctx)):
+                from ..coding import mvs as MV
+                idx = self._decode_merge_idx()
+                cand = MV.merge_candidates(
+                    pic, x0, y0, size, size, 0, MV.PART_2Nx2N,
+                    self.sh.max_num_merge_cand(),
+                    self.sh.num_ref_idx_l0_active,
+                    [p for p, _ in self.ref_list])
+                mi = cand[idx]
+                self._inter_pb(x0, y0, size, size, list(mi.mv), mi.ref_idx)
+                pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
+                              x0 >> 2:(x0 >> 2) + gq] = True
+                return
+            if not d.decode_bin(cm.at("pred_mode_flag", 0)):
+                self._inter_cu(x0, y0, log2_size, depth, cu)
+                return
         cu.pred_intra = True
         cu.intra_split = False
         if log2_size == sps.log2_min_cb_size:
@@ -260,22 +415,58 @@ class SliceDecoder:
         if cu.tq_bypass:
             pic.tq_bypass[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = True
 
+        cu.inter_split = False
         cu.max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
                               + (1 if cu.intra_split else 0))
         self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
+
+    def _inter_cu(self, x0, y0, log2_size, depth, cu):
+        """Inter CU: partitions, PUs (merge/AMVP + MC), residual tree."""
+        from ..coding.mvs import PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_NxN
+        d, cm, sps, pic = self.d, self.cm, self.sps, self.pic
+        size = 1 << log2_size
+        cu.pred_intra = False
+        cu.intra_split = False
+        cu.chroma_mode = 0
+        part = self._decode_part_mode_inter(log2_size)
+        half = size >> 1
+        if part == PART_2Nx2N:
+            pbs = [(x0, y0, size, size)]
+        elif part == PART_2NxN:
+            pbs = [(x0, y0, size, half), (x0, y0 + half, size, half)]
+        elif part == PART_Nx2N:
+            pbs = [(x0, y0, half, size), (x0 + half, y0, half, size)]
+        else:
+            pbs = [(x0, y0, half, half), (x0 + half, y0, half, half),
+                   (x0, y0 + half, half, half),
+                   (x0 + half, y0 + half, half, half)]
+        first_merge = False
+        for i, (xp, yp, w, h) in enumerate(pbs):
+            merged = self._prediction_unit(xp, yp, w, h, i, part)
+            if i == 0:
+                first_merge = merged
+        rqt_root_cbf = 1
+        if not (part == PART_2Nx2N and first_merge):
+            rqt_root_cbf = d.decode_bin(cm.at("no_residual_data_flag", 0))
+        if rqt_root_cbf:
+            cu.inter_split = (sps.max_transform_hierarchy_depth_inter == 0
+                              and part != PART_2Nx2N)
+            cu.max_trafo_depth = sps.max_transform_hierarchy_depth_inter
+            self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
 
     # ---- transform tree --------------------------------------------------
     def transform_tree(self, x0, y0, xb, yb, log2_size, depth, blk_idx,
                        cbf_cb_par, cbf_cr_par, cu):
         sps, d, cm = self.sps, self.d, self.cm
         intra_split_here = cu.intra_split and depth == 0
+        inter_split_here = cu.inter_split and depth == 0
         if (log2_size <= sps.log2_max_tb_size
                 and log2_size > sps.log2_min_tb_size
                 and depth < cu.max_trafo_depth and not intra_split_here):
             split = d.decode_bin(cm.at("split_transform_flag", 5 - log2_size))
         else:
             split = 1 if (log2_size > sps.log2_max_tb_size
-                          or intra_split_here) else 0
+                          or intra_split_here or inter_split_here) else 0
         chroma_here = log2_size > 2 or sps.chroma_format_idc == 3
         cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par
         if chroma_here:
@@ -342,7 +533,11 @@ class SliceDecoder:
             return
         bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
-        pred = pic.predict_intra(c_idx, x, y, size, mode)
+        if cu.pred_intra:
+            pred = pic.predict_intra(c_idx, x, y, size, mode)
+        else:
+            # inter: MC prediction is already in the plane
+            pred = pic.planes[c_idx][y:y + size, x:x + size].astype(np.int32)
         if levels is not None:
             if cu.tq_bypass:
                 res = levels
@@ -366,6 +561,8 @@ class SliceDecoder:
         lv_y, ts_y = (None, 0)
         if cbf_luma:
             lv_y, ts_y = self._decode_levels(0, log2_size, mode_y, cu)
+            pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
+                         x0 >> 2:(x0 + size) >> 2] = True
         self._recon_block(0, x0, y0, size, mode_y, lv_y, ts_y, cu)
         # ---- chroma ----
         chroma_here = (log2_size > 2 or sps.chroma_format_idc == 3
@@ -426,6 +623,9 @@ class Decoder:
         self.cur_poc = 0
         self._slice_counter = 0
         self.frames: List[DecodedFrame] = []
+        # DPB: poc -> [int32 planes] of the filtered reconstruction
+        # (reference: hevc_refs.c DPB management, re-scoped to a poc map)
+        self.dpb: Dict[int, List[np.ndarray]] = {}
 
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
         for nal in nalmod.split_annexb(data):
@@ -479,8 +679,12 @@ class Decoder:
             self._slice_counter = 0
             if nalmod.is_idr_nal(nal.type):
                 self.cur_poc = 0
+                self.dpb.clear()
             else:
                 self.cur_poc = self._compute_poc(sps, sh, nal.type)
+        ref_list = []
+        if sh.slice_type != SLICE_I:
+            ref_list = self._build_ref_list_l0(sps, sh)
         assert r.byte_aligned()
         d = CabacDecoder(nal.rbsp, r.pos >> 3)
         if sh.slice_type == SLICE_I:
@@ -492,7 +696,8 @@ class Decoder:
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
         sd = SliceDecoder(self.cur_pic, sps, pps, sh, d, cm,
                           self._slice_counter,
-                          plan=getattr(self.cur_pic, "plan", None))
+                          plan=getattr(self.cur_pic, "plan", None),
+                          ref_list=ref_list, cur_poc=self.cur_poc)
         sd.decode_ctus()
         self._slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
@@ -504,6 +709,24 @@ class Decoder:
                 "cb_qp_offset": pps.cb_qp_offset,
                 "cr_qp_offset": pps.cr_qp_offset,
             }
+
+    def _build_ref_list_l0(self, sps: SPS, sh: SliceHeader):
+        """RefPicList0 from the slice RPS (8.3.2/8.3.4, short-term only;
+        reference: hevc_refs.c ff_hevc_slice_rpl :516)."""
+        if sh.explicit_rps is not None:
+            rps = sh.explicit_rps
+        else:
+            rps = sps.st_rps[sh.short_term_rps_idx]
+        before = [self.cur_poc + d
+                  for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
+        after = [self.cur_poc + d
+                 for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
+        temp = before + after
+        if not temp:
+            raise ValueError("P slice with empty reference set")
+        n = sh.num_ref_idx_l0_active
+        l0 = [temp[i % len(temp)] for i in range(max(n, len(temp)))][:n]
+        return [(poc, self.dpb[poc]) for poc in l0]
 
     def _compute_poc(self, sps: SPS, sh: SliceHeader, nal_type: int) -> int:
         # 8.3.1 (simplified: no msb cycle tracking needed for small tests)
@@ -533,6 +756,7 @@ class Decoder:
                 execute_plan_numpy(pic, plan)
         if getattr(pic, "deblock_params", None) is not None:
             from ..ops.deblock import deblock_frame
+            pic.compute_bs()
             p = pic.deblock_params
             deblock_frame(pic.planes, pic.qp_y.astype(np.int32),
                           pic.bs_v, pic.bs_h,
@@ -548,6 +772,10 @@ class Decoder:
                             1 << pic.sps.log2_ctb_size,
                             pic.sps.bit_depth_luma,
                             pic.sps.sub_w, pic.sps.sub_h)
+        # store the filtered reconstruction for inter prediction
+        self.dpb[self.cur_poc] = [p.astype(np.int32) for p in pic.planes]
+        if len(self.dpb) > 16:
+            del self.dpb[min(self.dpb)]
         frame = DecodedFrame(planes=pic.planes, poc=self.cur_poc)
         if self._pending_sei is not None:
             frame.sei_hash = self._pending_sei

@@ -81,6 +81,10 @@ class EncoderConfig:
     tu_split_probability: float = 0.5
     seed: int = 0
     full_mode_search: bool = False  # search all 35 intra modes
+    # inter coding
+    gop: str = "all_intra"  # "all_intra" | "ipp" (IDR then P frames)
+    search_range: int = 4   # integer-pel motion search radius
+    p_intra_fallback: bool = True  # allow intra CUs inside P frames
 
 
 class _TuPlan:
@@ -126,8 +130,13 @@ class IntraEncoder:
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
         ).derive(self.sps)
+        if cfg.gop == "ipp":
+            from ..bitstream.ps import ShortTermRPS
+            self.sps.st_rps = [ShortTermRPS(delta_poc_s0=[-1], used_s0=[1])]
         self.frames_encoded = 0
         self.rng = np.random.default_rng(cfg.seed)
+        self.dpb: List = []  # [(poc, [int32 planes])]
+        self.poc = 0
 
     def headers_annexb(self) -> bytes:
         return nalmod.write_annexb([
@@ -140,11 +149,19 @@ class IntraEncoder:
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """planes: [Y, Cb, Cr] source arrays.  Returns the AU (Annex-B)."""
         sps, pps, cfg = self.sps, self.pps, self.cfg
+        self.is_p = cfg.gop == "ipp" and self.frames_encoded > 0
+        if not self.is_p:
+            self.poc = 0
+            self.dpb = []
         self.pic = PictureState(sps, pps)
         self.src = [p.astype(np.int32) for p in planes]
         self.e = CabacEncoder()
-        self.cm = ContextModel(0, cfg.qp)
+        self.cm = ContextModel(1 if self.is_p else 0, cfg.qp)
         self.qp_y = cfg.qp
+        if self.is_p:
+            self.ref_list = [self.dpb[-1]]
+        else:
+            self.ref_list = []
 
         self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
@@ -161,6 +178,7 @@ class IntraEncoder:
         payload = self.e.getvalue()
         if cfg.deblocking:
             from ..ops.deblock import deblock_frame
+            self.pic.compute_bs()
             deblock_frame(self.pic.planes, self.pic.qp_y.astype(np.int32),
                           self.pic.bs_v, self.pic.bs_h,
                           bit_depth=sps.bit_depth_luma,
@@ -173,10 +191,16 @@ class IntraEncoder:
                             1 << sps.log2_ctb_size, sps.bit_depth_luma,
                             sps.sub_w, sps.sub_h)
 
-        sh = SliceHeader(slice_type=SLICE_I, qp_delta=cfg.qp - pps.init_qp,
+        from ..bitstream.slice import SLICE_P
+        sh = SliceHeader(slice_type=SLICE_P if self.is_p else SLICE_I,
+                         qp_delta=cfg.qp - pps.init_qp,
                          sao_luma=1 if cfg.sao else 0,
-                         sao_chroma=1 if cfg.sao else 0)
-        nal_type = nalmod.NAL_IDR_W_RADL
+                         sao_chroma=1 if cfg.sao else 0,
+                         pic_order_cnt_lsb=self.poc & (sps.max_poc_lsb - 1),
+                         short_term_rps_sps_flag=1, short_term_rps_idx=0,
+                         num_ref_idx_l0_active=1,
+                         five_minus_max_num_merge_cand=0)
+        nal_type = nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
         slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload)
         au = []
         if self.frames_encoded == 0:
@@ -192,6 +216,10 @@ class IntraEncoder:
                 [(SEI_TYPE_DECODED_PICTURE_HASH, sei.payload())])))
         au.append((nal_type, 0, 0, slice_rbsp))
         self.frames_encoded += 1
+        self.dpb.append((self.poc, [p.astype(np.int32)
+                                    for p in self.pic.planes]))
+        self.dpb = self.dpb[-8:]
+        self.poc += 1
         return nalmod.write_annexb(au)
 
     @property
@@ -329,10 +357,17 @@ class IntraEncoder:
 
     # ---- coding unit -----------------------------------------------------
     def _coding_unit(self, x0, y0, log2_size, depth):
-        sps, pps, e, cm, pic = self.sps, self.pps, self.e, self.cm, self.pic
-        size = 1 << log2_size
+        pps, e, cm = self.pps, self.e, self.cm
         if pps.transquant_bypass_enabled:
             e.encode_bin(cm.at("cu_transquant_bypass_flag", 0), 0)
+        if getattr(self, "is_p", False):
+            self._coding_unit_p(x0, y0, log2_size, depth)
+        else:
+            self._intra_cu_body(x0, y0, log2_size, depth)
+
+    def _intra_cu_body(self, x0, y0, log2_size, depth):
+        sps, pps, e, cm, pic = self.sps, self.pps, self.e, self.cm, self.pic
+        size = 1 << log2_size
         intra_split = False
         if log2_size == sps.log2_min_cb_size:
             intra_split = self._want_nxn()
@@ -527,3 +562,283 @@ class IntraEncoder:
                 encode_residual(e, cm, node.lv_cb, log2c, 1, scan_c)
             if ccr:
                 encode_residual(e, cm, node.lv_cr, log2c, 2, scan_c)
+
+    # ---- inter coding (P frames) -----------------------------------------
+    def _encode_eg1(self, v: int):
+        """kth-order (k=1) Exp-Golomb bypass encode (mirror of decode)."""
+        e = self.e
+        count = 1
+        while v >= (1 << count):
+            e.encode_bypass(1)
+            v -= 1 << count
+            count += 1
+        e.encode_bypass(0)
+        # suffix length includes the terminating-zero iteration
+        e.encode_bypass_bits(v, count)
+
+    def _encode_mvd(self, mvd):
+        e, cm = self.e, self.cm
+        ax, ay = abs(mvd[0]), abs(mvd[1])
+        e.encode_bin(cm.at("abs_mvd_greater0_flag", 0), 1 if ax else 0)
+        e.encode_bin(cm.at("abs_mvd_greater0_flag", 0), 1 if ay else 0)
+        if ax:
+            e.encode_bin(cm.at("abs_mvd_greater1_flag", 1), 1 if ax > 1 else 0)
+        if ay:
+            e.encode_bin(cm.at("abs_mvd_greater1_flag", 1), 1 if ay > 1 else 0)
+        for a, v in ((ax, mvd[0]), (ay, mvd[1])):
+            if a:
+                if a > 1:
+                    self._encode_eg1(a - 2)
+                e.encode_bypass(1 if v < 0 else 0)
+
+    def _encode_merge_idx(self, idx, max_cand=5):
+        e, cm = self.e, self.cm
+        if max_cand <= 1:
+            return
+        e.encode_bin(cm.at("merge_idx", 0), 1 if idx else 0)
+        if idx:
+            for i in range(1, max_cand - 1):
+                if i < idx:
+                    e.encode_bypass(1)
+                else:
+                    e.encode_bypass(0)
+                    break
+
+    def _mc_pred(self, x0, y0, w, h, mv, ref_idx):
+        """Full MC prediction (Y, Cb, Cr) at quarter-pel mv."""
+        from ..ops import mc as MC
+        sps = self.sps
+        _, ref_planes = self.ref_list[ref_idx]
+        bd = sps.bit_depth_luma
+        py = MC.weighted_uni(MC.mc_luma(ref_planes[0], x0, y0, w, h,
+                                        mv[0], mv[1], bd), bd)
+        xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
+        wc, hc = w // sps.sub_w, h // sps.sub_h
+        bdc = sps.bit_depth_chroma
+        pcb = MC.weighted_uni(MC.mc_chroma(ref_planes[1], xc, yc, wc, hc,
+                                           mv[0], mv[1], bdc), bdc)
+        pcr = MC.weighted_uni(MC.mc_chroma(ref_planes[2], xc, yc, wc, hc,
+                                           mv[0], mv[1], bdc), bdc)
+        return py, pcb, pcr
+
+    def _motion_search(self, x0, y0, size, mvp):
+        """Integer diamond around mvp, then one eighth/quarter-pel refine."""
+        from ..ops import mc as MC
+        sps = self.sps
+        src = self.src[0][y0:y0 + size, x0:x0 + size]
+        _, ref_planes = self.ref_list[0]
+        ref = ref_planes[0]
+        bd = sps.bit_depth_luma
+        r = self.cfg.search_range
+
+        def sad_int(ix, iy):
+            h, w = ref.shape
+            ys = np.clip(np.arange(size) + y0 + iy, 0, h - 1)
+            xs = np.clip(np.arange(size) + x0 + ix, 0, w - 1)
+            return int(np.abs(src - ref[ys[:, None], xs[None, :]]).sum())
+
+        cx, cy = mvp[0] >> 2, mvp[1] >> 2
+        best = (cx, cy)
+        best_cost = sad_int(cx, cy)
+        for iy in range(cy - r, cy + r + 1):
+            for ix in range(cx - r, cx + r + 1):
+                c = sad_int(ix, iy)
+                if c < best_cost:
+                    best, best_cost = (ix, iy), c
+        mv = [best[0] * 4, best[1] * 4]
+        # quarter-pel refinement
+        for _ in range(2):
+            improved = False
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                           (1, 1), (-1, -1), (1, -1), (-1, 1)):
+                cand = (mv[0] + dx, mv[1] + dy)
+                pred = MC.weighted_uni(MC.mc_luma(
+                    ref, x0, y0, size, size, cand[0], cand[1], bd), bd)
+                c = int(np.abs(src - pred).sum())
+                if c < best_cost:
+                    best_cost = c
+                    mv = list(cand)
+                    improved = True
+            if not improved:
+                break
+        return mv, best_cost
+
+    def _inter_residual(self, x0, y0, log2_size, preds):
+        """Quantize the inter residual for a single-TU CU.
+
+        Returns (lv_y, lv_cb, lv_cr) (None when all-zero)."""
+        sps, pps = self.sps, self.pps
+        size = 1 << log2_size
+        bd = sps.bit_depth_luma
+        py, pcb, pcr = preds
+        res_y = self.src[0][y0:y0 + size, x0:x0 + size] - py
+        coef = forward_transform(res_y, bd)
+        lv_y = quantize(coef, self.qp_y + sps.qp_bd_offset, log2_size, bd,
+                        intra=False)
+        xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
+        csize = size // sps.sub_w
+        log2c = log2_size - 1
+        out_c = []
+        for c_idx, pred in ((1, pcb), (2, pcr)):
+            off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+                             sps.qp_bd_offset)
+            res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
+            lv = quantize(forward_transform(res, sps.bit_depth_chroma), qp,
+                          log2c, sps.bit_depth_chroma, intra=False)
+            out_c.append(lv if lv.any() else None)
+        return (lv_y if lv_y.any() else None), out_c[0], out_c[1]
+
+    def _recon_inter_cu(self, x0, y0, log2_size, preds, levels):
+        """Reconstruct pred+residual into the picture planes."""
+        sps, pps, pic = self.sps, self.pps, self.pic
+        size = 1 << log2_size
+        bd = sps.bit_depth_luma
+        lv_y, lv_cb, lv_cr = levels
+        py, pcb, pcr = preds
+        xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
+        csize = size // sps.sub_w
+        log2c = log2_size - 1
+        if lv_y is not None:
+            d = R.dequant(lv_y, self.qp_y + sps.qp_bd_offset, log2_size, bd)
+            py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
+            pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
+                         x0 >> 2:(x0 + size) >> 2] = True
+        pic.planes[0][y0:y0 + size, x0:x0 + size] = \
+            py.astype(pic.planes[0].dtype)
+        for c_idx, (pred, lv) in ((1, (pcb, lv_cb)), (2, (pcr, lv_cr))):
+            if lv is not None:
+                off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+                qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+                                 sps.qp_bd_offset)
+                d = R.dequant(lv, qp, log2c, sps.bit_depth_chroma)
+                pred = np.clip(pred + R.inverse_transform(
+                    d, sps.bit_depth_chroma), 0,
+                    (1 << sps.bit_depth_chroma) - 1)
+            pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
+                pred.astype(pic.planes[c_idx].dtype)
+
+    def _set_motion(self, x0, y0, w, h, mv, ref_idx):
+        pic = self.pic
+        y4, x4 = y0 >> 2, x0 >> 2
+        pic.mv_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = mv
+        pic.ref_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = ref_idx
+        pic.ref_poc_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = \
+            self.ref_list[ref_idx][0]
+        pic.mark_block_edges(x0, y0, w, h)
+
+    def _coding_unit_p(self, x0, y0, log2_size, depth):
+        """P-slice CU: choose skip / merge / AMVP / intra, emit syntax."""
+        from ..coding import mvs as MV
+        sps, e, cm, pic = self.sps, self.e, self.cm, self.pic
+        size = 1 << log2_size
+        gq = size >> 2
+        pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
+        pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
+        ref_pocs = [p for p, _ in self.ref_list]
+        src = self.src[0][y0:y0 + size, x0:x0 + size]
+        max_cand = 5
+
+        cand = MV.merge_candidates(pic, x0, y0, size, size, 0,
+                                   MV.PART_2Nx2N, max_cand, 1, ref_pocs)
+        best_merge, merge_cost = 0, None
+        merge_preds = {}
+        for i, mi in enumerate(cand):
+            preds = self._mc_pred(x0, y0, size, size, list(mi.mv), mi.ref_idx)
+            merge_preds[i] = preds
+            c = int(np.abs(src - preds[0]).sum())
+            if merge_cost is None or c < merge_cost:
+                best_merge, merge_cost = i, c
+
+        mvps = MV.amvp_candidates(pic, x0, y0, size, size, 0, ref_pocs,
+                                  self.poc)
+        mv_amvp, amvp_cost = self._motion_search(x0, y0, size, mvp=mvps[0])
+        # lagrangian-ish bias: AMVP pays for the mvd bits
+        use_amvp = amvp_cost + 4 * size < merge_cost
+        mi = cand[best_merge]
+
+        intra_cost = None
+        if self.cfg.p_intra_fallback:
+            mode = self._choose_mode(x0, y0, size)
+            ip = pic.predict_intra(0, x0, y0, min(size, 32), mode)
+            intra_cost = int(np.abs(
+                src[:min(size, 32), :min(size, 32)] - ip).sum()) \
+                * (size * size) // (min(size, 32) ** 2)
+        best_inter_cost = amvp_cost if use_amvp else merge_cost
+        if intra_cost is not None and intra_cost * 2 < best_inter_cost:
+            # intra CU inside the P slice
+            e.encode_bin(cm.at("cu_skip_flag",
+                               self._skip_ctx(x0, y0)), 0)
+            e.encode_bin(cm.at("pred_mode_flag", 0), 1)
+            self._intra_cu_body(x0, y0, log2_size, depth)
+            return
+
+        if use_amvp:
+            preds = self._mc_pred(x0, y0, size, size, mv_amvp, 0)
+            mv_used, ref_used = mv_amvp, 0
+        else:
+            preds = merge_preds[best_merge]
+            mv_used, ref_used = list(mi.mv), mi.ref_idx
+        levels = self._inter_residual(x0, y0, log2_size, preds)
+        no_resid = all(lv is None for lv in levels)
+
+        if not use_amvp and no_resid:
+            # skip CU
+            e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 1)
+            self._encode_merge_idx(best_merge, max_cand)
+            pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
+                          x0 >> 2:(x0 >> 2) + gq] = True
+            self._recon_inter_cu(x0, y0, log2_size, preds,
+                                 (None, None, None))
+            self._set_motion(x0, y0, size, size, mv_used, ref_used)
+            return
+        e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 0)
+        e.encode_bin(cm.at("pred_mode_flag", 0), 0)
+        e.encode_bin(cm.at("part_mode", 0), 1)  # PART_2Nx2N
+        if not use_amvp:
+            e.encode_bin(cm.at("merge_flag", 0), 1)
+            self._encode_merge_idx(best_merge, max_cand)
+        else:
+            e.encode_bin(cm.at("merge_flag", 0), 0)
+            # num_ref == 1: no ref_idx bits
+            mvd = (mv_amvp[0] - mvps[0][0], mv_amvp[1] - mvps[0][1])
+            self._encode_mvd(mvd)
+            e.encode_bin(cm.at("mvp_lx_flag", 0), 0)
+        self._set_motion(x0, y0, size, size, mv_used, ref_used)
+        # rqt_root_cbf (not coded for 2Nx2N merge)
+        if use_amvp:
+            e.encode_bin(cm.at("no_residual_data_flag", 0),
+                         0 if no_resid else 1)
+            if no_resid:
+                self._recon_inter_cu(x0, y0, log2_size, preds,
+                                     (None, None, None))
+                return
+        # single-TU transform tree (inter, depth 0)
+        lv_y, lv_cb, lv_cr = levels
+        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb is None else 1)
+        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr is None else 1)
+        # cbf_luma inferred 1 at depth 0 when both chroma cbfs are 0
+        if lv_cb is not None or lv_cr is not None:
+            e.encode_bin(cm.at("cbf_luma", 1), 0 if lv_y is None else 1)
+        else:
+            assert lv_y is not None, "all-zero residual must use rootcbf=0"
+        if lv_y is not None:
+            encode_residual(e, cm, lv_y, log2_size, 0, 0)
+        log2c = log2_size - 1
+        if lv_cb is not None:
+            encode_residual(e, cm, lv_cb, log2c, 1, 0)
+        if lv_cr is not None:
+            encode_residual(e, cm, lv_cr, log2c, 2, 0)
+        self._recon_inter_cu(x0, y0, log2_size, preds, levels)
+        self.pic.mark_block_edges(x0, y0, size, size)
+
+    def _skip_ctx(self, x0, y0):
+        pic = self.pic
+        ctx = 0
+        if pic.available(x0, y0, x0 - 1, y0) \
+                and pic.skip_flag[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1
+        if pic.available(x0, y0, x0, y0 - 1) \
+                and pic.skip_flag[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1
+        return ctx

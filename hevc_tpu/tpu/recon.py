@@ -135,6 +135,8 @@ def finish_frame_jax(pic, plan) -> None:
     pf = pack_frame(pic, plan)
     dbp = getattr(pic, "deblock_params", None)
     do_deblock = dbp is not None
+    if do_deblock:
+        pic.compute_bs()
     sao_t, sao_b, sao_e, sao_c = pack_sao_params(pic)
     do_sao = bool(getattr(pic, "sao_map", None))
     regions = tuple(pf.region[p] for p in range(3))

@@ -146,3 +146,38 @@ def test_oracle_bitexact_deblock_only(tmp_path):
     frames = [synth_frame("noise", 128, 64, 1)]
     stream, recons = encode_decode(cfg, frames)
     assert flatten(recons) == oracle_decode(stream, 128, 64, tmp_path)
+
+
+def _moving_frames(w, h, n, wobble=0):
+    base = synth_frame("gradient", w, h, 0)
+    out = []
+    for t in range(n):
+        y = np.roll(base[0], (t * 3, t * 2), (0, 1))
+        if wobble:
+            y = np.clip(y.astype(int) + (t % 2) * wobble,
+                        0, 255).astype(np.uint8)
+        out.append([y, np.roll(base[1], (t, t), (0, 1)),
+                    np.roll(base[2], (t, t), (0, 1))])
+    return out
+
+
+def test_roundtrip_ipp():
+    cfg = EncoderConfig(width=64, height=48, qp=30, gop="ipp",
+                        search_range=3)
+    encode_decode(cfg, _moving_frames(64, 48, 4, wobble=6))
+
+
+@needs_oracle
+def test_oracle_bitexact_ipp(tmp_path):
+    for i, cfg in enumerate([
+        EncoderConfig(width=64, height=48, qp=30, gop="ipp",
+                      search_range=3, p_intra_fallback=False),
+        EncoderConfig(width=64, height=48, qp=30, gop="ipp",
+                      search_range=3),
+        EncoderConfig(width=96, height=64, qp=33, gop="ipp",
+                      search_range=3, deblocking=True, sao=True),
+    ]):
+        frames = _moving_frames(cfg.width, cfg.height, 4, wobble=6)
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+        assert flatten(recons) == oracle, f"ipp config {i} diverged"
