@@ -27,8 +27,8 @@ import numpy as np
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(ROOT, ".bench")
 ORACLE = os.path.join(ROOT, ".oracle", "build", "hevc_nodisplay")
-W, H, QP, FRAMES = 1280, 720, 30, 2
-TAG = f"intra_{W}x{H}_qp{QP}_ctb64_filt"
+W, H, QP, FRAMES = 1280, 720, 30, 3
+TAG = f"ipp_{W}x{H}_qp{QP}_ctb64_filt"
 
 
 def ensure_stream():
@@ -40,10 +40,14 @@ def ensure_stream():
 
         enc = IntraEncoder(EncoderConfig(
             width=W, height=H, qp=QP, log2_ctb_size=6, log2_cu_size=6,
-            deblocking=True, sao=True, seed=1))
+            deblocking=True, sao=True, seed=1, gop="ipp", search_range=3))
         data = bytearray()
+        base = synth_frame("gradient", W, H, 0)
         for t in range(FRAMES):
-            data += enc.encode_frame(synth_frame("gradient", W, H, t))
+            y = np.roll(base[0], (t * 4, t * 7), (0, 1))
+            cb = np.roll(base[1], (t * 2, t * 3), (0, 1))
+            cr = np.roll(base[2], (t * 2, t * 3), (0, 1))
+            data += enc.encode_frame([y, cb, cr])
         with open(path, "wb") as f:
             f.write(data)
     return path
@@ -121,7 +125,7 @@ def main():
 
     from hevc_tpu.tpu.recon import decode_frame_device
 
-    b = bundles[0]
+    b = bundles[-1]  # steady-state P frame
     pf = b["pf"]
     log2_ctb, sub_w, sub_h = b["sps"]
     regions = tuple(pf.region[p] for p in range(3))
@@ -140,13 +144,18 @@ def main():
         tuple(jnp.asarray(sao_e[p]) for p in range(3)),
         tuple(jnp.asarray(sao_c[p]) for p in range(3)),
     )
+    from hevc_tpu.tpu.recon import _mc_args
+    mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
+    kw = dict(mc_fields=mc_fields, refs_l=refs_l, refs_c=refs_c,
+              resid_fields=resid_fields)
     statics = dict(bit_depth=pf.bit_depth, n_chunks=pf.n_chunks,
                    regions=regions, do_deblock=b["do_deblock"],
                    do_sao=b["do_sao"], ctb_log2=log2_ctb,
-                   sub_w=sub_w, sub_h=sub_h)
+                   sub_w=sub_w, sub_h=sub_h, mc_shapes=mc_shapes)
+    statics_kw = dict(statics, **kw)
 
     # warmup/compile + bit-exactness vs the NumPy oracle path
-    planes = decode_frame_device(*args, **statics)
+    planes = decode_frame_device(*args, **statics_kw)
     for p, out in enumerate(planes):
         assert (np.asarray(out) == b["ref"][p].astype(np.int32)).all(), \
             f"device pipeline mismatch plane {p}"
@@ -158,7 +167,8 @@ def main():
     @jax.jit
     def timed_loop(canvas, *rest):
         def body(i, acc):
-            y, cb, cr = decode_frame_device(canvas + i, *rest, **statics)
+            y, cb, cr = decode_frame_device(canvas + i, *rest,
+                                            **statics_kw)
             return acc + y[0, 0] + cb[0, 0] + cr[0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
 
@@ -170,7 +180,7 @@ def main():
     base = oracle_fps(stream)
     vs = round(fps / base, 3) if base else None
     print(json.dumps({
-        "metric": f"stageB_decode_fps_{W}x{H}_intra",
+        "metric": f"stageB_decode_fps_{W}x{H}_P",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": vs,

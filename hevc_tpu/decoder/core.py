@@ -46,21 +46,27 @@ class _CuState:
 
 @dataclass
 class BlockRecord:
-    """One predicted block in decode order (stage A → stage B interface).
+    """One block operation in decode order (stage A → stage B interface).
 
-    The reconstruction stage replays these records: predict from
-    neighbours, add the (separately batched) residual, write back.
+    kind:
+      "intra" — predict from neighbours + add residual (wavefront phase)
+      "mc"    — motion-compensated prediction write (parallel phase 1)
+      "resid" — add residual onto existing prediction (parallel phase 2)
     """
     plane: int
     x: int          # component coords
     y: int
-    size: int
+    size: int       # width (== height for intra/resid)
     mode: int       # intra prediction mode
     qp: int         # component QP (incl. bd offset) for dequant
     levels: Optional[np.ndarray]  # None when cbf == 0
     dst: bool = False
     ts: bool = False
     tqb: bool = False
+    kind: str = "intra"
+    h: int = 0      # height for rectangular mc blocks (0 = square)
+    mv: tuple = (0, 0)
+    ref_idx: int = 0
 
 
 class SliceDecoder:
@@ -251,18 +257,28 @@ class SliceDecoder:
         pic, sps = self.pic, self.sps
         ref_poc, ref_planes = self.ref_list[ref_idx]
         bd = sps.bit_depth_luma
-        pred = MC.weighted_uni(MC.mc_luma(
-            ref_planes[0], x_pb, y_pb, n_w, n_h, mv[0], mv[1], bd), bd)
-        pic.planes[0][y_pb:y_pb + n_h, x_pb:x_pb + n_w] = \
-            pred.astype(pic.planes[0].dtype)
         xc, yc = x_pb // sps.sub_w, y_pb // sps.sub_h
         wc, hc = n_w // sps.sub_w, n_h // sps.sub_h
         bdc = sps.bit_depth_chroma
-        for c in (1, 2):
-            predc = MC.weighted_uni(MC.mc_chroma(
-                ref_planes[c], xc, yc, wc, hc, mv[0], mv[1], bdc), bdc)
-            pic.planes[c][yc:yc + hc, xc:xc + wc] = \
-                predc.astype(pic.planes[c].dtype)
+        if self.plan is not None:
+            self.plan.append(BlockRecord(
+                plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
+                levels=None, kind="mc", mv=tuple(mv), ref_idx=ref_idx))
+            for c in (1, 2):
+                self.plan.append(BlockRecord(
+                    plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
+                    levels=None, kind="mc", mv=tuple(mv),
+                    ref_idx=ref_idx))
+        else:
+            pred = MC.weighted_uni(MC.mc_luma(
+                ref_planes[0], x_pb, y_pb, n_w, n_h, mv[0], mv[1], bd), bd)
+            pic.planes[0][y_pb:y_pb + n_h, x_pb:x_pb + n_w] = \
+                pred.astype(pic.planes[0].dtype)
+            for c in (1, 2):
+                predc = MC.weighted_uni(MC.mc_chroma(
+                    ref_planes[c], xc, yc, wc, hc, mv[0], mv[1], bdc), bdc)
+                pic.planes[c][yc:yc + hc, xc:xc + wc] = \
+                    predc.astype(pic.planes[c].dtype)
         y4, x4 = y_pb >> 2, x_pb >> 2
         pic.mv_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = mv
         pic.ref_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = ref_idx
@@ -320,9 +336,6 @@ class SliceDecoder:
         if pps.transquant_bypass_enabled:
             cu.tq_bypass = d.decode_bin(cm.at("cu_transquant_bypass_flag", 0))
         if self.sh.slice_type != SLICE_I:
-            if self.plan is not None:
-                raise NotImplementedError(
-                    "plan/jax backends for inter land next; use inline")
             # cu_skip_flag, ctx from neighbour skip flags
             ctx = 0
             if pic.available(x0, y0, x0 - 1, y0) \
@@ -526,10 +539,13 @@ class SliceDecoder:
         qp = self._component_qp(c_idx)
         use_dst = (cu.pred_intra and log2_size == 2 and c_idx == 0)
         if self.plan is not None:
+            if not cu.pred_intra and levels is None:
+                return  # inter TU with cbf 0: MC prediction is final
             self.plan.append(BlockRecord(
                 plane=c_idx, x=x, y=y, size=size, mode=mode, qp=qp,
                 levels=None if levels is None else levels.copy(),
-                dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass)))
+                dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass),
+                kind="intra" if cu.pred_intra else "resid"))
             return
         bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
@@ -586,11 +602,25 @@ class SliceDecoder:
 
 def execute_plan_numpy(pic: PictureState, plan) -> None:
     """Stage-B oracle executor: replay BlockRecords in decode order."""
+    from ..ops import mc as MC
     sps = pic.sps
     for r in plan:
         bd = sps.bit_depth_luma if r.plane == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
-        pred = pic.predict_intra(r.plane, r.x, r.y, r.size, r.mode)
+        if r.kind == "mc":
+            _, ref_planes = pic.ref_list_l0[r.ref_idx]
+            fn = MC.mc_luma if r.plane == 0 else MC.mc_chroma
+            pred = MC.weighted_uni(fn(ref_planes[r.plane], r.x, r.y,
+                                      r.size, r.h, r.mv[0], r.mv[1], bd),
+                                   bd)
+            pic.planes[r.plane][r.y:r.y + r.h, r.x:r.x + r.size] = \
+                pred.astype(pic.planes[r.plane].dtype)
+            continue
+        if r.kind == "resid":
+            pred = pic.planes[r.plane][r.y:r.y + r.size,
+                                       r.x:r.x + r.size].astype(np.int32)
+        else:
+            pred = pic.predict_intra(r.plane, r.x, r.y, r.size, r.mode)
         if r.levels is not None:
             if r.tqb:
                 res = r.levels
@@ -694,6 +724,7 @@ class Decoder:
         else:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
+        self.cur_pic.ref_list_l0 = ref_list
         sd = SliceDecoder(self.cur_pic, sps, pps, sh, d, cm,
                           self._slice_counter,
                           plan=getattr(self.cur_pic, "plan", None),

@@ -229,6 +229,10 @@ class IntraEncoder:
     # ---- split policies --------------------------------------------------
     def _want_cu_split(self, x0, y0, log2_size, depth) -> bool:
         cfg = self.cfg
+        if getattr(self, "is_p", False):
+            # P CUs use a single TU at CU size: cap at the max TB size
+            return log2_size > min(cfg.log2_cu_size,
+                                   self.sps.log2_max_tb_size)
         if cfg.split_policy == "fixed":
             return log2_size > cfg.log2_cu_size
         if cfg.split_policy == "random":

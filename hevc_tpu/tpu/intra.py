@@ -201,6 +201,8 @@ def make_chunk_body(bd: int, scal: tuple, avail: tuple, resids: tuple,
 def reconstruct_wavefront(canvas, scal, avail, resids, bd, n_chunks):
     """Replay all wavefront chunks sequentially; batches inside each
     chunk run data-parallel."""
+    if all(s.shape[1] == 0 for s in scal):
+        return canvas  # no intra records (pure-inter frame)
     body = make_chunk_body(bd, scal, avail, resids)
     canvas, _ = jax.lax.scan(body, canvas,
                              jnp.arange(n_chunks, dtype=jnp.int32))

@@ -38,6 +38,10 @@ def _round_up(x, m):
 
 
 
+PAD_REF = 64  # replication padding of reference planes (bounds the MVs
+              # the packer accepts; generated streams stay well inside)
+
+
 @dataclass
 class PackedFrame:
     canvas: np.ndarray            # int32 [CH, CW]
@@ -48,6 +52,11 @@ class PackedFrame:
     n_chunks: int
     region: dict                  # plane -> (oy, ox, h, w)
     bit_depth: int
+    # inter phases
+    mc_groups: tuple = ()         # ((is_chroma, w, h, fields[N,7]), ...)
+    resid_groups: tuple = ()      # per class int32 [N, 3] = (cy, cx, slot)
+    refs_l: np.ndarray = None     # int32 [R, Hp, Wp] padded luma refs
+    refs_c: np.ndarray = None     # int32 [2R, hp, wp] padded cb+cr refs
 
 
 def region_offsets(sps):
@@ -62,20 +71,37 @@ def region_offsets(sps):
 
 
 def _schedule_levels(pic: PictureState, plan):
-    """Wavefront scheduling: group records into dependency levels.
+    """Wavefront scheduling: split records into phases + dependency
+    levels.
 
-    level(rec) = 1 + max level over the blocks its L-shaped reference
-    band reads from; records of one level are mutually independent, so
-    any topological reorder (here: by level) is a legal reconstruction
-    schedule.  This exposes the full anti-diagonal parallelism of the
-    frame instead of the decode order's left-to-right chain."""
+    MC records have no canvas dependencies (phase 1); inter residual
+    adds depend only on the MC writes below them (phase 2); intra
+    records get level(rec) = 1 + max level over the blocks the L-shaped
+    reference band reads from.  Records of one level are mutually
+    independent, so any topological reorder is a legal reconstruction
+    schedule — this exposes the full anti-diagonal parallelism instead
+    of the decode order's left-to-right chain.
+
+    Returns (mc_records, resid_records, chunks)."""
     sps = pic.sps
     shapes = {0: (sps.height, sps.width)}
     shapes[1] = shapes[2] = (sps.height // sps.sub_h, sps.width // sps.sub_w)
     lvl_map = {p: np.full(shapes[p], -1, np.int32) for p in range(3)}
     chunks = []
+    mc_records = []
+    resid_records = []
     for r in plan:
         m = lvl_map[r.plane]
+        if r.kind == "mc":
+            m[r.y:r.y + r.h, r.x:r.x + r.size] = \
+                np.maximum(m[r.y:r.y + r.h, r.x:r.x + r.size], 0)
+            mc_records.append(r)
+            continue
+        if r.kind == "resid":
+            m[r.y:r.y + r.size, r.x:r.x + r.size] = \
+                np.maximum(m[r.y:r.y + r.size, r.x:r.x + r.size], 0)
+            resid_records.append(r)
+            continue
         h, w = m.shape
         n2 = 2 * r.size
         x0 = max(0, r.x - 1)
@@ -91,7 +117,7 @@ def _schedule_levels(pic: PictureState, plan):
         while len(chunks) <= lvl:
             chunks.append([])
         chunks[lvl].append(r)
-    return chunks
+    return mc_records, resid_records, chunks
 
 
 def _pow2_at_least(x):
@@ -106,13 +132,23 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
     classes = {4: 0, 8: 1, 16: 2, 32: 3}
     chroma444 = sps.chroma_format_idc == 3
 
-    chunks = _schedule_levels(pic, plan)
+    mc_records, resid_records, chunks = _schedule_levels(pic, plan)
 
     # residual pools (slot 0 = zeros, prepended on device)
     lv = [[] for _ in range(4)]
     rmeta = [[] for _ in range(4)]
-    rec_meta = {}  # id(rec) -> (class, scal fields, avail bits)
+    slots = {}
     for r in plan:
+        if r.levels is None:
+            continue
+        c = classes[r.size]
+        lv[c].append(np.asarray(r.levels, np.int32))
+        rmeta[c].append((r.qp, int(r.dst), int(r.ts), int(r.tqb)))
+        slots[id(r)] = len(lv[c])
+
+    rec_meta = {}  # id(rec) -> (class, scal fields, avail bits)
+    for chk in chunks:
+      for r in chk:
         c = classes[r.size]
         n = r.size
         n2 = 2 * n
@@ -131,15 +167,58 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
         filt = (not sps.intra_smoothing_disabled
                 and R._filter_flag(r.mode, n, r.plane, chroma444, False))
         strong = bool(sps.strong_intra_smoothing) and n == 32 and filt
-        if r.levels is not None:
-            lv[c].append(np.asarray(r.levels, np.int32))
-            rmeta[c].append((r.qp, int(r.dst), int(r.ts), int(r.tqb)))
-            slot = len(lv[c])
-        else:
-            slot = 0
+        slot = slots.get(id(r), 0)
         rec_meta[id(r)] = (c, (oy + r.y, ox + r.x, r.mode, slot, int(filt),
                                int(strong), int(r.plane == 0 and n < 32),
                                int(ac)), bits)
+
+    # ---- MC + inter-residual phase groups -------------------------------
+    refs = getattr(pic, "ref_list_l0", []) or []
+    nrefs = len(refs)
+    mc_grp = {}
+    for r in mc_records:
+        is_ch = r.plane > 0
+        key = (is_ch, r.size, r.h)
+        oy, ox, _, _ = reg[r.plane]
+        if is_ch:
+            fx, fy = r.mv[0] & 7, r.mv[1] & 7
+            bx = PAD_REF + r.x + (r.mv[0] >> 3) - 1
+            by = PAD_REF + r.y + (r.mv[1] >> 3) - 1
+            sel = (r.plane - 1) * nrefs + r.ref_idx
+        else:
+            fx, fy = r.mv[0] & 3, r.mv[1] & 3
+            bx = PAD_REF + r.x + (r.mv[0] >> 2) - 3
+            by = PAD_REF + r.y + (r.mv[1] >> 2) - 3
+            sel = r.ref_idx
+        assert bx >= 0 and by >= 0, "MV exceeds PAD_REF"
+        mc_grp.setdefault(key, []).append(
+            (sel, by, bx, fx, fy, oy + r.y, ox + r.x))
+    mc_groups = tuple(
+        (k[0], k[1], k[2], np.asarray(v, np.int32))
+        for k, v in sorted(mc_grp.items()))
+    resid_grp = [[] for _ in range(4)]
+    for r in resid_records:
+        c = classes[r.size]
+        oy, ox, _, _ = reg[r.plane]
+        resid_grp[c].append((oy + r.y, ox + r.x, slots[id(r)]))
+    resid_groups = tuple(
+        np.asarray(g, np.int32) if g else np.zeros((0, 3), np.int32)
+        for g in resid_grp)
+    if nrefs:
+        pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
+        refs_l = np.stack([np.pad(pl[0], pad, mode="edge")
+                           for _, pl in refs]).astype(np.int32)
+        refs_c = np.stack(
+            [np.pad(pl[1], pad, mode="edge") for _, pl in refs]
+            + [np.pad(pl[2], pad, mode="edge") for _, pl in refs]
+        ).astype(np.int32)
+        for is_ch, w, h, fields in mc_groups:
+            hp, wp = (refs_c.shape[1:] if is_ch else refs_l.shape[1:])
+            ext = (3 if is_ch else 7)
+            assert (fields[:, 1] + h + ext <= hp).all()                 and (fields[:, 2] + w + ext <= wp).all(),                 "MV exceeds PAD_REF"
+    else:
+        refs_l = np.zeros((1, 8, 8), np.int32)
+        refs_c = np.zeros((1, 8, 8), np.int32)
 
     # per-class per-chunk arrays, bucketed shapes for jit-cache stability
     n_chunks = _round_up(max(1, len(chunks)), 16)
@@ -175,4 +254,6 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
 
     return PackedFrame(canvas=canvas, scal=tuple(scal), avail=tuple(avail),
                        levels=tuple(levels), rmeta=tuple(rmetas),
-                       n_chunks=n_chunks, region=reg, bit_depth=bd)
+                       n_chunks=n_chunks, region=reg, bit_depth=bd,
+                       mc_groups=mc_groups, resid_groups=resid_groups,
+                       refs_l=refs_l, refs_c=refs_c)

@@ -35,23 +35,41 @@ def _residuals(levels, rmeta, bit_depth):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "n_chunks"))
+@partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "mc_shapes"))
 def reconstruct_device(canvas, scal, avail, levels, rmeta,
-                       bit_depth, n_chunks):
+                       mc_fields, refs_l, refs_c, resid_fields,
+                       bit_depth, n_chunks, mc_shapes=()):
+    from .mc import mc_phase, resid_phase
     resids = _residuals(levels, rmeta, bit_depth)
+    groups = tuple((ic, w, h, f)
+                   for (ic, w, h), f in zip(mc_shapes, mc_fields))
+    canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
+    canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
     return reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,
                                  n_chunks)
 
 
+def _mc_args(pf: PackedFrame):
+    mc_shapes = tuple((ic, w, h) for ic, w, h, _ in pf.mc_groups)
+    mc_fields = tuple(jnp.asarray(f) for _, _, _, f in pf.mc_groups)
+    resid_fields = tuple(jnp.asarray(g) for g in pf.resid_groups) \
+        if pf.resid_groups else tuple(
+            jnp.zeros((0, 3), jnp.int32) for _ in range(4))
+    return (mc_fields, jnp.asarray(pf.refs_l), jnp.asarray(pf.refs_c),
+            resid_fields, mc_shapes)
+
+
 def run_packed(pf: PackedFrame):
     """Execute a packed frame; returns the reconstructed canvas (np)."""
+    mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
     canvas = reconstruct_device(
         jnp.asarray(pf.canvas),
         tuple(jnp.asarray(v) for v in pf.scal),
         tuple(jnp.asarray(v) for v in pf.avail),
         tuple(jnp.asarray(v) for v in pf.levels),
         tuple(jnp.asarray(v) for v in pf.rmeta),
-        pf.bit_depth, pf.n_chunks)
+        mc_fields, refs_l, refs_c, resid_fields,
+        pf.bit_depth, pf.n_chunks, mc_shapes)
     return np.asarray(canvas)
 
 
@@ -70,21 +88,28 @@ def reconstruct_plan_jax(pic, plan) -> None:
 
 @partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "regions",
                                    "do_deblock", "do_sao", "ctb_log2",
-                                   "sub_w", "sub_h"))
+                                   "sub_w", "sub_h", "mc_shapes"))
 def decode_frame_device(canvas, scal, avail, levels, rmeta, qp4, bs_v, bs_h,
                         beta_off, tc_off, cb_qp_off, cr_qp_off,
                         sao_type, sao_band_pos, sao_offs4, sao_eo_class,
                         bit_depth, n_chunks, regions, do_deblock, do_sao,
-                        ctb_log2, sub_w, sub_h):
+                        ctb_log2, sub_w, sub_h,
+                        mc_fields=(), refs_l=None, refs_c=None,
+                        resid_fields=(), mc_shapes=()):
     """Stage B end-to-end: returns (y, cb, cr) int32 planes.
 
     regions: static tuple ((oy, ox, h, w) per plane); sao_* are
     per-plane tuples of per-CTB parameter maps."""
     from .filters import deblock_jax, sao_plane_jax
 
-    out = reconstruct_wavefront(
-        canvas, scal, avail,
-        _residuals(levels, rmeta, bit_depth), bit_depth, n_chunks)
+    from .mc import mc_phase, resid_phase
+    resids = _residuals(levels, rmeta, bit_depth)
+    groups = tuple((ic, w, h, f)
+                   for (ic, w, h), f in zip(mc_shapes, mc_fields))
+    canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
+    canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
+    out = reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,
+                                n_chunks)
     planes = []
     for plane, (oy, ox, h, w) in enumerate(regions):
         planes.append(jax.lax.dynamic_slice(out, (oy, ox), (h, w)))
@@ -158,7 +183,8 @@ def finish_frame_jax(pic, plan) -> None:
         tuple(jnp.asarray(sao_e[p]) for p in range(3)),
         tuple(jnp.asarray(sao_c[p]) for p in range(3)),
         pf.bit_depth, pf.n_chunks, regions, do_deblock, do_sao,
-        sps.log2_ctb_size, sps.sub_w, sps.sub_h)
+        sps.log2_ctb_size, sps.sub_w, sps.sub_h,
+        *_mc_args(pf)[:4], mc_shapes=_mc_args(pf)[4])
     for plane, arr in enumerate((y, cb, cr)):
         pic.planes[plane][:] = np.asarray(arr).astype(
             pic.planes[plane].dtype)
