@@ -125,6 +125,9 @@ class IntraEncoder:
                 cfg.max_transform_hierarchy_depth_intra),
             sao_enabled=1 if cfg.sao else 0,
         ).derive()
+        if cfg.bit_depth == 10:
+            self.sps.ptl.profile_idc = 2  # Main 10
+            self.sps.ptl.compat_flags = (1 << 30) | (1 << 29)
         self.pps = PPS(
             init_qp=cfg.qp,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,

@@ -181,3 +181,34 @@ def test_oracle_bitexact_ipp(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
         assert flatten(recons) == oracle, f"ipp config {i} diverged"
+
+
+def _to10(p):
+    return ((p.astype(np.uint16) << 2) | (p.astype(np.uint16) >> 6))
+
+
+@needs_oracle
+def test_oracle_bitexact_main10(tmp_path):
+    """Main 10: 10-bit intra + IPP + filters vs the oracle."""
+    w, h = 64, 48
+    base = synth_frame("gradient", w, h, 0)
+    frames = []
+    for t in range(3):
+        frames.append([_to10(np.roll(base[0], (t * 3, t * 2), (0, 1))),
+                       _to10(np.roll(base[1], (t, t), (0, 1))),
+                       _to10(np.roll(base[2], (t, t), (0, 1)))])
+    for i, kw in enumerate([{}, dict(gop="ipp", search_range=3,
+                                     deblocking=True, sao=True)]):
+        cfg = EncoderConfig(width=w, height=h, qp=30, bit_depth=10, **kw)
+        enc = IntraEncoder(cfg)
+        stream = bytearray()
+        recons = []
+        for f in frames:
+            stream += enc.encode_frame(f)
+            recons.append([p.copy() for p in enc.recon_planes])
+        from hevc_tpu.decoder.core import Decoder as D
+        assert all(fr.md5_ok for fr in D().decode_bytes(bytes(stream)))
+        oracle = oracle_decode(bytes(stream), w, h, tmp_path)
+        ours = b"".join(p.astype("<u2").tobytes()
+                        for rc in recons for p in rc)
+        assert ours == oracle, f"main10 config {i} diverged"
