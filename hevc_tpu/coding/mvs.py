@@ -63,13 +63,14 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
         m_a1 = _neighbour_motion(pic, x_pb, y_pb, *a1)
         if m_a1 is not None:
             cand.append(m_a1)
+    # NOTE: pruning compares against a neighbour's MOTION whenever that
+    # neighbour is available, regardless of whether it was itself pruned
+    # (reference: hevc_mvs.c derive_spatial_merge_candidates :307)
     m_b1 = None
     if not (part_idx == 1 and part_mode == PART_2NxN):
         m_b1 = _neighbour_motion(pic, x_pb, y_pb, *b1)
         if m_b1 is not None and not (m_a1 and _same_motion(m_b1, m_a1)):
             cand.append(m_b1)
-        elif m_b1 is not None:
-            m_b1 = None  # pruned: B0 compares against the surviving B1
     m_b0 = _neighbour_motion(pic, x_pb, y_pb, *b0)
     if m_b0 is not None and not (m_b1 and _same_motion(m_b0, m_b1)):
         cand.append(m_b0)

@@ -75,7 +75,9 @@ class SliceDecoder:
     def __init__(self, pic: PictureState, sps: SPS, pps: PPS,
                  sh: SliceHeader, d: CabacDecoder, cm: ContextModel,
                  slice_idx: int, plan: Optional[list] = None,
-                 ref_list=None, cur_poc: int = 0):
+                 ref_list=None, cur_poc: int = 0,
+                 rbsp: Optional[bytes] = None,
+                 segment_starts: Optional[list] = None):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -87,13 +89,30 @@ class SliceDecoder:
         self.plan = plan  # list to record BlockRecords into (stage-A mode)
         self.ref_list = ref_list or []  # L0: [(poc, [int32 planes]), ...]
         self.cur_poc = cur_poc
+        self.rbsp = rbsp
+        self.segment_starts = segment_starts or []
+
+    def _init_type(self):
+        if self.sh.slice_type == SLICE_I:
+            return 0
+        if self.sh.slice_type == SLICE_P:
+            return 2 if self.sh.cabac_init_flag else 1
+        return 1 if self.sh.cabac_init_flag else 2
 
     # ---- CTU loop --------------------------------------------------------
     def decode_ctus(self) -> int:
-        """Decode CTUs until end_of_slice; returns last ctb addr (rs)."""
+        """Decode CTUs until end_of_slice; returns last ctb addr (rs).
+
+        Handles WPP (per-row segments with the 2-CTU context handoff,
+        reference: hevc_cabac.c:612 ff_hevc_cabac_init / :558
+        ff_hevc_save_states) and tiles (per-tile segments, fresh CABAC)."""
         sps, pps = self.sps, self.pps
+        wpp = bool(pps.entropy_coding_sync_enabled)
+        tiles = bool(pps.tiles_enabled)
         ts = int(pps.ctb_addr_rs_to_ts[self.sh.segment_address])
         n_ctbs = sps.ctb_w * sps.ctb_h
+        seg_idx = 0
+        wpp_saved = None
         while True:
             rs = int(pps.ctb_addr_ts_to_rs[ts])
             xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
@@ -102,10 +121,29 @@ class SliceDecoder:
                 self._decode_sao(xc, yc)
             x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
             self.coding_quadtree(x0, y0, sps.log2_ctb_size, 0)
+            if wpp and xc == 1:
+                wpp_saved = self.cm.save()  # state after the 2nd CTB
             end = self.d.decode_terminate()
             ts += 1
             if end or ts >= n_ctbs:
                 return rs
+            # segment boundary? (end_of_subset_one_bit + new CABAC)
+            nrs = int(pps.ctb_addr_ts_to_rs[ts])
+            tile_boundary = tiles and (int(pps.tile_id_of_ts[ts])
+                                       != int(pps.tile_id_of_ts[ts - 1]))
+            row_boundary = wpp and (nrs % sps.ctb_w) == 0
+            if tile_boundary or row_boundary:
+                self.d.decode_terminate()  # end_of_subset_one_bit
+                seg_idx += 1
+                self.d = CabacDecoder(self.rbsp,
+                                      self.segment_starts[seg_idx])
+                if tile_boundary:
+                    self.cm = ContextModel(self._init_type(), self.qp_y)
+                elif wpp_saved is not None and sps.ctb_w > 1:
+                    self.cm = ContextModel(self._init_type(), self.qp_y)
+                    self.cm.load(wpp_saved)
+                else:
+                    self.cm = ContextModel(self._init_type(), self.qp_y)
 
     def _decode_sao(self, xc: int, yc: int) -> None:
         """sao() syntax (7.3.8.3)."""
@@ -725,10 +763,29 @@ class Decoder:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
         self.cur_pic.ref_list_l0 = ref_list
+        # entry-point segment starts, remapped from EPB'd byte offsets to
+        # rbsp offsets (reference: hevcdec.c:3355-3389)
+        data_start = r.pos >> 3
+        seg_starts = [data_start]
+        if sh.entry_point_offsets:
+            skipped = nal.skipped_bytes_pos
+
+            def post_to_raw(p):
+                return p + sum(1 for q in skipped if q <= p)
+
+            def raw_to_post(rw):
+                return rw - sum(1 for k, q in enumerate(skipped)
+                                if q + k < rw)
+
+            raw = post_to_raw(data_start)
+            for off in sh.entry_point_offsets:
+                raw += off
+                seg_starts.append(raw_to_post(raw))
         sd = SliceDecoder(self.cur_pic, sps, pps, sh, d, cm,
                           self._slice_counter,
                           plan=getattr(self.cur_pic, "plan", None),
-                          ref_list=ref_list, cur_poc=self.cur_poc)
+                          ref_list=ref_list, cur_poc=self.cur_poc,
+                          rbsp=nal.rbsp, segment_starts=seg_starts)
         sd.decode_ctus()
         self._slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for

@@ -81,6 +81,9 @@ class EncoderConfig:
     tu_split_probability: float = 0.5
     seed: int = 0
     full_mode_search: bool = False  # search all 35 intra modes
+    # parallel entropy structures
+    wpp: bool = False            # entropy_coding_sync (one segment per row)
+    tiles: tuple = ()            # (num_cols, num_rows) uniform tiles
     # inter coding
     gop: str = "all_intra"  # "all_intra" | "ipp" (IDR then P frames)
     search_range: int = 4   # integer-pel motion search radius
@@ -132,6 +135,10 @@ class IntraEncoder:
             init_qp=cfg.qp,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
+            entropy_coding_sync_enabled=1 if cfg.wpp else 0,
+            tiles_enabled=1 if cfg.tiles else 0,
+            num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
+            num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
         ).derive(self.sps)
         if cfg.gop == "ipp":
             from ..bitstream.ps import ShortTermRPS
@@ -168,17 +175,47 @@ class IntraEncoder:
 
         self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
-        for rs in range(n_ctbs):
-            xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
-            self.pic.set_ctb_slice(xc, yc, 0)
-            if cfg.sao:
-                self._encode_sao(xc, yc)
-            x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
-            self._quadtree(x0, y0, sps.log2_ctb_size, 0)
-            last = rs == n_ctbs - 1
-            self.e.encode_terminate(1 if last else 0)
-        self.e.terminate_and_align()
-        payload = self.e.getvalue()
+        init_type = 1 if self.is_p else 0
+        # segment the CTU walk (tile-scan order) by tile / WPP-row bounds
+        order = [int(pps.ctb_addr_ts_to_rs[ts]) for ts in range(n_ctbs)]
+        segments = [[]]
+        for i, rs in enumerate(order):
+            if i > 0:
+                tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
+                                    != int(pps.tile_id_of_ts[i - 1]))
+                rb = cfg.wpp and rs % sps.ctb_w == 0
+                if tb or rb:
+                    segments.append([])
+            segments[-1].append(rs)
+        seg_payloads = []
+        wpp_saved = None
+        for si, seg in enumerate(segments):
+            self.e = CabacEncoder()
+            if si > 0:
+                if cfg.tiles:
+                    self.cm = ContextModel(init_type, cfg.qp)
+                elif wpp_saved is not None and sps.ctb_w > 1:
+                    self.cm = ContextModel(init_type, cfg.qp)
+                    self.cm.load(wpp_saved)
+                else:
+                    self.cm = ContextModel(init_type, cfg.qp)
+            for rs in seg:
+                xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
+                self.pic.set_ctb_slice(xc, yc, 0)
+                if cfg.sao:
+                    self._encode_sao(xc, yc)
+                x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
+                self._quadtree(x0, y0, sps.log2_ctb_size, 0)
+                if cfg.wpp and xc == 1:
+                    wpp_saved = self.cm.save()
+                last = rs == order[-1]
+                self.e.encode_terminate(1 if last else 0)
+            if si < len(segments) - 1:
+                self.e.encode_terminate(1)  # end_of_subset_one_bit
+            self.e.terminate_and_align()
+            seg_payloads.append(self.e.getvalue())
+        payload = b"".join(seg_payloads)
+        self._seg_payloads = seg_payloads
         if cfg.deblocking:
             from ..ops.deblock import deblock_frame
             self.pic.compute_bs()
@@ -204,6 +241,9 @@ class IntraEncoder:
                          num_ref_idx_l0_active=1,
                          five_minus_max_num_merge_cand=0)
         nal_type = nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
+        if len(self._seg_payloads) > 1:
+            sh.entry_point_offsets = self._entry_offsets(
+                sh, nal_type, self._seg_payloads)
         slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload)
         au = []
         if self.frames_encoded == 0:
@@ -258,19 +298,25 @@ class IntraEncoder:
         return False
 
     # ---- SAO (random parameter policy, mirrors decoder parse) ------------
+    def _sao_mergeable(self, xn, yn, xc, yc):
+        return (self.pps.tile_of_ctb[yn, xn]
+                == self.pps.tile_of_ctb[yc, xc])
+
     def _encode_sao(self, xc, yc):
         from ..ops.sao import SAO_BAND, SAO_EDGE, SaoParams
         e, cm, sps = self.e, self.cm, self.sps
         rng = self.rng
-        merge_left = int(xc > 0 and rng.random() < 0.2)
+        can_left = xc > 0 and self._sao_mergeable(xc - 1, yc, xc, yc)
+        can_up = yc > 0 and self._sao_mergeable(xc, yc - 1, xc, yc)
+        merge_left = int(can_left and rng.random() < 0.2)
         if merge_left:
             e.encode_bin(cm.at("sao_merge_flag", 0), 1)
             self.sao_map[(xc, yc)] = self.sao_map[(xc - 1, yc)].copy()
             return
-        if xc > 0:
+        if can_left:
             e.encode_bin(cm.at("sao_merge_flag", 0), 0)
-        merge_up = int(yc > 0 and rng.random() < 0.2)
-        if yc > 0:
+        merge_up = int(can_up and rng.random() < 0.2)
+        if can_up:
             e.encode_bin(cm.at("sao_merge_flag", 0), merge_up)
         if merge_up:
             self.sao_map[(xc, yc)] = self.sao_map[(xc, yc - 1)].copy()
@@ -849,3 +895,36 @@ class IntraEncoder:
                 and pic.skip_flag[(y0 - 1) >> 2, x0 >> 2]:
             ctx += 1
         return ctx
+
+    def _entry_offsets(self, sh, nal_type, seg_payloads):
+        """Slice-header entry_point_offsets (7.4.7.1): byte distances
+        between segment starts in the FINAL (emulation-prevented) NAL.
+
+        The offsets live in the header, and the header bytes influence
+        where emulation-prevention bytes land, so iterate to a fixed
+        point (the offset values converge in a couple of rounds)."""
+        sizes = [len(s) for s in seg_payloads]
+        payload = b"".join(seg_payloads)
+        offs = list(sizes[:-1])
+        for _ in range(8):
+            sh.entry_point_offsets = offs
+            rbsp = sh.write_rbsp(self.sps, self.pps, nal_type, payload)
+            hdr_len = len(rbsp) - len(payload)
+            nalbytes = nalmod.write_nal_header(nal_type, 0, 0) + rbsp
+            ins = []
+            zeros = 0
+            for i, b in enumerate(nalbytes):
+                if zeros >= 2 and b <= 3:
+                    ins.append(i)
+                    zeros = 0
+                zeros = zeros + 1 if b == 0 else 0
+            new_offs = []
+            cum = 2 + hdr_len
+            for s in sizes[:-1]:
+                cnt = sum(1 for p in ins if cum < p <= cum + s)
+                new_offs.append(s + cnt)
+                cum += s
+            if new_offs == offs:
+                return offs
+            offs = new_offs
+        raise RuntimeError("entry_point_offsets did not converge")

@@ -212,3 +212,28 @@ def test_oracle_bitexact_main10(tmp_path):
         ours = b"".join(p.astype("<u2").tobytes()
                         for rc in recons for p in rc)
         assert ours == oracle, f"main10 config {i} diverged"
+
+
+@needs_oracle
+def test_oracle_bitexact_wpp_tiles(tmp_path):
+    """WPP and tile streams (entry points, CABAC handoff/reinit)."""
+    for i, cfg in enumerate([
+        EncoderConfig(width=96, height=64, qp=30, wpp=True),
+        EncoderConfig(width=96, height=64, qp=30, tiles=(2, 2)),
+        EncoderConfig(width=96, height=64, qp=33, wpp=True,
+                      deblocking=True, sao=True),
+        EncoderConfig(width=96, height=64, qp=33, tiles=(2, 2),
+                      deblocking=True, sao=True),
+        EncoderConfig(width=96, height=64, qp=30, tiles=(2, 2), gop="ipp",
+                      search_range=2),
+        EncoderConfig(width=96, height=64, qp=30, wpp=True, gop="ipp",
+                      search_range=2, deblocking=True, sao=True),
+        EncoderConfig(width=128, height=64, qp=28, log2_ctb_size=5,
+                      wpp=True, split_policy="random",
+                      max_transform_hierarchy_depth_intra=2, seed=3,
+                      full_mode_search=True),
+    ]):
+        frames = _moving_frames(cfg.width, cfg.height, 3)
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+        assert flatten(recons) == oracle, f"wpp/tiles config {i} diverged"
