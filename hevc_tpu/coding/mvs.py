@@ -4,14 +4,12 @@ Capability parity with the reference's hevc_mvs.c
 (ff_hevc_luma_mv_merge_mode :523, derive_spatial_merge_candidates :307,
 ff_hevc_luma_mv_mvp_mode :635), re-derived from the specification.
 
-Current scope: uni-directional L0 (P slices), short-term references, no
-TMVP (slice_temporal_mvp_enabled == 0 in generated streams).  The
-candidate geometry, pruning and scaling follow the spec so B-slice
-support extends naturally.
+Bi-prediction (two reference lists) is supported; TMVP is not yet
+(generated streams set slice_temporal_mvp_enabled = 0).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -21,36 +19,60 @@ PART_2NxN = 1
 PART_Nx2N = 2
 PART_NxN = 3
 
+NO_POC = -(1 << 30)
+
 
 @dataclass
 class MotionInfo:
-    mv: Tuple[int, int]     # quarter-pel
-    ref_idx: int
-    ref_poc: int
+    """Full motion of a block: both lists (ref < 0 = list unused)."""
+    mv0: Tuple[int, int] = (0, 0)
+    ref0: int = -1
+    poc0: int = NO_POC
+    mv1: Tuple[int, int] = (0, 0)
+    ref1: int = -1
+    poc1: int = NO_POC
+
+    @property
+    def uses_l0(self):
+        return self.ref0 >= 0
+
+    @property
+    def uses_l1(self):
+        return self.ref1 >= 0
 
 
 def _neighbour_motion(pic, x_cur, y_cur, xn, yn) -> Optional[MotionInfo]:
-    """Motion of the 4x4 block covering luma (xn, yn), or None if the
-    block is unavailable or intra."""
     if not pic.available(x_cur, y_cur, xn, yn):
         return None
     y4, x4 = yn >> 2, xn >> 2
-    if pic.is_intra[y4, x4] or pic.ref_l0[y4, x4] < 0:
+    if pic.is_intra[y4, x4]:
         return None
-    return MotionInfo(mv=(int(pic.mv_l0[y4, x4, 0]),
-                          int(pic.mv_l0[y4, x4, 1])),
-                      ref_idx=int(pic.ref_l0[y4, x4]),
-                      ref_poc=int(pic.ref_poc_l0[y4, x4]))
+    r0 = int(pic.ref_l0[y4, x4])
+    r1 = int(pic.ref_l1[y4, x4])
+    if r0 < 0 and r1 < 0:
+        return None
+    return MotionInfo(
+        mv0=(int(pic.mv_l0[y4, x4, 0]), int(pic.mv_l0[y4, x4, 1])),
+        ref0=r0, poc0=int(pic.ref_poc_l0[y4, x4]),
+        mv1=(int(pic.mv_l1[y4, x4, 0]), int(pic.mv_l1[y4, x4, 1])),
+        ref1=r1, poc1=int(pic.ref_poc_l1[y4, x4]))
 
 
 def _same_motion(a: MotionInfo, b: MotionInfo) -> bool:
-    return a.mv == b.mv and a.ref_idx == b.ref_idx
+    return (a.mv0 == b.mv0 and a.ref0 == b.ref0
+            and a.mv1 == b.mv1 and a.ref1 == b.ref1)
+
+
+_COMB_L0 = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+_COMB_L1 = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
 
 
 def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
-                     max_cand, num_ref_l0, ref_poc_list) -> List[MotionInfo]:
-    """Spatial merge candidate list (8.5.3.2.3) + zero padding
-    (8.5.3.2.4).  Returns max_cand candidates."""
+                     max_cand, num_ref_l0, ref_poc_l0,
+                     num_ref_l1=0, ref_poc_l1=(),
+                     is_b=False) -> List[MotionInfo]:
+    """Merge candidate list: spatial (8.5.3.2.3), combined bi
+    (8.5.3.2.4 for B), zero padding (8.5.3.2.5)."""
     a1 = (x_pb - 1, y_pb + n_h - 1)
     b1 = (x_pb + n_w - 1, y_pb - 1)
     b0 = (x_pb + n_w, y_pb - 1)
@@ -63,9 +85,8 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
         m_a1 = _neighbour_motion(pic, x_pb, y_pb, *a1)
         if m_a1 is not None:
             cand.append(m_a1)
-    # NOTE: pruning compares against a neighbour's MOTION whenever that
-    # neighbour is available, regardless of whether it was itself pruned
-    # (reference: hevc_mvs.c derive_spatial_merge_candidates :307)
+    # pruning compares against a neighbour's MOTION whenever available,
+    # regardless of whether that neighbour was itself pruned
     m_b1 = None
     if not (part_idx == 1 and part_mode == PART_2NxN):
         m_b1 = _neighbour_motion(pic, x_pb, y_pb, *b1)
@@ -84,11 +105,30 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                 and not (m_b1 and _same_motion(m_b2, m_b1)):
             cand.append(m_b2)
     # (temporal candidate omitted: slice_temporal_mvp_enabled == 0)
+    if is_b and len(cand) > 1 and len(cand) < max_cand:
+        n_orig = len(cand)
+        for k in range(min(12, n_orig * (n_orig - 1))):
+            i0, i1 = _COMB_L0[k], _COMB_L1[k]
+            if i0 >= n_orig or i1 >= n_orig:
+                continue
+            c0, c1 = cand[i0], cand[i1]
+            if not (c0.uses_l0 and c1.uses_l1):
+                continue
+            if c0.poc0 == c1.poc1 and c0.mv0 == c1.mv1:
+                continue
+            cand.append(MotionInfo(mv0=c0.mv0, ref0=c0.ref0, poc0=c0.poc0,
+                                   mv1=c1.mv1, ref1=c1.ref1, poc1=c1.poc1))
+            if len(cand) >= max_cand:
+                break
     zero_idx = 0
+    num_ref = min(num_ref_l0, num_ref_l1) if is_b else num_ref_l0
     while len(cand) < max_cand:
-        ridx = zero_idx if zero_idx < num_ref_l0 else 0
-        cand.append(MotionInfo(mv=(0, 0), ref_idx=ridx,
-                               ref_poc=ref_poc_list[ridx]))
+        ridx = zero_idx if zero_idx < num_ref else 0
+        mi = MotionInfo(mv0=(0, 0), ref0=ridx, poc0=ref_poc_l0[ridx])
+        if is_b:
+            mi.ref1 = ridx
+            mi.poc1 = ref_poc_l1[ridx]
+        cand.append(mi)
         zero_idx += 1
     return cand[:max_cand]
 
@@ -98,7 +138,7 @@ def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
     td = max(-128, min(127, cur_poc - nb_ref_poc))
     tb = max(-128, min(127, cur_poc - cur_ref_poc))
     if td == 0:
-        return mv
+        return tuple(mv)
     tx = (16384 + (abs(td) >> 1)) // td
     dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
     out = []
@@ -109,9 +149,18 @@ def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
     return tuple(out)
 
 
-def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, ref_idx, ref_poc_list,
+def _lx_of(m: MotionInfo, lx: int):
+    if lx == 0:
+        return (m.mv0, m.poc0) if m.uses_l0 else None
+    return (m.mv1, m.poc1) if m.uses_l1 else None
+
+
+def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
                     cur_poc) -> List[Tuple[int, int]]:
-    """Spatial AMVP candidate list (8.5.3.2.5-7): [mvp0, mvp1]."""
+    """Spatial AMVP candidates for list lx (8.5.3.2.6-7): [mvp0, mvp1].
+
+    A neighbour contributes from either of its lists: same-ref first,
+    then (per the isScaledFlag rule) scaled from any reference."""
     target_poc = ref_poc_list[ref_idx]
     a0 = (x_pb - 1, y_pb + n_h)
     a1 = (x_pb - 1, y_pb + n_h - 1)
@@ -122,28 +171,42 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, ref_idx, ref_poc_list,
     def motion(pos):
         return _neighbour_motion(pic, x_pb, y_pb, *pos)
 
-    # ---- candidate A (8.5.3.2.6): A0, A1 same-ref; then scaled --------
+    def same_ref(m):
+        for l in (lx, 1 - lx):
+            got = _lx_of(m, l)
+            if got is not None and got[1] == target_poc:
+                return got[0]
+        return None
+
+    def any_ref_scaled(m):
+        for l in (lx, 1 - lx):
+            got = _lx_of(m, l)
+            if got is not None:
+                return _scale_mv(got[0], cur_poc, target_poc, got[1])
+        return None
+
     mv_a = None
     a_neigh = [motion(a0), motion(a1)]
-    a_block_avail = any(m is not None for m in a_neigh) or any(
-        pic.available(x_pb, y_pb, *p) for p in (a0, a1))
+    a_block_avail = any(pic.available(x_pb, y_pb, *p) for p in (a0, a1))
     for m in a_neigh:
-        if m is not None and m.ref_poc == target_poc:
-            mv_a = m.mv
-            break
+        if m is not None:
+            got = same_ref(m)
+            if got is not None:
+                mv_a = got
+                break
     if mv_a is None:
         for m in a_neigh:
             if m is not None:
-                mv_a = _scale_mv(m.mv, cur_poc, target_poc, m.ref_poc)
+                mv_a = any_ref_scaled(m)
                 break
-    # ---- candidate B: B0, B1, B2 same-ref -----------------------------
     mv_b = None
     b_neigh = [motion(b0), motion(b1), motion(b2)]
     for m in b_neigh:
-        if m is not None and m.ref_poc == target_poc:
-            mv_b = m.mv
-            break
-    # scaled-B pass only when no A neighbour block exists (isScaledFlag)
+        if m is not None:
+            got = same_ref(m)
+            if got is not None:
+                mv_b = got
+                break
     if not a_block_avail:
         if mv_a is None:
             mv_a = mv_b
@@ -151,7 +214,7 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, ref_idx, ref_poc_list,
         if mv_b is None:
             for m in b_neigh:
                 if m is not None:
-                    mv_b = _scale_mv(m.mv, cur_poc, target_poc, m.ref_poc)
+                    mv_b = any_ref_scaled(m)
                     break
     out = []
     if mv_a is not None:

@@ -69,10 +69,13 @@ class PictureState:
         self.edge_h = np.zeros((self.h4, self.w4), bool)
         # per-4x4 luma-cbf (nonzero residual) flag
         self.cbf_luma = np.zeros((self.h4, self.w4), bool)
-        # motion fields (L0 only for now): mv in quarter-pel, ref poc
+        # motion fields: mv in quarter-pel, ref poc; ref_lx < 0 = unused
         self.mv_l0 = np.zeros((self.h4, self.w4, 2), np.int32)
         self.ref_l0 = np.full((self.h4, self.w4), -1, np.int8)
         self.ref_poc_l0 = np.full((self.h4, self.w4), -(1 << 30), np.int64)
+        self.mv_l1 = np.zeros((self.h4, self.w4, 2), np.int32)
+        self.ref_l1 = np.full((self.h4, self.w4), -1, np.int8)
+        self.ref_poc_l1 = np.full((self.h4, self.w4), -(1 << 30), np.int64)
 
     def mark_block_edges(self, x0: int, y0: int, w: int, h: int):
         """Record a TU/PU boundary on the left/top edges of a block."""
@@ -86,11 +89,49 @@ class PictureState:
     def mark_intra_tu_edges(self, x0: int, y0: int, size: int):
         self.mark_block_edges(x0, y0, size, size)
 
+    def _bs_motion_differs(self, p, q):
+        """8.7.2.4 motion-based bs=1 test between slices p/q of the 4x4
+        maps (vectorized; handles uni and bi cases)."""
+        big = -(1 << 30)
+        p_has0 = self.ref_poc_l0[p] != big
+        p_has1 = self.ref_poc_l1[p] != big
+        q_has0 = self.ref_poc_l0[q] != big
+        q_has1 = self.ref_poc_l1[q] != big
+        np_ = p_has0.astype(np.int32) + p_has1
+        nq = q_has0.astype(np.int32) + q_has1
+        diff = np_ != nq
+
+        def mvd_ge4(a, b):
+            return np.abs(a - b).max(axis=-1) >= 4
+
+        # uni/uni: compare the single used vectors and refs
+        p_mv_uni = np.where(p_has0[..., None], self.mv_l0[p], self.mv_l1[p])
+        q_mv_uni = np.where(q_has0[..., None], self.mv_l0[q], self.mv_l1[q])
+        p_poc_uni = np.where(p_has0, self.ref_poc_l0[p], self.ref_poc_l1[p])
+        q_poc_uni = np.where(q_has0, self.ref_poc_l0[q], self.ref_poc_l1[q])
+        uni = (p_poc_uni != q_poc_uni) | mvd_ge4(p_mv_uni, q_mv_uni)
+        # bi/bi
+        same_pair = (((self.ref_poc_l0[p] == self.ref_poc_l0[q])
+                      & (self.ref_poc_l1[p] == self.ref_poc_l1[q]))
+                     | ((self.ref_poc_l0[p] == self.ref_poc_l1[q])
+                        & (self.ref_poc_l1[p] == self.ref_poc_l0[q])))
+        same_ref_both = self.ref_poc_l0[p] == self.ref_poc_l1[p]
+        straight = (mvd_ge4(self.mv_l0[p], self.mv_l0[q])
+                    | mvd_ge4(self.mv_l1[p], self.mv_l1[q]))
+        crossed = (mvd_ge4(self.mv_l0[p], self.mv_l1[q])
+                   | mvd_ge4(self.mv_l1[p], self.mv_l0[q]))
+        l0_matches = self.ref_poc_l0[p] == self.ref_poc_l0[q]
+        bi = np.where(same_ref_both, straight & crossed,
+                      np.where(l0_matches, straight, crossed))
+        bi = bi | ~same_pair
+        both_bi = (np_ == 2) & (nq == 2)
+        return diff | np.where(both_bi, bi, uni)
+
     def compute_bs(self):
         """Boundary strengths (8.7.2.4) from the per-4x4 maps.
 
-        bs=2 if either side intra; else 1 if either side has residual, or
-        MV delta >= 4 quarter-pel, or different reference pictures."""
+        bs=2 if either side intra; else 1 if either side has residual or
+        the motion differs (refs / >=4 quarter-pel MV delta, uni or bi)."""
         for vertical in (True, False):
             edge = self.edge_v if vertical else self.edge_h
             bs = self.bs_v if vertical else self.bs_h
@@ -104,9 +145,7 @@ class PictureState:
                 tgt = np.s_[1:, :]
             intra_pq = self.is_intra[q] | self.is_intra[p]
             resid = self.cbf_luma[q] | self.cbf_luma[p]
-            dmv = np.abs(self.mv_l0[q] - self.mv_l0[p]).max(axis=-1) >= 4
-            dref = self.ref_poc_l0[q] != self.ref_poc_l0[p]
-            one = resid | dmv | dref
+            one = resid | self._bs_motion_differs(p, q)
             val = np.where(intra_pq, 2, np.where(one, 1, 0))
             bs[tgt] = np.where(edge[tgt], val, 0).astype(np.int8)
         self.bs_v[:, 0] = 0

@@ -67,6 +67,10 @@ class BlockRecord:
     h: int = 0      # height for rectangular mc blocks (0 = square)
     mv: tuple = (0, 0)
     ref_idx: int = 0
+    lx: int = 0          # list of mv/ref_idx for uni mc records
+    bi: bool = False     # bi-predicted mc record
+    mv1: tuple = (0, 0)
+    ref_idx1: int = 0
 
 
 class SliceDecoder:
@@ -77,7 +81,8 @@ class SliceDecoder:
                  slice_idx: int, plan: Optional[list] = None,
                  ref_list=None, cur_poc: int = 0,
                  rbsp: Optional[bytes] = None,
-                 segment_starts: Optional[list] = None):
+                 segment_starts: Optional[list] = None,
+                 ref_list_l1=None):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -88,6 +93,7 @@ class SliceDecoder:
         self.qp_y = pps.init_qp + sh.qp_delta
         self.plan = plan  # list to record BlockRecords into (stage-A mode)
         self.ref_list = ref_list or []  # L0: [(poc, [int32 planes]), ...]
+        self.ref_list_l1 = ref_list_l1 or []
         self.cur_poc = cur_poc
         self.rbsp = rbsp
         self.segment_starts = segment_starts or []
@@ -289,63 +295,130 @@ class SliceDecoder:
             out.append(a)
         return out[0], out[1]
 
-    def _inter_pb(self, x_pb, y_pb, n_w, n_h, mv, ref_idx):
-        """Apply MC prediction for one PB and record its motion."""
+    def _inter_pb(self, x_pb, y_pb, n_w, n_h, mi):
+        """Apply MC prediction for one PB (uni or bi) and record its
+        motion.  mi: coding.mvs.MotionInfo."""
         from ..ops import mc as MC
         pic, sps = self.pic, self.sps
-        ref_poc, ref_planes = self.ref_list[ref_idx]
         bd = sps.bit_depth_luma
+        bdc = sps.bit_depth_chroma
         xc, yc = x_pb // sps.sub_w, y_pb // sps.sub_h
         wc, hc = n_w // sps.sub_w, n_h // sps.sub_h
-        bdc = sps.bit_depth_chroma
+        bi = mi.uses_l0 and mi.uses_l1
         if self.plan is not None:
-            self.plan.append(BlockRecord(
-                plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
-                levels=None, kind="mc", mv=tuple(mv), ref_idx=ref_idx))
-            for c in (1, 2):
+            if bi:
                 self.plan.append(BlockRecord(
-                    plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
-                    levels=None, kind="mc", mv=tuple(mv),
-                    ref_idx=ref_idx))
+                    plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
+                    levels=None, kind="mc", bi=True, mv=mi.mv0,
+                    ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1))
+                for c in (1, 2):
+                    self.plan.append(BlockRecord(
+                        plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
+                        levels=None, kind="mc", bi=True, mv=mi.mv0,
+                        ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1))
+            else:
+                lx = 0 if mi.uses_l0 else 1
+                mv = mi.mv0 if lx == 0 else mi.mv1
+                ridx = mi.ref0 if lx == 0 else mi.ref1
+                self.plan.append(BlockRecord(
+                    plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
+                    levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx))
+                for c in (1, 2):
+                    self.plan.append(BlockRecord(
+                        plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
+                        levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx))
         else:
-            pred = MC.weighted_uni(MC.mc_luma(
-                ref_planes[0], x_pb, y_pb, n_w, n_h, mv[0], mv[1], bd), bd)
+            planes_pred = []
+            for c in range(3):
+                fn = MC.mc_luma if c == 0 else MC.mc_chroma
+                bdx = bd if c == 0 else bdc
+                px, py = (x_pb, y_pb) if c == 0 else (xc, yc)
+                pw, ph = (n_w, n_h) if c == 0 else (wc, hc)
+                preds = []
+                if mi.uses_l0:
+                    rp = self.ref_list[mi.ref0][1][c]
+                    preds.append(fn(rp, px, py, pw, ph,
+                                    mi.mv0[0], mi.mv0[1], bdx))
+                if mi.uses_l1:
+                    rp = self.ref_list_l1[mi.ref1][1][c]
+                    preds.append(fn(rp, px, py, pw, ph,
+                                    mi.mv1[0], mi.mv1[1], bdx))
+                if len(preds) == 2:
+                    out = MC.weighted_bi(preds[0], preds[1], bdx)
+                else:
+                    out = MC.weighted_uni(preds[0], bdx)
+                planes_pred.append(out)
             pic.planes[0][y_pb:y_pb + n_h, x_pb:x_pb + n_w] = \
-                pred.astype(pic.planes[0].dtype)
+                planes_pred[0].astype(pic.planes[0].dtype)
             for c in (1, 2):
-                predc = MC.weighted_uni(MC.mc_chroma(
-                    ref_planes[c], xc, yc, wc, hc, mv[0], mv[1], bdc), bdc)
                 pic.planes[c][yc:yc + hc, xc:xc + wc] = \
-                    predc.astype(pic.planes[c].dtype)
+                    planes_pred[c].astype(pic.planes[c].dtype)
         y4, x4 = y_pb >> 2, x_pb >> 2
-        pic.mv_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = mv
-        pic.ref_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = ref_idx
-        pic.ref_poc_l0[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)] = ref_poc
+        sl = np.s_[y4:y4 + (n_h >> 2), x4:x4 + (n_w >> 2)]
+        if mi.uses_l0:
+            pic.mv_l0[sl] = mi.mv0
+            pic.ref_l0[sl] = mi.ref0
+            pic.ref_poc_l0[sl] = mi.poc0
+        if mi.uses_l1:
+            pic.mv_l1[sl] = mi.mv1
+            pic.ref_l1[sl] = mi.ref1
+            pic.ref_poc_l1[sl] = mi.poc1
         pic.mark_block_edges(x_pb, y_pb, n_w, n_h)
 
-    def _prediction_unit(self, x_pb, y_pb, n_w, n_h, part_idx, part_mode):
+    def _decode_inter_pred_idc(self, n_w, n_h, depth):
+        """inter_pred_idc (9.3.3: ctxInc = cqtDepth for bin 0)."""
+        d, cm = self.d, self.cm
+        if n_w + n_h != 12:
+            if d.decode_bin(cm.at("inter_pred_idc", depth)):
+                return 2  # PRED_BI
+        if d.decode_bin(cm.at("inter_pred_idc", 4)):
+            return 1  # PRED_L1
+        return 0      # PRED_L0
+
+    def _prediction_unit(self, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
+                         depth):
         """prediction_unit (7.3.8.6): merge or AMVP, then MC.
 
         Returns True if merge was used."""
         from ..coding import mvs as MV
         d, cm, sh = self.d, self.cm, self.sh
-        ref_pocs = [p for p, _ in self.ref_list]
+        is_b = sh.slice_type == SLICE_B
+        ref_pocs0 = [p for p, _ in self.ref_list]
+        ref_pocs1 = [p for p, _ in self.ref_list_l1]
         if d.decode_bin(cm.at("merge_flag", 0)):
             idx = self._decode_merge_idx()
             cand = MV.merge_candidates(
                 self.pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                 sh.max_num_merge_cand(), sh.num_ref_idx_l0_active,
-                ref_pocs)
-            mi = cand[idx]
-            self._inter_pb(x_pb, y_pb, n_w, n_h, list(mi.mv), mi.ref_idx)
+                ref_pocs0, sh.num_ref_idx_l1_active, ref_pocs1, is_b)
+            self._inter_pb(x_pb, y_pb, n_w, n_h, cand[idx])
             return True
-        ref_idx = self._decode_ref_idx(sh.num_ref_idx_l0_active)
-        mvd = self._decode_mvd()
-        mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
-        cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h,
-                                   ref_idx, ref_pocs, self.cur_poc)
-        mv = [cands[mvp_flag][0] + mvd[0], cands[mvp_flag][1] + mvd[1]]
-        self._inter_pb(x_pb, y_pb, n_w, n_h, mv, ref_idx)
+        idc = self._decode_inter_pred_idc(n_w, n_h, depth) if is_b else 0
+        mi = MV.MotionInfo()
+        if idc != 1:  # uses L0
+            ref_idx = self._decode_ref_idx(sh.num_ref_idx_l0_active)
+            mvd = self._decode_mvd()
+            mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
+            cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 0,
+                                       ref_idx, ref_pocs0, self.cur_poc)
+            mi.mv0 = (cands[mvp_flag][0] + mvd[0],
+                      cands[mvp_flag][1] + mvd[1])
+            mi.ref0 = ref_idx
+            mi.poc0 = ref_pocs0[ref_idx]
+        if idc != 0:  # uses L1
+            ref_idx = self._decode_ref_idx(sh.num_ref_idx_l1_active)
+            if sh.mvd_l1_zero and idc == 2:
+                mvd = (0, 0)
+            else:
+                mvd = self._decode_mvd()
+            mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
+            cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 1,
+                                       ref_idx, ref_pocs1, self.cur_poc)
+            mi.mv1 = (cands[mvp_flag][0] + mvd[0],
+                      cands[mvp_flag][1] + mvd[1])
+            mi.ref1 = ref_idx
+            mi.poc1 = ref_pocs1[ref_idx]
+        self._inter_pb(x_pb, y_pb, n_w, n_h, mi)
         return False
 
     def _decode_part_mode_inter(self, log2_size):
@@ -393,9 +466,11 @@ class SliceDecoder:
                     pic, x0, y0, size, size, 0, MV.PART_2Nx2N,
                     self.sh.max_num_merge_cand(),
                     self.sh.num_ref_idx_l0_active,
-                    [p for p, _ in self.ref_list])
-                mi = cand[idx]
-                self._inter_pb(x0, y0, size, size, list(mi.mv), mi.ref_idx)
+                    [p for p, _ in self.ref_list],
+                    self.sh.num_ref_idx_l1_active,
+                    [p for p, _ in self.ref_list_l1],
+                    self.sh.slice_type == SLICE_B)
+                self._inter_pb(x0, y0, size, size, cand[idx])
                 pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
                               x0 >> 2:(x0 >> 2) + gq] = True
                 return
@@ -493,7 +568,7 @@ class SliceDecoder:
                    (x0 + half, y0 + half, half, half)]
         first_merge = False
         for i, (xp, yp, w, h) in enumerate(pbs):
-            merged = self._prediction_unit(xp, yp, w, h, i, part)
+            merged = self._prediction_unit(xp, yp, w, h, i, part, depth)
             if i == 0:
                 first_merge = merged
         rqt_root_cbf = 1
@@ -646,11 +721,18 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
         bd = sps.bit_depth_luma if r.plane == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
         if r.kind == "mc":
-            _, ref_planes = pic.ref_list_l0[r.ref_idx]
             fn = MC.mc_luma if r.plane == 0 else MC.mc_chroma
-            pred = MC.weighted_uni(fn(ref_planes[r.plane], r.x, r.y,
-                                      r.size, r.h, r.mv[0], r.mv[1], bd),
-                                   bd)
+            if r.bi:
+                p0 = fn(pic.ref_list_l0[r.ref_idx][1][r.plane], r.x, r.y,
+                        r.size, r.h, r.mv[0], r.mv[1], bd)
+                p1 = fn(pic.ref_list_l1[r.ref_idx1][1][r.plane], r.x, r.y,
+                        r.size, r.h, r.mv1[0], r.mv1[1], bd)
+                pred = MC.weighted_bi(p0, p1, bd)
+            else:
+                refs = pic.ref_list_l0 if r.lx == 0 else pic.ref_list_l1
+                pred = MC.weighted_uni(
+                    fn(refs[r.ref_idx][1][r.plane], r.x, r.y,
+                       r.size, r.h, r.mv[0], r.mv[1], bd), bd)
             pic.planes[r.plane][r.y:r.y + r.h, r.x:r.x + r.size] = \
                 pred.astype(pic.planes[r.plane].dtype)
             continue
@@ -750,9 +832,9 @@ class Decoder:
                 self.dpb.clear()
             else:
                 self.cur_poc = self._compute_poc(sps, sh, nal.type)
-        ref_list = []
+        ref_list, ref_list_l1 = [], []
         if sh.slice_type != SLICE_I:
-            ref_list = self._build_ref_list_l0(sps, sh)
+            ref_list, ref_list_l1 = self._build_ref_lists(sps, sh)
         assert r.byte_aligned()
         d = CabacDecoder(nal.rbsp, r.pos >> 3)
         if sh.slice_type == SLICE_I:
@@ -763,6 +845,7 @@ class Decoder:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
         self.cur_pic.ref_list_l0 = ref_list
+        self.cur_pic.ref_list_l1 = ref_list_l1
         # entry-point segment starts, remapped from EPB'd byte offsets to
         # rbsp offsets (reference: hevcdec.c:3355-3389)
         data_start = r.pos >> 3
@@ -785,7 +868,8 @@ class Decoder:
                           self._slice_counter,
                           plan=getattr(self.cur_pic, "plan", None),
                           ref_list=ref_list, cur_poc=self.cur_poc,
-                          rbsp=nal.rbsp, segment_starts=seg_starts)
+                          rbsp=nal.rbsp, segment_starts=seg_starts,
+                          ref_list_l1=ref_list_l1)
         sd.decode_ctus()
         self._slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
@@ -798,8 +882,8 @@ class Decoder:
                 "cr_qp_offset": pps.cr_qp_offset,
             }
 
-    def _build_ref_list_l0(self, sps: SPS, sh: SliceHeader):
-        """RefPicList0 from the slice RPS (8.3.2/8.3.4, short-term only;
+    def _build_ref_lists(self, sps: SPS, sh: SliceHeader):
+        """RefPicList0/1 from the slice RPS (8.3.2/8.3.4, short-term only;
         reference: hevc_refs.c ff_hevc_slice_rpl :516)."""
         if sh.explicit_rps is not None:
             rps = sh.explicit_rps
@@ -809,12 +893,18 @@ class Decoder:
                   for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
         after = [self.cur_poc + d
                  for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
-        temp = before + after
-        if not temp:
-            raise ValueError("P slice with empty reference set")
-        n = sh.num_ref_idx_l0_active
-        l0 = [temp[i % len(temp)] for i in range(max(n, len(temp)))][:n]
-        return [(poc, self.dpb[poc]) for poc in l0]
+        if not before and not after:
+            raise ValueError("inter slice with empty reference set")
+
+        def build(temp, n):
+            lst = [temp[i % len(temp)] for i in range(max(n, len(temp)))][:n]
+            return [(poc, self.dpb[poc]) for poc in lst]
+
+        l0 = build(before + after, sh.num_ref_idx_l0_active)
+        l1 = []
+        if sh.slice_type == SLICE_B:
+            l1 = build(after + before, sh.num_ref_idx_l1_active)
+        return l0, l1
 
     def _compute_poc(self, sps: SPS, sh: SliceHeader, nal_type: int) -> int:
         # 8.3.1 (simplified: no msb cycle tracking needed for small tests)

@@ -85,7 +85,7 @@ class EncoderConfig:
     wpp: bool = False            # entropy_coding_sync (one segment per row)
     tiles: tuple = ()            # (num_cols, num_rows) uniform tiles
     # inter coding
-    gop: str = "all_intra"  # "all_intra" | "ipp" (IDR then P frames)
+    gop: str = "all_intra"  # "all_intra" | "ipp" | "lowb" (low-delay B)
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
 
@@ -140,7 +140,7 @@ class IntraEncoder:
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
         ).derive(self.sps)
-        if cfg.gop == "ipp":
+        if cfg.gop in ("ipp", "lowb"):
             from ..bitstream.ps import ShortTermRPS
             self.sps.st_rps = [ShortTermRPS(delta_poc_s0=[-1], used_s0=[1])]
         self.frames_encoded = 0
@@ -159,23 +159,27 @@ class IntraEncoder:
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """planes: [Y, Cb, Cr] source arrays.  Returns the AU (Annex-B)."""
         sps, pps, cfg = self.sps, self.pps, self.cfg
-        self.is_p = cfg.gop == "ipp" and self.frames_encoded > 0
+        self.is_p = cfg.gop in ("ipp", "lowb") and self.frames_encoded > 0
+        self.is_b = cfg.gop == "lowb" and self.frames_encoded > 0
         if not self.is_p:
             self.poc = 0
             self.dpb = []
         self.pic = PictureState(sps, pps)
         self.src = [p.astype(np.int32) for p in planes]
         self.e = CabacEncoder()
-        self.cm = ContextModel(1 if self.is_p else 0, cfg.qp)
+        self.cm = ContextModel(
+            2 if self.is_b else (1 if self.is_p else 0), cfg.qp)
         self.qp_y = cfg.qp
         if self.is_p:
             self.ref_list = [self.dpb[-1]]
+            self.ref_list_l1 = [self.dpb[-1]] if self.is_b else []
         else:
             self.ref_list = []
+            self.ref_list_l1 = []
 
         self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
-        init_type = 1 if self.is_p else 0
+        init_type = 2 if self.is_b else (1 if self.is_p else 0)
         # segment the CTU walk (tile-scan order) by tile / WPP-row bounds
         order = [int(pps.ctb_addr_ts_to_rs[ts]) for ts in range(n_ctbs)]
         segments = [[]]
@@ -231,14 +235,15 @@ class IntraEncoder:
                             1 << sps.log2_ctb_size, sps.bit_depth_luma,
                             sps.sub_w, sps.sub_h)
 
-        from ..bitstream.slice import SLICE_P
-        sh = SliceHeader(slice_type=SLICE_P if self.is_p else SLICE_I,
+        from ..bitstream.slice import SLICE_B, SLICE_P
+        stype = SLICE_B if self.is_b else (SLICE_P if self.is_p else SLICE_I)
+        sh = SliceHeader(slice_type=stype,
                          qp_delta=cfg.qp - pps.init_qp,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
                          pic_order_cnt_lsb=self.poc & (sps.max_poc_lsb - 1),
                          short_term_rps_sps_flag=1, short_term_rps_idx=0,
-                         num_ref_idx_l0_active=1,
+                         num_ref_idx_l0_active=1, num_ref_idx_l1_active=1,
                          five_minus_max_num_merge_cand=0)
         nal_type = nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
         if len(self._seg_payloads) > 1:
@@ -657,22 +662,29 @@ class IntraEncoder:
                     e.encode_bypass(0)
                     break
 
-    def _mc_pred(self, x0, y0, w, h, mv, ref_idx):
-        """Full MC prediction (Y, Cb, Cr) at quarter-pel mv."""
+    def _mc_pred(self, x0, y0, w, h, mi):
+        """Full MC prediction (Y, Cb, Cr) for a MotionInfo (uni or bi)."""
         from ..ops import mc as MC
         sps = self.sps
-        _, ref_planes = self.ref_list[ref_idx]
-        bd = sps.bit_depth_luma
-        py = MC.weighted_uni(MC.mc_luma(ref_planes[0], x0, y0, w, h,
-                                        mv[0], mv[1], bd), bd)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         wc, hc = w // sps.sub_w, h // sps.sub_h
-        bdc = sps.bit_depth_chroma
-        pcb = MC.weighted_uni(MC.mc_chroma(ref_planes[1], xc, yc, wc, hc,
-                                           mv[0], mv[1], bdc), bdc)
-        pcr = MC.weighted_uni(MC.mc_chroma(ref_planes[2], xc, yc, wc, hc,
-                                           mv[0], mv[1], bdc), bdc)
-        return py, pcb, pcr
+        out = []
+        for c in range(3):
+            fn = MC.mc_luma if c == 0 else MC.mc_chroma
+            bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
+            px, py_ = (x0, y0) if c == 0 else (xc, yc)
+            pw, ph = (w, h) if c == 0 else (wc, hc)
+            preds = []
+            if mi.uses_l0:
+                preds.append(fn(self.ref_list[mi.ref0][1][c], px, py_,
+                                pw, ph, mi.mv0[0], mi.mv0[1], bd))
+            if mi.uses_l1:
+                preds.append(fn(self.ref_list_l1[mi.ref1][1][c], px, py_,
+                                pw, ph, mi.mv1[0], mi.mv1[1], bd))
+            out.append(MC.weighted_bi(preds[0], preds[1], bd)
+                       if len(preds) == 2 else
+                       MC.weighted_uni(preds[0], bd))
+        return tuple(out)
 
     def _motion_search(self, x0, y0, size, mvp):
         """Integer diamond around mvp, then one eighth/quarter-pel refine."""
@@ -771,44 +783,62 @@ class IntraEncoder:
             pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
                 pred.astype(pic.planes[c_idx].dtype)
 
-    def _set_motion(self, x0, y0, w, h, mv, ref_idx):
+    def _set_motion(self, x0, y0, w, h, mi):
         pic = self.pic
-        y4, x4 = y0 >> 2, x0 >> 2
-        pic.mv_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = mv
-        pic.ref_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = ref_idx
-        pic.ref_poc_l0[y4:y4 + (h >> 2), x4:x4 + (w >> 2)] = \
-            self.ref_list[ref_idx][0]
+        sl = np.s_[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2]
+        if mi.uses_l0:
+            pic.mv_l0[sl] = mi.mv0
+            pic.ref_l0[sl] = mi.ref0
+            pic.ref_poc_l0[sl] = mi.poc0
+        if mi.uses_l1:
+            pic.mv_l1[sl] = mi.mv1
+            pic.ref_l1[sl] = mi.ref1
+            pic.ref_poc_l1[sl] = mi.poc1
         pic.mark_block_edges(x0, y0, w, h)
 
     def _coding_unit_p(self, x0, y0, log2_size, depth):
-        """P-slice CU: choose skip / merge / AMVP / intra, emit syntax."""
+        """P/B-slice CU: choose skip / merge / AMVP(L0 or BI) / intra."""
         from ..coding import mvs as MV
         sps, e, cm, pic = self.sps, self.e, self.cm, self.pic
         size = 1 << log2_size
         gq = size >> 2
+        is_b = self.is_b
         pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
         pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
-        ref_pocs = [p for p, _ in self.ref_list]
+        ref_pocs0 = [p for p, _ in self.ref_list]
+        ref_pocs1 = [p for p, _ in self.ref_list_l1]
         src = self.src[0][y0:y0 + size, x0:x0 + size]
         max_cand = 5
 
         cand = MV.merge_candidates(pic, x0, y0, size, size, 0,
-                                   MV.PART_2Nx2N, max_cand, 1, ref_pocs)
+                                   MV.PART_2Nx2N, max_cand, 1, ref_pocs0,
+                                   1, ref_pocs1, is_b)
         best_merge, merge_cost = 0, None
         merge_preds = {}
         for i, mi in enumerate(cand):
-            preds = self._mc_pred(x0, y0, size, size, list(mi.mv), mi.ref_idx)
+            preds = self._mc_pred(x0, y0, size, size, mi)
             merge_preds[i] = preds
             c = int(np.abs(src - preds[0]).sum())
             if merge_cost is None or c < merge_cost:
                 best_merge, merge_cost = i, c
 
-        mvps = MV.amvp_candidates(pic, x0, y0, size, size, 0, ref_pocs,
-                                  self.poc)
-        mv_amvp, amvp_cost = self._motion_search(x0, y0, size, mvp=mvps[0])
-        # lagrangian-ish bias: AMVP pays for the mvd bits
-        use_amvp = amvp_cost + 4 * size < merge_cost
-        mi = cand[best_merge]
+        mvps0 = MV.amvp_candidates(pic, x0, y0, size, size, 0, 0,
+                                   ref_pocs0, self.poc)
+        mv_amvp, amvp_cost = self._motion_search(x0, y0, size, mvp=mvps0[0])
+        amvp_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=0,
+                                poc0=ref_pocs0[0])
+        # occasionally try explicit BI (same mv both lists) to exercise it
+        bi_mi = None
+        if is_b and ((x0 ^ y0) >> log2_size) % 3 == 0:
+            bi_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=0,
+                                  poc0=ref_pocs0[0],
+                                  mv1=(mv_amvp[0] + 4, mv_amvp[1]),
+                                  ref1=0, poc1=ref_pocs1[0])
+            bi_preds = self._mc_pred(x0, y0, size, size, bi_mi)
+            bi_cost = int(np.abs(src - bi_preds[0]).sum())
+        use_bi = bi_mi is not None and bi_cost <= amvp_cost
+        use_amvp = (bi_cost if use_bi else amvp_cost) + 4 * size < merge_cost
+        mi_merge = cand[best_merge]
 
         intra_cost = None
         if self.cfg.p_intra_fallback:
@@ -817,9 +847,9 @@ class IntraEncoder:
             intra_cost = int(np.abs(
                 src[:min(size, 32), :min(size, 32)] - ip).sum()) \
                 * (size * size) // (min(size, 32) ** 2)
-        best_inter_cost = amvp_cost if use_amvp else merge_cost
+        best_inter_cost = (bi_cost if use_bi else amvp_cost) \
+            if use_amvp else merge_cost
         if intra_cost is not None and intra_cost * 2 < best_inter_cost:
-            # intra CU inside the P slice
             e.encode_bin(cm.at("cu_skip_flag",
                                self._skip_ctx(x0, y0)), 0)
             e.encode_bin(cm.at("pred_mode_flag", 0), 1)
@@ -827,11 +857,11 @@ class IntraEncoder:
             return
 
         if use_amvp:
-            preds = self._mc_pred(x0, y0, size, size, mv_amvp, 0)
-            mv_used, ref_used = mv_amvp, 0
+            mi_used = bi_mi if use_bi else amvp_mi
+            preds = self._mc_pred(x0, y0, size, size, mi_used)
         else:
+            mi_used = mi_merge
             preds = merge_preds[best_merge]
-            mv_used, ref_used = list(mi.mv), mi.ref_idx
         levels = self._inter_residual(x0, y0, log2_size, preds)
         no_resid = all(lv is None for lv in levels)
 
@@ -843,7 +873,7 @@ class IntraEncoder:
                           x0 >> 2:(x0 >> 2) + gq] = True
             self._recon_inter_cu(x0, y0, log2_size, preds,
                                  (None, None, None))
-            self._set_motion(x0, y0, size, size, mv_used, ref_used)
+            self._set_motion(x0, y0, size, size, mi_used)
             return
         e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 0)
         e.encode_bin(cm.at("pred_mode_flag", 0), 0)
@@ -853,11 +883,26 @@ class IntraEncoder:
             self._encode_merge_idx(best_merge, max_cand)
         else:
             e.encode_bin(cm.at("merge_flag", 0), 0)
+            if is_b:
+                # inter_pred_idc: bin0 ctx=depth (BI?), then list bin ctx=4
+                if use_bi:
+                    e.encode_bin(cm.at("inter_pred_idc", depth), 1)
+                else:
+                    e.encode_bin(cm.at("inter_pred_idc", depth), 0)
+                    e.encode_bin(cm.at("inter_pred_idc", 4), 0)  # L0
             # num_ref == 1: no ref_idx bits
-            mvd = (mv_amvp[0] - mvps[0][0], mv_amvp[1] - mvps[0][1])
-            self._encode_mvd(mvd)
+            mvd0 = (mi_used.mv0[0] - mvps0[0][0],
+                    mi_used.mv0[1] - mvps0[0][1])
+            self._encode_mvd(mvd0)
             e.encode_bin(cm.at("mvp_lx_flag", 0), 0)
-        self._set_motion(x0, y0, size, size, mv_used, ref_used)
+            if use_bi:
+                mvps1 = MV.amvp_candidates(pic, x0, y0, size, size, 1, 0,
+                                           ref_pocs1, self.poc)
+                mvd1 = (mi_used.mv1[0] - mvps1[0][0],
+                        mi_used.mv1[1] - mvps1[0][1])
+                self._encode_mvd(mvd1)
+                e.encode_bin(cm.at("mvp_lx_flag", 0), 0)
+        self._set_motion(x0, y0, size, size, mi_used)
         # rqt_root_cbf (not coded for 2Nx2N merge)
         if use_amvp:
             e.encode_bin(cm.at("no_residual_data_flag", 0),
@@ -870,7 +915,6 @@ class IntraEncoder:
         lv_y, lv_cb, lv_cr = levels
         e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb is None else 1)
         e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr is None else 1)
-        # cbf_luma inferred 1 at depth 0 when both chroma cbfs are 0
         if lv_cb is not None or lv_cr is not None:
             e.encode_bin(cm.at("cbf_luma", 1), 0 if lv_y is None else 1)
         else:

@@ -29,8 +29,8 @@ for f in range(1, 8):
     EPEL_TAPS[f] = M.EPEL_FILTERS[f]
 
 
-def _interp_one(win, th, tv, w, h, ntaps, bd):
-    """win: [h+ntaps-1, w+ntaps-1] int32; th/tv: [ntaps] taps."""
+def _interp_raw(win, th, tv, w, h, ntaps, bd):
+    """14-bit predSamples.  win: [h+ntaps-1, w+ntaps-1] int32."""
     shift1 = bd - 8
     tmp = jnp.zeros((h + ntaps - 1, w), jnp.int32)
     for i in range(ntaps):
@@ -39,37 +39,48 @@ def _interp_one(win, th, tv, w, h, ntaps, bd):
     out = jnp.zeros((h, w), jnp.int32)
     for i in range(ntaps):
         out = out + tv[i] * tmp[i:i + h, :]
-    out = out >> 6
-    # default uni weighted prediction (8.5.4.3.2)
-    shift = 14 - bd
-    return jnp.clip((out + (1 << (shift - 1))) >> shift, 0, (1 << bd) - 1)
+    return out >> 6
 
 
-def make_mc_group_fn(is_chroma: bool, w: int, h: int, bd: int):
-    """Build the vmapped MC for one (kind, w, h) group.
+def make_mc_group_fn(is_chroma: bool, bi: bool, w: int, h: int, bd: int):
+    """Build the vmapped MC for one (kind, bi, w, h) group.
 
-    Record fields (int32): ref_sel, base_y, base_x (padded-ref coords of
-    the window origin), frac_x, frac_y, cy, cx (canvas target)."""
+    Uni fields (int32 [N,7]): ref_sel, base_y, base_x, frac_x, frac_y,
+    cy, cx.  Bi fields ([N,12]): two (sel, by, bx, fx, fy) sets + cy, cx.
+    Base coords are padded-ref window origins."""
     ntaps = 4 if is_chroma else 8
     taps = jnp.asarray(EPEL_TAPS if is_chroma else QPEL_TAPS)
+    maxv = (1 << bd) - 1
 
-    def one(refs, ref_sel, by, bx, fx, fy):
+    def raw(refs, sel, by, bx, fx, fy):
         win = jax.lax.dynamic_slice(
-            refs, (ref_sel, by, bx), (1, h + ntaps - 1, w + ntaps - 1))[0]
-        return _interp_one(win, taps[fx], taps[fy], w, h, ntaps, bd)
+            refs, (sel, by, bx), (1, h + ntaps - 1, w + ntaps - 1))[0]
+        return _interp_raw(win, taps[fx], taps[fy], w, h, ntaps, bd)
 
-    return jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))
+    if bi:
+        def one(refs, f):
+            p0 = raw(refs, f[0], f[1], f[2], f[3], f[4])
+            p1 = raw(refs, f[5], f[6], f[7], f[8], f[9])
+            shift = 15 - bd
+            return jnp.clip((p0 + p1 + (1 << (shift - 1))) >> shift,
+                            0, maxv)
+    else:
+        def one(refs, f):
+            p = raw(refs, f[0], f[1], f[2], f[3], f[4])
+            shift = 14 - bd
+            return jnp.clip((p + (1 << (shift - 1))) >> shift, 0, maxv)
+
+    return jax.vmap(one, in_axes=(None, 0))
 
 
 def mc_phase(canvas, refs_l, refs_c, groups, bd):
     """Apply all MC predictions.  groups: tuple of
-    (is_chroma, w, h, fields) with fields int32 [N, 7]."""
-    for is_chroma, w, h, fields in groups:
+    (is_chroma, bi, w, h, fields)."""
+    for is_chroma, bi, w, h, fields in groups:
         refs = refs_c if is_chroma else refs_l
-        fn = make_mc_group_fn(is_chroma, w, h, bd)
-        blk = fn(refs, fields[:, 0], fields[:, 1], fields[:, 2],
-                 fields[:, 3], fields[:, 4])
-        cy, cx = fields[:, 5], fields[:, 6]
+        fn = make_mc_group_fn(is_chroma, bi, w, h, bd)
+        blk = fn(refs, fields[:, :-2])
+        cy, cx = fields[:, -2], fields[:, -1]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
         canvas = canvas.at[cy[:, None, None] + ii,

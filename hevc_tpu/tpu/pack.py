@@ -173,28 +173,42 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
                                int(ac)), bits)
 
     # ---- MC + inter-residual phase groups -------------------------------
-    refs = getattr(pic, "ref_list_l0", []) or []
+    refs0 = getattr(pic, "ref_list_l0", []) or []
+    refs1 = getattr(pic, "ref_list_l1", []) or []
+    refs = list(refs0) + list(refs1)
     nrefs = len(refs)
+    r0 = len(refs0)
+
+    def _mc_entry(r, plane, mv, ridx, lx):
+        """(sel, by, bx, fx, fy) for one prediction of a record."""
+        if plane:
+            fx, fy = mv[0] & 7, mv[1] & 7
+            bx = PAD_REF + r.x + (mv[0] >> 3) - 1
+            by = PAD_REF + r.y + (mv[1] >> 3) - 1
+            sel = (plane - 1) * nrefs + ridx + (r0 if lx else 0)
+        else:
+            fx, fy = mv[0] & 3, mv[1] & 3
+            bx = PAD_REF + r.x + (mv[0] >> 2) - 3
+            by = PAD_REF + r.y + (mv[1] >> 2) - 3
+            sel = ridx + (r0 if lx else 0)
+        assert bx >= 0 and by >= 0, "MV exceeds PAD_REF"
+        return (sel, by, bx, fx, fy)
+
     mc_grp = {}
     for r in mc_records:
         is_ch = r.plane > 0
-        key = (is_ch, r.size, r.h)
+        key = (is_ch, bool(r.bi), r.size, r.h)
         oy, ox, _, _ = reg[r.plane]
-        if is_ch:
-            fx, fy = r.mv[0] & 7, r.mv[1] & 7
-            bx = PAD_REF + r.x + (r.mv[0] >> 3) - 1
-            by = PAD_REF + r.y + (r.mv[1] >> 3) - 1
-            sel = (r.plane - 1) * nrefs + r.ref_idx
+        if r.bi:
+            row = (_mc_entry(r, r.plane, r.mv, r.ref_idx, 0)
+                   + _mc_entry(r, r.plane, r.mv1, r.ref_idx1, 1)
+                   + (oy + r.y, ox + r.x))
         else:
-            fx, fy = r.mv[0] & 3, r.mv[1] & 3
-            bx = PAD_REF + r.x + (r.mv[0] >> 2) - 3
-            by = PAD_REF + r.y + (r.mv[1] >> 2) - 3
-            sel = r.ref_idx
-        assert bx >= 0 and by >= 0, "MV exceeds PAD_REF"
-        mc_grp.setdefault(key, []).append(
-            (sel, by, bx, fx, fy, oy + r.y, ox + r.x))
+            row = (_mc_entry(r, r.plane, r.mv, r.ref_idx, r.lx)
+                   + (oy + r.y, ox + r.x))
+        mc_grp.setdefault(key, []).append(row)
     mc_groups = tuple(
-        (k[0], k[1], k[2], np.asarray(v, np.int32))
+        (k[0], k[1], k[2], k[3], np.asarray(v, np.int32))
         for k, v in sorted(mc_grp.items()))
     resid_grp = [[] for _ in range(4)]
     for r in resid_records:
@@ -212,10 +226,12 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
             [np.pad(pl[1], pad, mode="edge") for _, pl in refs]
             + [np.pad(pl[2], pad, mode="edge") for _, pl in refs]
         ).astype(np.int32)
-        for is_ch, w, h, fields in mc_groups:
+        for is_ch, bi, w, h, fields in mc_groups:
             hp, wp = (refs_c.shape[1:] if is_ch else refs_l.shape[1:])
             ext = (3 if is_ch else 7)
-            assert (fields[:, 1] + h + ext <= hp).all()                 and (fields[:, 2] + w + ext <= wp).all(),                 "MV exceeds PAD_REF"
+            assert ((fields[:, 1] + h + ext <= hp).all()
+                    and (fields[:, 2] + w + ext <= wp).all()), \
+                "MV exceeds PAD_REF"
     else:
         refs_l = np.zeros((1, 8, 8), np.int32)
         refs_c = np.zeros((1, 8, 8), np.int32)

@@ -41,8 +41,8 @@ def reconstruct_device(canvas, scal, avail, levels, rmeta,
                        bit_depth, n_chunks, mc_shapes=()):
     from .mc import mc_phase, resid_phase
     resids = _residuals(levels, rmeta, bit_depth)
-    groups = tuple((ic, w, h, f)
-                   for (ic, w, h), f in zip(mc_shapes, mc_fields))
+    groups = tuple((ic, bi, w, h, f)
+                   for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
     canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
     canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
     return reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,
@@ -50,8 +50,8 @@ def reconstruct_device(canvas, scal, avail, levels, rmeta,
 
 
 def _mc_args(pf: PackedFrame):
-    mc_shapes = tuple((ic, w, h) for ic, w, h, _ in pf.mc_groups)
-    mc_fields = tuple(jnp.asarray(f) for _, _, _, f in pf.mc_groups)
+    mc_shapes = tuple((ic, bi, w, h) for ic, bi, w, h, _ in pf.mc_groups)
+    mc_fields = tuple(jnp.asarray(f) for _, _, _, _, f in pf.mc_groups)
     resid_fields = tuple(jnp.asarray(g) for g in pf.resid_groups) \
         if pf.resid_groups else tuple(
             jnp.zeros((0, 3), jnp.int32) for _ in range(4))
@@ -104,8 +104,8 @@ def decode_frame_device(canvas, scal, avail, levels, rmeta, qp4, bs_v, bs_h,
 
     from .mc import mc_phase, resid_phase
     resids = _residuals(levels, rmeta, bit_depth)
-    groups = tuple((ic, w, h, f)
-                   for (ic, w, h), f in zip(mc_shapes, mc_fields))
+    groups = tuple((ic, bi, w, h, f)
+                   for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
     canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
     canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
     out = reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,

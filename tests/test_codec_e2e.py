@@ -237,3 +237,31 @@ def test_oracle_bitexact_wpp_tiles(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
         assert flatten(recons) == oracle, f"wpp/tiles config {i} diverged"
+
+
+@needs_oracle
+def test_oracle_bitexact_b_slices(tmp_path):
+    """Low-delay B: bi-prediction, two lists, inter_pred_idc."""
+    for i, cfg in enumerate([
+        EncoderConfig(width=96, height=64, qp=30, gop="lowb",
+                      search_range=2),
+        EncoderConfig(width=96, height=64, qp=31, gop="lowb",
+                      search_range=2, deblocking=True, sao=True),
+    ]):
+        frames = _moving_frames(cfg.width, cfg.height, 4)
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+        assert flatten(recons) == oracle, f"b-slice config {i} diverged"
+
+
+def test_jax_backend_b_slices():
+    from hevc_tpu.decoder.core import Decoder as D
+    cfg = EncoderConfig(width=96, height=64, qp=30, gop="lowb",
+                        search_range=2, deblocking=True, sao=True)
+    frames = _moving_frames(96, 64, 4)
+    enc = IntraEncoder(cfg)
+    stream = bytearray()
+    for f in frames:
+        stream += enc.encode_frame(f)
+    jx = D(recon_backend="jax").decode_bytes(bytes(stream))
+    assert all(f.md5_ok for f in jx)
