@@ -328,12 +328,16 @@ class SliceDecoder:
                         plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
                         levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx))
         else:
+            hs, vs = sps.sub_w - 1, sps.sub_h - 1
             planes_pred = []
             for c in range(3):
-                fn = MC.mc_luma if c == 0 else MC.mc_chroma
                 bdx = bd if c == 0 else bdc
                 px, py = (x_pb, y_pb) if c == 0 else (xc, yc)
                 pw, ph = (n_w, n_h) if c == 0 else (wc, hc)
+                if c == 0:
+                    fn = MC.mc_luma
+                else:
+                    fn = lambda *a: MC.mc_chroma(*a, hshift=hs, vshift=vs)
                 preds = []
                 if mi.uses_l0:
                     rp = self.ref_list[mi.ref0][1][c]
@@ -721,7 +725,11 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
         bd = sps.bit_depth_luma if r.plane == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
         if r.kind == "mc":
-            fn = MC.mc_luma if r.plane == 0 else MC.mc_chroma
+            if r.plane == 0:
+                fn = MC.mc_luma
+            else:
+                hs, vs = sps.sub_w - 1, sps.sub_h - 1
+                fn = lambda *a: MC.mc_chroma(*a, hshift=hs, vshift=vs)
             if r.bi:
                 p0 = fn(pic.ref_list_l0[r.ref_idx][1][r.plane], r.x, r.y,
                         r.size, r.h, r.mv[0], r.mv[1], bd)

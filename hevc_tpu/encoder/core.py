@@ -74,6 +74,7 @@ class EncoderConfig:
     sei_hash: bool = True
     deblocking: bool = False  # in-loop deblocking (decoder filter stage)
     sao: bool = False  # emit random SAO params (exercises the SAO stage)
+    transform_skip: bool = False  # use transform_skip on some 4x4 TUs
     # structure policies: "fixed" | "variance" | "random"
     split_policy: str = "fixed"
     max_transform_hierarchy_depth_intra: int = 0
@@ -94,7 +95,7 @@ class _TuPlan:
     """One planned transform-tree node."""
     __slots__ = ("x0", "y0", "log2", "depth", "blk_idx", "split", "children",
                  "lv_y", "cbf_luma", "lv_cb", "lv_cr", "cbf_cb", "cbf_cr",
-                 "chroma_leaf")
+                 "chroma_leaf", "ts")
 
     def __init__(self, x0, y0, log2, depth, blk_idx):
         self.x0, self.y0, self.log2 = x0, y0, log2
@@ -108,6 +109,7 @@ class _TuPlan:
         self.cbf_cb = 0
         self.cbf_cr = 0
         self.chroma_leaf = False
+        self.ts = False
 
 
 class IntraEncoder:
@@ -131,8 +133,12 @@ class IntraEncoder:
         if cfg.bit_depth == 10:
             self.sps.ptl.profile_idc = 2  # Main 10
             self.sps.ptl.compat_flags = (1 << 30) | (1 << 29)
+        if cfg.chroma_format_idc != 1:
+            self.sps.ptl.profile_idc = 4  # Range extensions
+            self.sps.ptl.compat_flags = 1 << (31 - 4)
         self.pps = PPS(
             init_qp=cfg.qp,
+            transform_skip_enabled=1 if cfg.transform_skip else 0,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
             entropy_coding_sync_enabled=1 if cfg.wpp else 0,
@@ -522,20 +528,29 @@ class IntraEncoder:
         pred = pic.predict_intra(0, x0, y0, size, mode)
         res = self.src[0][y0:y0 + size, x0:x0 + size] - pred
         use_dst = node.log2 == 2
-        coef = forward_transform(res, bd, dst=use_dst)
+        node.ts = (self.cfg.transform_skip and node.log2 == 2
+                   and self.rng.random() < 0.5)
+        if node.ts:
+            coef = res.astype(np.int64) << (13 - bd)
+        else:
+            coef = forward_transform(res, bd, dst=use_dst)
         lv = quantize(coef, self.qp_y + sps.qp_bd_offset, node.log2, bd)
         node.lv_y = lv
         node.cbf_luma = 1 if lv.any() else 0
         if node.cbf_luma:
             dq = R.dequant(lv, self.qp_y + sps.qp_bd_offset, node.log2, bd)
-            r = R.inverse_transform(dq, bd, dst=use_dst)
+            r = (R.transform_skip_residual(dq, bd) if node.ts
+                 else R.inverse_transform(dq, bd, dst=use_dst))
             rec = np.clip(pred + r, 0, maxv)
         else:
             rec = pred
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
             rec.astype(pic.planes[0].dtype)
-        # chroma leaf? (4:2:0: at log2>2, or the 4th 4x4 of an 8x8)
-        if node.log2 > 2:
+        # chroma leaf? (4:4:4: every leaf; 4:2:0: log2>2 or 4th 4x4)
+        if sps.chroma_format_idc == 3:
+            node.chroma_leaf = True
+            self._compute_chroma(node, x0, y0, node.log2, chroma_mode)
+        elif node.log2 > 2:
             node.chroma_leaf = True
             self._compute_chroma(node, x0 >> 1, y0 >> 1, node.log2 - 1,
                                  chroma_mode)
@@ -608,18 +623,29 @@ class IntraEncoder:
         mode = int(self.pic.intra_mode_y[node.y0 >> 2, node.x0 >> 2])
         if node.cbf_luma:
             scan = scan_idx_for_intra(mode, log2, 0, sps.chroma_format_idc)
-            encode_residual(e, cm, node.lv_y, log2, 0, scan)
+            ts_ok = (self.pps.transform_skip_enabled and log2
+                     <= self.pps.log2_max_transform_skip_block_size)
+            encode_residual(e, cm, node.lv_y, log2, 0, scan,
+                            transform_skip_allowed=bool(ts_ok),
+                            ts_flag=1 if node.ts else 0)
         if node.chroma_leaf:
-            log2c = log2 - 1 if log2 > 2 else 2
+            if sps.chroma_format_idc == 3:
+                log2c = log2
+            else:
+                log2c = log2 - 1 if log2 > 2 else 2
             # inherited cbfs: for log2==2 leaves the parent's cbf applies
             ccb = node.cbf_cb if log2 > 2 else cbf_cb_par
             ccr = node.cbf_cr if log2 > 2 else cbf_cr_par
             scan_c = scan_idx_for_intra(chroma_mode, log2c, 1,
                                         sps.chroma_format_idc)
+            ts_ok_c = (self.pps.transform_skip_enabled and log2c
+                       <= self.pps.log2_max_transform_skip_block_size)
             if ccb:
-                encode_residual(e, cm, node.lv_cb, log2c, 1, scan_c)
+                encode_residual(e, cm, node.lv_cb, log2c, 1, scan_c,
+                                transform_skip_allowed=bool(ts_ok_c))
             if ccr:
-                encode_residual(e, cm, node.lv_cr, log2c, 2, scan_c)
+                encode_residual(e, cm, node.lv_cr, log2c, 2, scan_c,
+                                transform_skip_allowed=bool(ts_ok_c))
 
     # ---- inter coding (P frames) -----------------------------------------
     def _encode_eg1(self, v: int):
@@ -668,9 +694,13 @@ class IntraEncoder:
         sps = self.sps
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         wc, hc = w // sps.sub_w, h // sps.sub_h
+        hs, vs = sps.sub_w - 1, sps.sub_h - 1
         out = []
         for c in range(3):
-            fn = MC.mc_luma if c == 0 else MC.mc_chroma
+            if c == 0:
+                fn = MC.mc_luma
+            else:
+                fn = lambda *a: MC.mc_chroma(*a, hshift=hs, vshift=vs)
             bd = sps.bit_depth_luma if c == 0 else sps.bit_depth_chroma
             px, py_ = (x0, y0) if c == 0 else (xc, yc)
             pw, ph = (w, h) if c == 0 else (wc, hc)
@@ -742,7 +772,7 @@ class IntraEncoder:
                         intra=False)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         csize = size // sps.sub_w
-        log2c = log2_size - 1
+        log2c = log2_size - (sps.sub_w - 1)
         out_c = []
         for c_idx, pred in ((1, pcb), (2, pcr)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
@@ -763,7 +793,7 @@ class IntraEncoder:
         py, pcb, pcr = preds
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         csize = size // sps.sub_w
-        log2c = log2_size - 1
+        log2c = log2_size - (sps.sub_w - 1)
         if lv_y is not None:
             d = R.dequant(lv_y, self.qp_y + sps.qp_bd_offset, log2_size, bd)
             py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
@@ -921,7 +951,7 @@ class IntraEncoder:
             assert lv_y is not None, "all-zero residual must use rootcbf=0"
         if lv_y is not None:
             encode_residual(e, cm, lv_y, log2_size, 0, 0)
-        log2c = log2_size - 1
+        log2c = log2_size - (self.sps.sub_w - 1)
         if lv_cb is not None:
             encode_residual(e, cm, lv_cb, log2c, 1, 0)
         if lv_cr is not None:

@@ -148,7 +148,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
         c = planes[c_idx].astype(np.int32)
         ch, cw = c.shape
         off = cb_qp_offset if c_idx == 1 else cr_qp_offset
-        step_x = 16 // sub_w  # chroma-sample spacing of filtered edges
+        step_x = 8  # chroma edges every 8 chroma samples (8.7.2)
         for xc in range(step_x, cw, step_x):
             xl = xc * sub_w  # luma column of the edge
             for yc0 in range(0, ch, 4):
@@ -190,7 +190,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
         c = cplanes[k]
         ch, cw = c.shape
         off = cb_qp_offset if c_idx == 1 else cr_qp_offset
-        step_y = 16 // sub_h
+        step_y = 8
         for yce in range(step_y, ch, step_y):
             yle = yce * sub_h
             for xc0 in range(0, cw, 4):

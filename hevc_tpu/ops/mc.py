@@ -79,19 +79,28 @@ def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     return (acc >> shift2).astype(np.int32)
 
 
+def chroma_mv_parts(mv: int, shift: int):
+    """(integer offset, eighth-pel filter index) of a chroma MV component
+    for subsampling shift (1 = half-res, 0 = full-res); mv is the luma
+    quarter-pel value (mvCLX == mvLX, 8.5.3.2.9)."""
+    return mv >> (2 + shift), (mv & ((1 << (2 + shift)) - 1)) << (1 - shift)
+
+
 def mc_chroma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
-              mv_x: int, mv_y: int, bit_depth: int) -> np.ndarray:
+              mv_x: int, mv_y: int, bit_depth: int,
+              hshift: int = 1, vshift: int = 1) -> np.ndarray:
     """Chroma fractional interpolation (8.5.4.2.2.2).
 
-    mv in eighth-pel units (chroma coords for 4:2:0).  Returns the
-    14-bit predSamples [h, w]."""
+    mv in luma quarter-pel units; hshift/vshift per chroma format
+    (4:2:0 = 1/1, 4:2:2 = 1/0, 4:4:4 = 0/0).  Returns the 14-bit
+    predSamples [h, w]."""
     shift1 = bit_depth - 8
     shift2 = 6
     shift3 = 14 - bit_depth
-    xi = x0 + (mv_x >> 3)
-    yi = y0 + (mv_y >> 3)
-    fx = mv_x & 7
-    fy = mv_y & 7
+    ox, fx = chroma_mv_parts(mv_x, hshift)
+    oy, fy = chroma_mv_parts(mv_y, vshift)
+    xi = x0 + ox
+    yi = y0 + oy
     xs = np.arange(w) + xi
     ys = np.arange(h) + yi
     if fx == 0 and fy == 0:

@@ -179,12 +179,16 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
     nrefs = len(refs)
     r0 = len(refs0)
 
+    hs, vs = sps.sub_w - 1, sps.sub_h - 1
+
     def _mc_entry(r, plane, mv, ridx, lx):
         """(sel, by, bx, fx, fy) for one prediction of a record."""
+        from ..ops.mc import chroma_mv_parts
         if plane:
-            fx, fy = mv[0] & 7, mv[1] & 7
-            bx = PAD_REF + r.x + (mv[0] >> 3) - 1
-            by = PAD_REF + r.y + (mv[1] >> 3) - 1
+            ox, fx = chroma_mv_parts(mv[0], hs)
+            oy, fy = chroma_mv_parts(mv[1], vs)
+            bx = PAD_REF + r.x + ox - 1
+            by = PAD_REF + r.y + oy - 1
             sel = (plane - 1) * nrefs + ridx + (r0 if lx else 0)
         else:
             fx, fy = mv[0] & 3, mv[1] & 3

@@ -265,3 +265,30 @@ def test_jax_backend_b_slices():
         stream += enc.encode_frame(f)
     jx = D(recon_backend="jax").decode_bytes(bytes(stream))
     assert all(f.md5_ok for f in jx)
+
+
+@needs_oracle
+def test_oracle_bitexact_444_and_ts(tmp_path):
+    """RExt 4:4:4 chroma + transform_skip vs the oracle."""
+    rng = np.random.default_rng(1)
+    w, h = 64, 48
+    base444 = [rng.integers(40, 220, (h, w)).astype(np.uint8)
+               for _ in range(3)]
+    for i, (cfg, frames) in enumerate([
+        (EncoderConfig(width=w, height=h, qp=30, chroma_format_idc=3),
+         [base444]),
+        (EncoderConfig(width=w, height=h, qp=30, chroma_format_idc=3,
+                       gop="ipp", search_range=2),
+         [[np.roll(p, (t * 2, t * 3), (0, 1)) for p in base444]
+          for t in range(3)]),
+        (EncoderConfig(width=w, height=h, qp=33, chroma_format_idc=3,
+                       deblocking=True, sao=True), [base444]),
+        (EncoderConfig(width=w, height=h, qp=30, transform_skip=True,
+                       split_policy="random",
+                       max_transform_hierarchy_depth_intra=2, seed=5,
+                       full_mode_search=True),
+         [synth_frame("noise", w, h, 0)]),
+    ]):
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, w, h, tmp_path)
+        assert flatten(recons) == oracle, f"444/ts config {i} diverged"
