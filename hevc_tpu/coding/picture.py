@@ -270,6 +270,11 @@ def mpm_list(cand_a: int, cand_b: int):
 CHROMA_CAND = (R.INTRA_PLANAR, R.INTRA_ANGULAR_VER, R.INTRA_ANGULAR_HOR,
                R.INTRA_DC)
 
+# Table 8-3: intra mode conversion for 4:2:2 chroma
+CHROMA_422_MODE = (0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18,
+                   19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28,
+                   28, 29, 29, 30, 31)
+
 
 def chroma_mode_from_idx(idx: int, luma_mode: int) -> int:
     """8.4.3: intra_chroma_pred_mode 0..3 → mode (4 means derived=luma)."""

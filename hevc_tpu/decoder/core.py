@@ -25,7 +25,8 @@ from ..bitstream.sei import (SEI_TYPE_DECODED_PICTURE_HASH, DecodedPictureHash,
 from ..bitstream.slice import SLICE_B, SLICE_I, SLICE_P, SliceHeader
 from ..cabac.ctx import ContextModel
 from ..cabac.engine import CabacDecoder
-from ..coding.picture import PictureState, chroma_mode_from_idx, mpm_list
+from ..coding.picture import (CHROMA_422_MODE, PictureState,
+                              chroma_mode_from_idx, mpm_list)
 from ..coding.residual import decode_residual
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
@@ -548,7 +549,7 @@ class SliceDecoder:
         cu.inter_split = False
         cu.max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
                               + (1 if cu.intra_split else 0))
-        self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
+        self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, (1, 1), (1, 1), cu)
 
     def _inter_cu(self, x0, y0, log2_size, depth, cu):
         """Inter CU: partitions, PUs (merge/AMVP + MC), residual tree."""
@@ -582,7 +583,7 @@ class SliceDecoder:
             cu.inter_split = (sps.max_transform_hierarchy_depth_inter == 0
                               and part != PART_2Nx2N)
             cu.max_trafo_depth = sps.max_transform_hierarchy_depth_inter
-            self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
+            self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, (1, 1), (1, 1), cu)
 
     # ---- transform tree --------------------------------------------------
     def transform_tree(self, x0, y0, xb, yb, log2_size, depth, blk_idx,
@@ -598,18 +599,23 @@ class SliceDecoder:
             split = 1 if (log2_size > sps.log2_max_tb_size
                           or intra_split_here or inter_split_here) else 0
         chroma_here = log2_size > 2 or sps.chroma_format_idc == 3
-        cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par
+        is422 = sps.chroma_format_idc == 2
+        cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par  # (first, second) pairs
         if chroma_here:
-            if depth == 0 or cbf_cb_par:
-                cbf_cb = d.decode_bin(cm.at("cbf_cbcr", depth))
-            else:
-                cbf_cb = 0
-            if depth == 0 or cbf_cr_par:
-                cbf_cr = d.decode_bin(cm.at("cbf_cbcr", depth))
-            else:
-                cbf_cr = 0
+            second = is422 and (not split or log2_size == 3)
+
+            def parse_pair(par):
+                if depth == 0 or par[0]:
+                    f0 = d.decode_bin(cm.at("cbf_cbcr", depth))
+                    f1 = d.decode_bin(cm.at("cbf_cbcr", depth)) \
+                        if second else f0
+                    return (f0, f1)
+                return (0, 0)
+
+            cbf_cb = parse_pair(cbf_cb_par)
+            cbf_cr = parse_pair(cbf_cr_par)
         elif depth == 0:
-            cbf_cb = cbf_cr = 0
+            cbf_cb = cbf_cr = (0, 0)
         if split:
             half = 1 << (log2_size - 1)
             for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
@@ -618,7 +624,7 @@ class SliceDecoder:
                                     cbf_cb, cbf_cr, cu)
         else:
             cbf_luma = 1
-            if cu.pred_intra or depth != 0 or cbf_cb or cbf_cr:
+            if cu.pred_intra or depth != 0 or any(cbf_cb) or any(cbf_cr):
                 cbf_luma = d.decode_bin(
                     self.cm.at("cbf_luma", 1 if depth == 0 else 0))
             self.transform_unit(x0, y0, xb, yb, log2_size, depth, blk_idx,
@@ -702,19 +708,32 @@ class SliceDecoder:
                        or blk_idx == 3)
         if not chroma_here:
             return
-        if sps.chroma_format_idc == 3:
-            xc, yc, log2c = x0, y0, log2_size
+        fmt = sps.chroma_format_idc
+        if fmt == 3:
+            blocks = [(x0, y0, log2_size)]
+        elif fmt == 2:
+            # two stacked square TBs (chroma height == luma height)
+            if log2_size == 2:
+                xc, yc, log2c = xb >> 1, yb, 2
+            else:
+                xc, yc, log2c = x0 >> 1, y0, log2_size - 1
+            blocks = [(xc, yc, log2c), (xc, yc + (1 << log2c), log2c)]
         elif log2_size == 2:
-            xc, yc, log2c = xb >> 1, yb >> 1, 2
+            blocks = [(xb >> 1, yb >> 1, 2)]
         else:
-            xc, yc, log2c = x0 >> 1, y0 >> 1, log2_size - 1
-        csize = 1 << log2c
-        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            blocks = [(x0 >> 1, y0 >> 1, log2_size - 1)]
+        for c_idx, cbf_pair in ((1, cbf_cb), (2, cbf_cr)):
             mode_c = cu.chroma_mode
-            lv, ts = (None, 0)
-            if cbf:
-                lv, ts = self._decode_levels(c_idx, log2c, mode_c, cu)
-            self._recon_block(c_idx, xc, yc, csize, mode_c, lv, ts, cu)
+            if fmt == 2:
+                mode_c = CHROMA_422_MODE[mode_c]
+            for half, (xc, yc, log2c) in enumerate(blocks):
+                csize = 1 << log2c
+                cbf = cbf_pair[half] if isinstance(cbf_pair, tuple) \
+                    else cbf_pair
+                lv, ts = (None, 0)
+                if cbf:
+                    lv, ts = self._decode_levels(c_idx, log2c, mode_c, cu)
+                self._recon_block(c_idx, xc, yc, csize, mode_c, lv, ts, cu)
 
 
 def execute_plan_numpy(pic: PictureState, plan) -> None:

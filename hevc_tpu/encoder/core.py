@@ -104,10 +104,10 @@ class _TuPlan:
         self.children: List[_TuPlan] = []
         self.lv_y = None
         self.cbf_luma = 0
-        self.lv_cb = None
-        self.lv_cr = None
-        self.cbf_cb = 0
-        self.cbf_cr = 0
+        self.lv_cb = []      # per chroma TB (2 for 4:2:2)
+        self.lv_cr = []
+        self.cbf_cb = (0, 0)
+        self.cbf_cr = (0, 0)
         self.chroma_leaf = False
         self.ts = False
 
@@ -490,7 +490,7 @@ class IntraEncoder:
         self._compute_tu(root, modes, chroma_mode, x0, y0, intra_split,
                          pb_size)
         self._propagate_cbf(root)
-        self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode, 1, 1)
+        self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode, (1, 1), (1, 1))
 
     def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
                  max_trafo_depth) -> _TuPlan:
@@ -546,46 +546,71 @@ class IntraEncoder:
             rec = pred
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
             rec.astype(pic.planes[0].dtype)
-        # chroma leaf? (4:4:4: every leaf; 4:2:0: log2>2 or 4th 4x4)
-        if sps.chroma_format_idc == 3:
+        # chroma leaf? (4:4:4/4:2:2: per format; 4:2:0: log2>2 or 4th 4x4)
+        fmt = sps.chroma_format_idc
+        if fmt == 3:
             node.chroma_leaf = True
-            self._compute_chroma(node, x0, y0, node.log2, chroma_mode)
+            self._compute_chroma(node, [(x0, y0, node.log2)], chroma_mode)
+        elif fmt == 2:
+            if node.log2 > 2:
+                node.chroma_leaf = True
+                lc = node.log2 - 1
+                self._compute_chroma(
+                    node, [(x0 >> 1, y0, lc), (x0 >> 1, y0 + (1 << lc), lc)],
+                    chroma_mode)
+            elif node.blk_idx == 3:
+                node.chroma_leaf = True
+                xb, yb = x0 - 4, y0 - 4
+                self._compute_chroma(
+                    node, [(xb >> 1, yb, 2), (xb >> 1, yb + 4, 2)],
+                    chroma_mode)
         elif node.log2 > 2:
             node.chroma_leaf = True
-            self._compute_chroma(node, x0 >> 1, y0 >> 1, node.log2 - 1,
+            self._compute_chroma(node, [(x0 >> 1, y0 >> 1, node.log2 - 1)],
                                  chroma_mode)
         elif node.blk_idx == 3:
             node.chroma_leaf = True
             # chroma block of the parent 8x8 area
-            self._compute_chroma(node, (x0 - 4) >> 1, (y0 - 4) >> 1, 2,
+            self._compute_chroma(node,
+                                 [((x0 - 4) >> 1, (y0 - 4) >> 1, 2)],
                                  chroma_mode)
 
-    def _compute_chroma(self, node: _TuPlan, xc, yc, log2c, chroma_mode):
+    def _compute_chroma(self, node: _TuPlan, blocks, chroma_mode):
+        """blocks: [(xc, yc, log2c)] chroma TBs (2 stacked for 4:2:2)."""
+        from ..coding.picture import CHROMA_422_MODE
         sps, pps, pic = self.sps, self.pps, self.pic
-        csize = 1 << log2c
         bd = sps.bit_depth_chroma
         maxv = (1 << bd) - 1
-        for k, c_idx in enumerate((1, 2)):
+        mode = chroma_mode
+        if sps.chroma_format_idc == 2:
+            mode = CHROMA_422_MODE[chroma_mode]
+        for c_idx in (1, 2):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
             qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
-            pred = pic.predict_intra(c_idx, xc, yc, csize, chroma_mode)
-            res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
-            coef = forward_transform(res, bd)
-            lv = quantize(coef, qp, log2c, bd)
-            cbf = 1 if lv.any() else 0
-            if cbf:
-                dq = R.dequant(lv, qp, log2c, bd)
-                r = R.inverse_transform(dq, bd)
-                rec = np.clip(pred + r, 0, maxv)
-            else:
-                rec = pred
-            pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
-                rec.astype(pic.planes[c_idx].dtype)
+            lvs, cbfs = [], []
+            for (xc, yc, log2c) in blocks:
+                csize = 1 << log2c
+                pred = pic.predict_intra(c_idx, xc, yc, csize, mode)
+                res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
+                lv = quantize(forward_transform(res, bd), qp, log2c, bd)
+                cbf = 1 if lv.any() else 0
+                if cbf:
+                    dq = R.dequant(lv, qp, log2c, bd)
+                    rec = np.clip(pred + R.inverse_transform(dq, bd),
+                                  0, maxv)
+                else:
+                    rec = pred
+                pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
+                    rec.astype(pic.planes[c_idx].dtype)
+                lvs.append(lv)
+                cbfs.append(cbf)
+            while len(cbfs) < 2:
+                cbfs.append(0)
             if c_idx == 1:
-                node.lv_cb, node.cbf_cb = lv, cbf
+                node.lv_cb, node.cbf_cb = lvs, tuple(cbfs)
             else:
-                node.lv_cr, node.cbf_cr = lv, cbf
+                node.lv_cr, node.cbf_cr = lvs, tuple(cbfs)
 
     def _propagate_cbf(self, node: _TuPlan):
         """cbf_cb/cr at internal nodes = OR over children."""
@@ -593,8 +618,8 @@ class IntraEncoder:
             return
         for ch in node.children:
             self._propagate_cbf(ch)
-        node.cbf_cb = int(any(ch.cbf_cb for ch in node.children))
-        node.cbf_cr = int(any(ch.cbf_cr for ch in node.children))
+        node.cbf_cb = (int(any(any(ch.cbf_cb) for ch in node.children)), 0)
+        node.cbf_cr = (int(any(any(ch.cbf_cr) for ch in node.children)), 0)
 
     def _emit_tu(self, node: _TuPlan, intra_split, max_trafo_depth,
                  chroma_mode, cbf_cb_par, cbf_cr_par):
@@ -607,11 +632,17 @@ class IntraEncoder:
             e.encode_bin(cm.at("split_transform_flag", 5 - log2),
                          1 if node.split else 0)
         chroma_here = log2 > 2 or sps.chroma_format_idc == 3
+        is422 = sps.chroma_format_idc == 2
         if chroma_here:
-            if depth == 0 or cbf_cb_par:
-                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb)
-            if depth == 0 or cbf_cr_par:
-                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr)
+            second = is422 and (not node.split or log2 == 3)
+            if depth == 0 or cbf_cb_par[0]:
+                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb[0])
+                if second:
+                    e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb[1])
+            if depth == 0 or cbf_cr_par[0]:
+                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr[0])
+                if second:
+                    e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr[1])
         if node.split:
             for ch in node.children:
                 self._emit_tu(ch, intra_split, max_trafo_depth, chroma_mode,
@@ -629,6 +660,7 @@ class IntraEncoder:
                             transform_skip_allowed=bool(ts_ok),
                             ts_flag=1 if node.ts else 0)
         if node.chroma_leaf:
+            from ..coding.picture import CHROMA_422_MODE
             if sps.chroma_format_idc == 3:
                 log2c = log2
             else:
@@ -636,16 +668,19 @@ class IntraEncoder:
             # inherited cbfs: for log2==2 leaves the parent's cbf applies
             ccb = node.cbf_cb if log2 > 2 else cbf_cb_par
             ccr = node.cbf_cr if log2 > 2 else cbf_cr_par
-            scan_c = scan_idx_for_intra(chroma_mode, log2c, 1,
+            mode_c = chroma_mode
+            if is422:
+                mode_c = CHROMA_422_MODE[chroma_mode]
+            scan_c = scan_idx_for_intra(mode_c, log2c, 1,
                                         sps.chroma_format_idc)
             ts_ok_c = (self.pps.transform_skip_enabled and log2c
                        <= self.pps.log2_max_transform_skip_block_size)
-            if ccb:
-                encode_residual(e, cm, node.lv_cb, log2c, 1, scan_c,
-                                transform_skip_allowed=bool(ts_ok_c))
-            if ccr:
-                encode_residual(e, cm, node.lv_cr, log2c, 2, scan_c,
-                                transform_skip_allowed=bool(ts_ok_c))
+            for c_idx, ccx, lvs in ((1, ccb, node.lv_cb),
+                                    (2, ccr, node.lv_cr)):
+                for half, lv in enumerate(lvs):
+                    if ccx[half]:
+                        encode_residual(e, cm, lv, log2c, c_idx, scan_c,
+                                        transform_skip_allowed=bool(ts_ok_c))
 
     # ---- inter coding (P frames) -----------------------------------------
     def _encode_eg1(self, v: int):
@@ -771,18 +806,32 @@ class IntraEncoder:
         lv_y = quantize(coef, self.qp_y + sps.qp_bd_offset, log2_size, bd,
                         intra=False)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
-        csize = size // sps.sub_w
-        log2c = log2_size - (sps.sub_w - 1)
         out_c = []
         for c_idx, pred in ((1, pcb), (2, pcr)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
             qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
-            res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
-            lv = quantize(forward_transform(res, sps.bit_depth_chroma), qp,
-                          log2c, sps.bit_depth_chroma, intra=False)
-            out_c.append(lv if lv.any() else None)
+            lvs = []
+            for (bx, by, log2c) in self._inter_chroma_blocks(x0, y0,
+                                                             log2_size):
+                csize = 1 << log2c
+                res = self.src[c_idx][by:by + csize, bx:bx + csize] \
+                    - pred[by - yc:by - yc + csize, bx - xc:bx - xc + csize]
+                lv = quantize(forward_transform(res, sps.bit_depth_chroma),
+                              qp, log2c, sps.bit_depth_chroma, intra=False)
+                lvs.append(lv if lv.any() else None)
+            out_c.append(lvs)
         return (lv_y if lv_y.any() else None), out_c[0], out_c[1]
+
+    def _inter_chroma_blocks(self, x0, y0, log2_size):
+        """Square chroma TBs of a single-TU inter CU (2 stacked for 422)."""
+        sps = self.sps
+        xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
+        if sps.chroma_format_idc == 2:
+            lc = log2_size - 1
+            return [(xc, yc, lc), (xc, yc + (1 << lc), lc)]
+        lc = log2_size - (sps.sub_w - 1)
+        return [(xc, yc, lc)]
 
     def _recon_inter_cu(self, x0, y0, log2_size, preds, levels):
         """Reconstruct pred+residual into the picture planes."""
@@ -792,8 +841,6 @@ class IntraEncoder:
         lv_y, lv_cb, lv_cr = levels
         py, pcb, pcr = preds
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
-        csize = size // sps.sub_w
-        log2c = log2_size - (sps.sub_w - 1)
         if lv_y is not None:
             d = R.dequant(lv_y, self.qp_y + sps.qp_bd_offset, log2_size, bd)
             py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
@@ -801,17 +848,27 @@ class IntraEncoder:
                          x0 >> 2:(x0 + size) >> 2] = True
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
             py.astype(pic.planes[0].dtype)
-        for c_idx, (pred, lv) in ((1, (pcb, lv_cb)), (2, (pcr, lv_cr))):
-            if lv is not None:
-                off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-                qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
-                                 sps.qp_bd_offset)
+        blocks = self._inter_chroma_blocks(x0, y0, log2_size)
+        for c_idx, (pred, lvs) in ((1, (pcb, lv_cb)), (2, (pcr, lv_cr))):
+            if not lvs:
+                lvs = [None] * len(blocks)
+            off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+                             sps.qp_bd_offset)
+            out = pred.astype(np.int32).copy()
+            for (bx, by, log2c), lv in zip(blocks, lvs):
+                if lv is None:
+                    continue
+                csize = 1 << log2c
                 d = R.dequant(lv, qp, log2c, sps.bit_depth_chroma)
-                pred = np.clip(pred + R.inverse_transform(
-                    d, sps.bit_depth_chroma), 0,
-                    (1 << sps.bit_depth_chroma) - 1)
-            pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
-                pred.astype(pic.planes[c_idx].dtype)
+                out[by - yc:by - yc + csize, bx - xc:bx - xc + csize] = \
+                    np.clip(out[by - yc:by - yc + csize,
+                                bx - xc:bx - xc + csize]
+                            + R.inverse_transform(d, sps.bit_depth_chroma),
+                            0, (1 << sps.bit_depth_chroma) - 1)
+            pic.planes[c_idx][yc:yc + out.shape[0],
+                              xc:xc + out.shape[1]] = \
+                out.astype(pic.planes[c_idx].dtype)
 
     def _set_motion(self, x0, y0, w, h, mi):
         pic = self.pic
@@ -893,7 +950,10 @@ class IntraEncoder:
             mi_used = mi_merge
             preds = merge_preds[best_merge]
         levels = self._inter_residual(x0, y0, log2_size, preds)
-        no_resid = all(lv is None for lv in levels)
+        lv_y_, lv_cb_, lv_cr_ = levels
+        no_resid = (lv_y_ is None
+                    and all(v is None for v in lv_cb_)
+                    and all(v is None for v in lv_cr_))
 
         if not use_amvp and no_resid:
             # skip CU
@@ -902,7 +962,7 @@ class IntraEncoder:
             pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
                           x0 >> 2:(x0 >> 2) + gq] = True
             self._recon_inter_cu(x0, y0, log2_size, preds,
-                                 (None, None, None))
+                                 (None, [], []))
             self._set_motion(x0, y0, size, size, mi_used)
             return
         e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 0)
@@ -939,23 +999,30 @@ class IntraEncoder:
                          0 if no_resid else 1)
             if no_resid:
                 self._recon_inter_cu(x0, y0, log2_size, preds,
-                                     (None, None, None))
+                                     (None, [], []))
                 return
         # single-TU transform tree (inter, depth 0)
         lv_y, lv_cb, lv_cr = levels
-        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb is None else 1)
-        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr is None else 1)
-        if lv_cb is not None or lv_cr is not None:
+        is422 = sps.chroma_format_idc == 2
+        any_cb = any(lv is not None for lv in lv_cb)
+        any_cr = any(lv is not None for lv in lv_cr)
+        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb[0] is None else 1)
+        if is422:
+            e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb[1] is None else 1)
+        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr[0] is None else 1)
+        if is422:
+            e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr[1] is None else 1)
+        if any_cb or any_cr:
             e.encode_bin(cm.at("cbf_luma", 1), 0 if lv_y is None else 1)
         else:
             assert lv_y is not None, "all-zero residual must use rootcbf=0"
         if lv_y is not None:
             encode_residual(e, cm, lv_y, log2_size, 0, 0)
-        log2c = log2_size - (self.sps.sub_w - 1)
-        if lv_cb is not None:
-            encode_residual(e, cm, lv_cb, log2c, 1, 0)
-        if lv_cr is not None:
-            encode_residual(e, cm, lv_cr, log2c, 2, 0)
+        blocks = self._inter_chroma_blocks(x0, y0, log2_size)
+        for c_idx, lvs in ((1, lv_cb), (2, lv_cr)):
+            for (bx, by, log2c), lv in zip(blocks, lvs):
+                if lv is not None:
+                    encode_residual(e, cm, lv, log2c, c_idx, 0)
         self._recon_inter_cu(x0, y0, log2_size, preds, levels)
         self.pic.mark_block_edges(x0, y0, size, size)
 

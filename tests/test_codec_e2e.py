@@ -292,3 +292,25 @@ def test_oracle_bitexact_444_and_ts(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, w, h, tmp_path)
         assert flatten(recons) == oracle, f"444/ts config {i} diverged"
+
+
+@needs_oracle
+def test_oracle_bitexact_422(tmp_path):
+    """RExt 4:2:2: paired square chroma TBs, mode remap, intra + inter."""
+    rng = np.random.default_rng(2)
+    w, h = 64, 48
+    base = [rng.integers(40, 220, (h, w)).astype(np.uint8),
+            rng.integers(40, 220, (h, w // 2)).astype(np.uint8),
+            rng.integers(40, 220, (h, w // 2)).astype(np.uint8)]
+    for i, cfg in enumerate([
+        EncoderConfig(width=w, height=h, qp=30, chroma_format_idc=2),
+        EncoderConfig(width=w, height=h, qp=30, chroma_format_idc=2,
+                      gop="ipp", search_range=2),
+        EncoderConfig(width=w, height=h, qp=33, chroma_format_idc=2,
+                      deblocking=True, sao=True),
+    ]):
+        frames = [[np.roll(p, (t * 2, t * 3), (0, 1)) for p in base]
+                  for t in range(3)]
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, w, h, tmp_path)
+        assert flatten(recons) == oracle, f"422 config {i} diverged"
