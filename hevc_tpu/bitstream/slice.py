@@ -19,6 +19,85 @@ SLICE_I = 2
 
 
 @dataclass
+class WeightTable:
+    """pred_weight_table (7.3.6.3); weights resolved to absolute values."""
+    luma_log2_denom: int = 0
+    chroma_log2_denom: int = 0
+    # per ref idx: (flag, weight, offset); chroma: [(flag, [w_cb,w_cr],
+    # [o_cb,o_cr])]
+    luma_l0: list = field(default_factory=list)
+    chroma_l0: list = field(default_factory=list)
+    luma_l1: list = field(default_factory=list)
+    chroma_l1: list = field(default_factory=list)
+
+    def write(self, w: BitWriter, sh, chroma: bool) -> None:
+        w.ue(self.luma_log2_denom)
+        if chroma:
+            w.se(self.chroma_log2_denom - self.luma_log2_denom)
+        lists = [(self.luma_l0, self.chroma_l0,
+                  sh.num_ref_idx_l0_active)]
+        if sh.slice_type == SLICE_B:
+            lists.append((self.luma_l1, self.chroma_l1,
+                          sh.num_ref_idx_l1_active))
+        for luma, chro, n in lists:
+            for i in range(n):
+                w.flag(luma[i][0])
+            if chroma:
+                for i in range(n):
+                    w.flag(chro[i][0])
+            for i in range(n):
+                if luma[i][0]:
+                    w.se(luma[i][1] - (1 << self.luma_log2_denom))
+                    w.se(luma[i][2])
+                if chroma and chro[i][0]:
+                    for j in range(2):
+                        w.se(chro[i][1][j] - (1 << self.chroma_log2_denom))
+                        delta = (chro[i][2][j]
+                                 + ((128 * chro[i][1][j])
+                                    >> self.chroma_log2_denom) - 128)
+                        w.se(delta)
+
+    @classmethod
+    def parse(cls, r: BitReader, sh, chroma: bool) -> "WeightTable":
+        t = cls()
+        t.luma_log2_denom = r.ue()
+        t.chroma_log2_denom = t.luma_log2_denom
+        if chroma:
+            t.chroma_log2_denom = t.luma_log2_denom + r.se()
+        lists = [("l0", sh.num_ref_idx_l0_active)]
+        if sh.slice_type == SLICE_B:
+            lists.append(("l1", sh.num_ref_idx_l1_active))
+        for name, n in lists:
+            lflags = [r.flag() for _ in range(n)]
+            cflags = [r.flag() for _ in range(n)] if chroma else [0] * n
+            luma, chro = [], []
+            for i in range(n):
+                if lflags[i]:
+                    wgt = (1 << t.luma_log2_denom) + r.se()
+                    off = r.se()
+                else:
+                    wgt, off = 1 << t.luma_log2_denom, 0
+                luma.append((lflags[i], wgt, off))
+                if chroma and cflags[i]:
+                    ws, os_ = [], []
+                    for _ in range(2):
+                        cw = (1 << t.chroma_log2_denom) + r.se()
+                        delta = r.se()
+                        co = max(-128, min(127, delta
+                                           - ((128 * cw)
+                                              >> t.chroma_log2_denom)
+                                           + 128))
+                        ws.append(cw)
+                        os_.append(co)
+                    chro.append((1, ws, os_))
+                else:
+                    chro.append((0, [1 << t.chroma_log2_denom] * 2, [0, 0]))
+            setattr(t, "luma_" + name, luma)
+            setattr(t, "chroma_" + name, chro)
+        return t
+
+
+@dataclass
 class SliceHeader:
     first_slice_in_pic: int = 1
     no_output_of_prior_pics: int = 0
@@ -53,6 +132,7 @@ class SliceHeader:
     tc_offset: int = 0
     loop_filter_across_slices: int = 0
     entry_point_offsets: List[int] = field(default_factory=list)
+    weight_table: Optional["WeightTable"] = None
 
     def max_num_merge_cand(self) -> int:
         return 5 - self.five_minus_max_num_merge_cand
@@ -120,8 +200,10 @@ class SliceHeader:
                     if nref > 1:
                         w.ue(self.collocated_ref_idx)
                 if ((pps.weighted_pred and self.slice_type == SLICE_P)
-                        or (pps.weighted_bipred and self.slice_type == SLICE_B)):
-                    raise NotImplementedError("pred_weight_table write")
+                        or (pps.weighted_bipred
+                            and self.slice_type == SLICE_B)):
+                    self.weight_table.write(w, self,
+                                            sps.chroma_format_idc != 0)
                 w.ue(self.five_minus_max_num_merge_cand)
             w.se(self.qp_delta)
             if pps.slice_chroma_qp_offsets_present:
@@ -228,8 +310,10 @@ class SliceHeader:
                     if nref > 1:
                         sh.collocated_ref_idx = r.ue()
                 if ((pps.weighted_pred and sh.slice_type == SLICE_P)
-                        or (pps.weighted_bipred and sh.slice_type == SLICE_B)):
-                    raise NotImplementedError("pred_weight_table")
+                        or (pps.weighted_bipred
+                            and sh.slice_type == SLICE_B)):
+                    sh.weight_table = WeightTable.parse(
+                        r, sh, sps.chroma_format_idc != 0)
                 sh.five_minus_max_num_merge_cand = r.ue()
             sh.qp_delta = r.se()
             if pps.slice_chroma_qp_offsets_present:

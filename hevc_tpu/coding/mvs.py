@@ -70,7 +70,7 @@ _COMB_L1 = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
 def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                      max_cand, num_ref_l0, ref_poc_l0,
                      num_ref_l1=0, ref_poc_l1=(),
-                     is_b=False) -> List[MotionInfo]:
+                     is_b=False, tc=None) -> List[MotionInfo]:
     """Merge candidate list: spatial (8.5.3.2.3), combined bi
     (8.5.3.2.4 for B), zero padding (8.5.3.2.5)."""
     a1 = (x_pb - 1, y_pb + n_h - 1)
@@ -104,7 +104,20 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                 and not (m_a1 and _same_motion(m_b2, m_a1)) \
                 and not (m_b1 and _same_motion(m_b2, m_b1)):
             cand.append(m_b2)
-    # (temporal candidate omitted: slice_temporal_mvp_enabled == 0)
+    # temporal candidate (8.5.3.2.7): refIdx 0, after spatial
+    if tc is not None and len(cand) < max_cand:
+        mi = None
+        mv0 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 0, ref_poc_l0[0])
+        if mv0 is not None:
+            mi = MotionInfo(mv0=mv0, ref0=0, poc0=ref_poc_l0[0])
+        if is_b:
+            mv1 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 1, ref_poc_l1[0])
+            if mv1 is not None:
+                if mi is None:
+                    mi = MotionInfo()
+                mi.mv1, mi.ref1, mi.poc1 = mv1, 0, ref_poc_l1[0]
+        if mi is not None:
+            cand.append(mi)
     if is_b and len(cand) > 1 and len(cand) < max_cand:
         n_orig = len(cand)
         for k in range(min(12, n_orig * (n_orig - 1))):
@@ -133,10 +146,10 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
     return cand[:max_cand]
 
 
-def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
-    """Temporal MV scaling (8.5.3.2.8)."""
-    td = max(-128, min(127, cur_poc - nb_ref_poc))
-    tb = max(-128, min(127, cur_poc - cur_ref_poc))
+def _scale_tb_td(mv, tb, td) -> Tuple[int, int]:
+    """MV scaling core (8.5.3.2.8)."""
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
     if td == 0:
         return tuple(mv)
     tx = (16384 + (abs(td) >> 1)) // td
@@ -149,6 +162,11 @@ def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
     return tuple(out)
 
 
+def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
+    """Spatial AMVP scaling: tb = cur-ref distance, td = neighbour's."""
+    return _scale_tb_td(mv, cur_poc - cur_ref_poc, cur_poc - nb_ref_poc)
+
+
 def _lx_of(m: MotionInfo, lx: int):
     if lx == 0:
         return (m.mv0, m.poc0) if m.uses_l0 else None
@@ -156,7 +174,7 @@ def _lx_of(m: MotionInfo, lx: int):
 
 
 def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
-                    cur_poc) -> List[Tuple[int, int]]:
+                    cur_poc, tc=None) -> List[Tuple[int, int]]:
     """Spatial AMVP candidates for list lx (8.5.3.2.6-7): [mvp0, mvp1].
 
     A neighbour contributes from either of its lists: same-ref first,
@@ -221,6 +239,75 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
         out.append(tuple(mv_a))
     if mv_b is not None and (not out or tuple(mv_b) != out[0]):
         out.append(tuple(mv_b))
+    if tc is not None and len(out) < 2:
+        t = temporal_mv(tc, x_pb, y_pb, n_w, n_h, lx, target_poc)
+        if t is not None:
+            out.append(tuple(t))
     while len(out) < 2:
         out.append((0, 0))
     return out[:2]
+
+
+@dataclass
+class TemporalCtx:
+    """Collocated-picture context for TMVP (8.5.3.2.7-9).
+
+    col: stored motion of the collocated picture — dict with mv0/mv1
+    [h4,w4,2], poc0/poc1 [h4,w4] (NO_POC = unused), poc (its own POC);
+    cur_poc: current picture POC; no_backward: NoBackwardPredFlag."""
+    col: dict
+    cur_poc: int
+    ctb_log2: int
+    pic_w: int
+    pic_h: int
+    no_backward: bool = True
+    col_from_l0: bool = True
+
+
+def _col_motion_at(tc: TemporalCtx, x: int, y: int):
+    """Collocated motion at luma (x, y), 16x16 compressed granularity."""
+    if x >= tc.pic_w or y >= tc.pic_h or x < 0 or y < 0:
+        return None
+    x, y = (x >> 4) << 4, (y >> 4) << 4
+    y4, x4 = y >> 2, x >> 2
+    col = tc.col
+    p0 = int(col["poc0"][y4, x4])
+    p1 = int(col["poc1"][y4, x4])
+    if p0 == NO_POC and p1 == NO_POC:
+        return None  # intra / unused
+    return (tuple(int(v) for v in col["mv0"][y4, x4]), p0,
+            tuple(int(v) for v in col["mv1"][y4, x4]), p1)
+
+
+def temporal_mv(tc: TemporalCtx, x_pb, y_pb, n_w, n_h, lx, target_poc):
+    """Temporal candidate mvLXCol for list lx towards target_poc, or
+    None.  Tries C0 (bottom-right, same-CTB-row constraint) then C1
+    (centre)."""
+    cands = []
+    x_br, y_br = x_pb + n_w, y_pb + n_h
+    if (y_pb >> tc.ctb_log2) == (y_br >> tc.ctb_log2):
+        cands.append((x_br, y_br))
+    cands.append((x_pb + (n_w >> 1), y_pb + (n_h >> 1)))
+    for (x, y) in cands:
+        m = _col_motion_at(tc, x, y)
+        if m is None:
+            continue
+        mv0, p0, mv1, p1 = m
+        # list selection (8.5.3.2.9)
+        if p0 == NO_POC:
+            mv_col, ref_col = mv1, p1
+        elif p1 == NO_POC:
+            mv_col, ref_col = mv0, p0
+        elif tc.no_backward:
+            mv_col, ref_col = (mv0, p0) if lx == 0 else (mv1, p1)
+        else:
+            if tc.col_from_l0:
+                mv_col, ref_col = mv1, p1
+            else:
+                mv_col, ref_col = mv0, p0
+        tb = tc.cur_poc - target_poc
+        td = tc.col["poc"] - ref_col
+        if tb == td:
+            return tuple(mv_col)
+        return _scale_tb_td(mv_col, tb, td)
+    return None

@@ -83,7 +83,7 @@ class SliceDecoder:
                  ref_list=None, cur_poc: int = 0,
                  rbsp: Optional[bytes] = None,
                  segment_starts: Optional[list] = None,
-                 ref_list_l1=None):
+                 ref_list_l1=None, tmvp=None):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -98,6 +98,7 @@ class SliceDecoder:
         self.cur_poc = cur_poc
         self.rbsp = rbsp
         self.segment_starts = segment_starts or []
+        self.tmvp = tmvp
 
     def _init_type(self):
         if self.sh.slice_type == SLICE_I:
@@ -348,7 +349,37 @@ class SliceDecoder:
                     rp = self.ref_list_l1[mi.ref1][1][c]
                     preds.append(fn(rp, px, py, pw, ph,
                                     mi.mv1[0], mi.mv1[1], bdx))
-                if len(preds) == 2:
+                wt = self.sh.weight_table
+                use_wp = wt is not None
+                if use_wp:
+                    denom = (wt.luma_log2_denom if c == 0
+                             else wt.chroma_log2_denom)
+                    log2wd = denom + 14 - bdx
+                    oscale = bdx - 8
+
+                    def wp_of(lst_luma, lst_chroma, ridx):
+                        if c == 0:
+                            _, wgt, off = lst_luma[ridx]
+                        else:
+                            _, ws, os_ = lst_chroma[ridx]
+                            wgt, off = ws[c - 1], os_[c - 1]
+                        return wgt, off << oscale
+
+                    if len(preds) == 2:
+                        w0, o0 = wp_of(wt.luma_l0, wt.chroma_l0, mi.ref0)
+                        w1, o1 = wp_of(wt.luma_l1, wt.chroma_l1, mi.ref1)
+                        out = MC.weighted_bi_explicit(
+                            preds[0], preds[1], w0, o0, w1, o1, log2wd, bdx)
+                    else:
+                        if mi.uses_l0:
+                            wgt, off = wp_of(wt.luma_l0, wt.chroma_l0,
+                                             mi.ref0)
+                        else:
+                            wgt, off = wp_of(wt.luma_l1, wt.chroma_l1,
+                                             mi.ref1)
+                        out = MC.weighted_uni_explicit(preds[0], wgt, off,
+                                                       log2wd, bdx)
+                elif len(preds) == 2:
                     out = MC.weighted_bi(preds[0], preds[1], bdx)
                 else:
                     out = MC.weighted_uni(preds[0], bdx)
@@ -395,7 +426,8 @@ class SliceDecoder:
             cand = MV.merge_candidates(
                 self.pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                 sh.max_num_merge_cand(), sh.num_ref_idx_l0_active,
-                ref_pocs0, sh.num_ref_idx_l1_active, ref_pocs1, is_b)
+                ref_pocs0, sh.num_ref_idx_l1_active, ref_pocs1, is_b,
+                tc=self.tmvp)
             self._inter_pb(x_pb, y_pb, n_w, n_h, cand[idx])
             return True
         idc = self._decode_inter_pred_idc(n_w, n_h, depth) if is_b else 0
@@ -405,7 +437,8 @@ class SliceDecoder:
             mvd = self._decode_mvd()
             mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
             cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 0,
-                                       ref_idx, ref_pocs0, self.cur_poc)
+                                       ref_idx, ref_pocs0, self.cur_poc,
+                                       tc=self.tmvp)
             mi.mv0 = (cands[mvp_flag][0] + mvd[0],
                       cands[mvp_flag][1] + mvd[1])
             mi.ref0 = ref_idx
@@ -418,7 +451,8 @@ class SliceDecoder:
                 mvd = self._decode_mvd()
             mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
             cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 1,
-                                       ref_idx, ref_pocs1, self.cur_poc)
+                                       ref_idx, ref_pocs1, self.cur_poc,
+                                       tc=self.tmvp)
             mi.mv1 = (cands[mvp_flag][0] + mvd[0],
                       cands[mvp_flag][1] + mvd[1])
             mi.ref1 = ref_idx
@@ -474,7 +508,7 @@ class SliceDecoder:
                     [p for p, _ in self.ref_list],
                     self.sh.num_ref_idx_l1_active,
                     [p for p, _ in self.ref_list_l1],
-                    self.sh.slice_type == SLICE_B)
+                    self.sh.slice_type == SLICE_B, tc=self.tmvp)
                 self._inter_pb(x0, y0, size, size, cand[idx])
                 pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
                               x0 >> 2:(x0 >> 2) + gq] = True
@@ -803,6 +837,7 @@ class Decoder:
         # DPB: poc -> [int32 planes] of the filtered reconstruction
         # (reference: hevc_refs.c DPB management, re-scoped to a poc map)
         self.dpb: Dict[int, List[np.ndarray]] = {}
+        self.dpb_motion: Dict[int, dict] = {}
 
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
         for nal in nalmod.split_annexb(data):
@@ -873,6 +908,20 @@ class Decoder:
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
         self.cur_pic.ref_list_l0 = ref_list
         self.cur_pic.ref_list_l1 = ref_list_l1
+        tc = None
+        if sh.slice_temporal_mvp_enabled and sh.slice_type != SLICE_I:
+            from ..coding.mvs import TemporalCtx
+            col_list = ref_list if sh.collocated_from_l0 else ref_list_l1
+            col_poc = col_list[sh.collocated_ref_idx][0]
+            all_pocs = [p for p, _ in ref_list] + [p for p, _ in ref_list_l1]
+            tc = TemporalCtx(col=self.dpb_motion[col_poc],
+                             cur_poc=self.cur_poc,
+                             ctb_log2=sps.log2_ctb_size,
+                             pic_w=sps.width, pic_h=sps.height,
+                             no_backward=all(p <= self.cur_poc
+                                             for p in all_pocs),
+                             col_from_l0=bool(sh.collocated_from_l0))
+        self.cur_pic.tmvp_ctx = tc
         # entry-point segment starts, remapped from EPB'd byte offsets to
         # rbsp offsets (reference: hevcdec.c:3355-3389)
         data_start = r.pos >> 3
@@ -896,7 +945,7 @@ class Decoder:
                           plan=getattr(self.cur_pic, "plan", None),
                           ref_list=ref_list, cur_poc=self.cur_poc,
                           rbsp=nal.rbsp, segment_starts=seg_starts,
-                          ref_list_l1=ref_list_l1)
+                          ref_list_l1=ref_list_l1, tmvp=tc)
         sd.decode_ctus()
         self._slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
@@ -977,10 +1026,15 @@ class Decoder:
                             1 << pic.sps.log2_ctb_size,
                             pic.sps.bit_depth_luma,
                             pic.sps.sub_w, pic.sps.sub_h)
-        # store the filtered reconstruction for inter prediction
+        # store the filtered reconstruction + motion for inter prediction
         self.dpb[self.cur_poc] = [p.astype(np.int32) for p in pic.planes]
+        self.dpb_motion[self.cur_poc] = {
+            "mv0": pic.mv_l0.copy(), "poc0": pic.ref_poc_l0.copy(),
+            "mv1": pic.mv_l1.copy(), "poc1": pic.ref_poc_l1.copy(),
+            "poc": self.cur_poc}
         if len(self.dpb) > 16:
             del self.dpb[min(self.dpb)]
+            self.dpb_motion.pop(min(self.dpb_motion), None)
         frame = DecodedFrame(planes=pic.planes, poc=self.cur_poc)
         if self._pending_sei is not None:
             frame.sei_hash = self._pending_sei

@@ -89,6 +89,8 @@ class EncoderConfig:
     gop: str = "all_intra"  # "all_intra" | "ipp" | "lowb" (low-delay B)
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
+    tmvp: bool = False      # temporal MV prediction (collocated ref 0)
+    weighted_pred: bool = False  # explicit weighted prediction (P + B)
 
 
 class _TuPlan:
@@ -129,6 +131,7 @@ class IntraEncoder:
             max_transform_hierarchy_depth_intra=(
                 cfg.max_transform_hierarchy_depth_intra),
             sao_enabled=1 if cfg.sao else 0,
+            temporal_mvp_enabled=1 if cfg.tmvp else 0,
         ).derive()
         if cfg.bit_depth == 10:
             self.sps.ptl.profile_idc = 2  # Main 10
@@ -138,6 +141,8 @@ class IntraEncoder:
             self.sps.ptl.compat_flags = 1 << (31 - 4)
         self.pps = PPS(
             init_qp=cfg.qp,
+            weighted_pred=1 if cfg.weighted_pred else 0,
+            weighted_bipred=1 if cfg.weighted_pred else 0,
             transform_skip_enabled=1 if cfg.transform_skip else 0,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
@@ -152,6 +157,7 @@ class IntraEncoder:
         self.frames_encoded = 0
         self.rng = np.random.default_rng(cfg.seed)
         self.dpb: List = []  # [(poc, [int32 planes])]
+        self.dpb_motion = {}
         self.poc = 0
 
     def headers_annexb(self) -> bytes:
@@ -182,6 +188,14 @@ class IntraEncoder:
         else:
             self.ref_list = []
             self.ref_list_l1 = []
+        self.tmvp_ctx = None
+        if cfg.tmvp and self.is_p:
+            from ..coding.mvs import TemporalCtx
+            col_poc = self.ref_list[0][0]
+            self.tmvp_ctx = TemporalCtx(
+                col=self.dpb_motion[col_poc], cur_poc=self.poc,
+                ctb_log2=sps.log2_ctb_size, pic_w=sps.width,
+                pic_h=sps.height, no_backward=True, col_from_l0=True)
 
         self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
@@ -243,7 +257,19 @@ class IntraEncoder:
 
         from ..bitstream.slice import SLICE_B, SLICE_P
         stype = SLICE_B if self.is_b else (SLICE_P if self.is_p else SLICE_I)
+        wt = None
+        if cfg.weighted_pred and self.is_p:
+            from ..bitstream.slice import WeightTable
+            wt = WeightTable(luma_log2_denom=6, chroma_log2_denom=6)
+            lw = [(1, (1 << 6) + 8, -2)]
+            cw = [(1, [(1 << 6) - 6, (1 << 6) + 4], [3, -4])]
+            wt.luma_l0, wt.chroma_l0 = lw, cw
+            wt.luma_l1, wt.chroma_l1 = list(lw), [
+                (1, list(cw[0][1]), list(cw[0][2]))]
         sh = SliceHeader(slice_type=stype,
+                         weight_table=wt,
+                         slice_temporal_mvp_enabled=(
+                             1 if (cfg.tmvp and self.is_p) else 0),
                          qp_delta=cfg.qp - pps.init_qp,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
@@ -272,6 +298,11 @@ class IntraEncoder:
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
                                     for p in self.pic.planes]))
+        self.dpb_motion[self.poc] = {
+            "mv0": self.pic.mv_l0.copy(),
+            "poc0": self.pic.ref_poc_l0.copy(),
+            "mv1": self.pic.mv_l1.copy(),
+            "poc1": self.pic.ref_poc_l1.copy(), "poc": self.poc}
         self.dpb = self.dpb[-8:]
         self.poc += 1
         return nalmod.write_annexb(au)
@@ -746,9 +777,25 @@ class IntraEncoder:
             if mi.uses_l1:
                 preds.append(fn(self.ref_list_l1[mi.ref1][1][c], px, py_,
                                 pw, ph, mi.mv1[0], mi.mv1[1], bd))
-            out.append(MC.weighted_bi(preds[0], preds[1], bd)
-                       if len(preds) == 2 else
-                       MC.weighted_uni(preds[0], bd))
+            if self.cfg.weighted_pred and self.is_p:
+                denom = 6
+                log2wd = denom + 14 - bd
+                if c == 0:
+                    wgt, off = (1 << 6) + 8, -2
+                else:
+                    wgt = ((1 << 6) - 6, (1 << 6) + 4)[c - 1]
+                    off = (3, -4)[c - 1]
+                off <<= (bd - 8)
+                if len(preds) == 2:
+                    out.append(MC.weighted_bi_explicit(
+                        preds[0], preds[1], wgt, off, wgt, off, log2wd, bd))
+                else:
+                    out.append(MC.weighted_uni_explicit(
+                        preds[0], wgt, off, log2wd, bd))
+            else:
+                out.append(MC.weighted_bi(preds[0], preds[1], bd)
+                           if len(preds) == 2 else
+                           MC.weighted_uni(preds[0], bd))
         return tuple(out)
 
     def _motion_search(self, x0, y0, size, mvp):
@@ -899,7 +946,7 @@ class IntraEncoder:
 
         cand = MV.merge_candidates(pic, x0, y0, size, size, 0,
                                    MV.PART_2Nx2N, max_cand, 1, ref_pocs0,
-                                   1, ref_pocs1, is_b)
+                                   1, ref_pocs1, is_b, tc=self.tmvp_ctx)
         best_merge, merge_cost = 0, None
         merge_preds = {}
         for i, mi in enumerate(cand):
@@ -910,7 +957,7 @@ class IntraEncoder:
                 best_merge, merge_cost = i, c
 
         mvps0 = MV.amvp_candidates(pic, x0, y0, size, size, 0, 0,
-                                   ref_pocs0, self.poc)
+                                   ref_pocs0, self.poc, tc=self.tmvp_ctx)
         mv_amvp, amvp_cost = self._motion_search(x0, y0, size, mvp=mvps0[0])
         amvp_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=0,
                                 poc0=ref_pocs0[0])
@@ -987,7 +1034,8 @@ class IntraEncoder:
             e.encode_bin(cm.at("mvp_lx_flag", 0), 0)
             if use_bi:
                 mvps1 = MV.amvp_candidates(pic, x0, y0, size, size, 1, 0,
-                                           ref_pocs1, self.poc)
+                                           ref_pocs1, self.poc,
+                                           tc=self.tmvp_ctx)
                 mvd1 = (mi_used.mv1[0] - mvps1[0][0],
                         mi_used.mv1[1] - mvps1[0][1])
                 self._encode_mvd(mvd1)

@@ -144,3 +144,27 @@ def weighted_bi(p0: np.ndarray, p1: np.ndarray,
     off = 1 << (shift - 1)
     return np.clip((p0.astype(np.int64) + p1 + off) >> shift, 0,
                    (1 << bit_depth) - 1).astype(np.int32)
+
+
+def weighted_uni_explicit(pred: np.ndarray, w: int, o: int, log2wd: int,
+                          bit_depth: int) -> np.ndarray:
+    """Explicit weighted uni prediction (8.5.4.3.3).
+
+    log2wd = weight denom + (14 - bitDepth); o in sample units (already
+    scaled by << (bitDepth - 8))."""
+    maxv = (1 << bit_depth) - 1
+    if log2wd >= 1:
+        v = ((pred.astype(np.int64) * w + (1 << (log2wd - 1)))
+             >> log2wd) + o
+    else:
+        v = pred.astype(np.int64) * w + o
+    return np.clip(v, 0, maxv).astype(np.int32)
+
+
+def weighted_bi_explicit(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int,
+                         w1: int, o1: int, log2wd: int,
+                         bit_depth: int) -> np.ndarray:
+    maxv = (1 << bit_depth) - 1
+    v = ((p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
+          + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1))
+    return np.clip(v, 0, maxv).astype(np.int32)

@@ -314,3 +314,22 @@ def test_oracle_bitexact_422(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, w, h, tmp_path)
         assert flatten(recons) == oracle, f"422 config {i} diverged"
+
+
+@needs_oracle
+def test_oracle_bitexact_tmvp_and_wp(tmp_path):
+    """TMVP (collocated motion) and explicit weighted prediction."""
+    for i, cfg in enumerate([
+        EncoderConfig(width=96, height=64, qp=30, gop="ipp",
+                      search_range=2, tmvp=True),
+        EncoderConfig(width=96, height=64, qp=30, gop="lowb",
+                      search_range=2, tmvp=True),
+        EncoderConfig(width=96, height=64, qp=30, gop="ipp",
+                      search_range=2, weighted_pred=True),
+        EncoderConfig(width=96, height=64, qp=30, gop="lowb",
+                      search_range=2, weighted_pred=True),
+    ]):
+        frames = _moving_frames(cfg.width, cfg.height, 4, wobble=4)
+        stream, recons = encode_decode(cfg, frames)
+        oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+        assert flatten(recons) == oracle, f"tmvp/wp config {i} diverged"
