@@ -144,6 +144,11 @@ class BitWriter:
         while not self.byte_aligned():
             self.u(0, 1)
 
+    def align_zero_one(self) -> None:
+        """alignment_bit_equal_to_one padding (vps_extension)."""
+        while not self.byte_aligned():
+            self.u(1, 1)
+
     def getvalue(self) -> bytes:
         if self._ncur:
             raise ValueError("bitstream not byte-aligned")

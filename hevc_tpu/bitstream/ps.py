@@ -33,17 +33,19 @@ class ProfileTierLevel:
     frame_only_constraint: int = 1
     level_idc: int = 63  # level 2.1 = 63; 4K needs higher
 
-    def write(self, w: BitWriter, max_sub_layers: int = 1) -> None:
-        w.u(self.profile_space, 2)
-        w.u(self.tier_flag, 1)
-        w.u(self.profile_idc, 5)
-        w.u(self.compat_flags, 32)
-        w.u(self.progressive_source, 1)
-        w.u(self.interlaced_source, 1)
-        w.u(self.non_packed_constraint, 1)
-        w.u(self.frame_only_constraint, 1)
-        w.u(0, 32)  # reserved_zero_44bits
-        w.u(0, 12)
+    def write(self, w: BitWriter, max_sub_layers: int = 1,
+              profile_present: bool = True) -> None:
+        if profile_present:
+            w.u(self.profile_space, 2)
+            w.u(self.tier_flag, 1)
+            w.u(self.profile_idc, 5)
+            w.u(self.compat_flags, 32)
+            w.u(self.progressive_source, 1)
+            w.u(self.interlaced_source, 1)
+            w.u(self.non_packed_constraint, 1)
+            w.u(self.frame_only_constraint, 1)
+            w.u(0, 32)  # reserved_zero_44bits
+            w.u(0, 12)
         w.u(self.level_idc, 8)
         for _ in range(max_sub_layers - 1):
             w.u(0, 2)  # sub_layer profile/level present flags
@@ -52,18 +54,20 @@ class ProfileTierLevel:
                 w.u(0, 2)  # reserved_zero_2bits
 
     @classmethod
-    def parse(cls, r: BitReader, max_sub_layers: int = 1) -> "ProfileTierLevel":
+    def parse(cls, r: BitReader, max_sub_layers: int = 1,
+              profile_present: bool = True) -> "ProfileTierLevel":
         p = cls()
-        p.profile_space = r.u(2)
-        p.tier_flag = r.u(1)
-        p.profile_idc = r.u(5)
-        p.compat_flags = r.u(32)
-        p.progressive_source = r.u(1)
-        p.interlaced_source = r.u(1)
-        p.non_packed_constraint = r.u(1)
-        p.frame_only_constraint = r.u(1)
-        r.u(32)
-        r.u(12)
+        if profile_present:
+            p.profile_space = r.u(2)
+            p.tier_flag = r.u(1)
+            p.profile_idc = r.u(5)
+            p.compat_flags = r.u(32)
+            p.progressive_source = r.u(1)
+            p.interlaced_source = r.u(1)
+            p.non_packed_constraint = r.u(1)
+            p.frame_only_constraint = r.u(1)
+            r.u(32)
+            r.u(12)
         p.level_idc = r.u(8)
         sub_profile = []
         sub_level = []
@@ -193,12 +197,136 @@ class ShortTermRPS:
 
 
 # ---------------------------------------------------------------------------
+# SHVC rep_format / vps_extension (F.7.3.2.1)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RepFormat:
+    """rep_format() (F.7.3.2.1.2; reference: hevc_ps.c:514
+    parse_rep_format, struct hevc_ps.h:321-336)."""
+    width: int = 0
+    height: int = 0
+    chroma_and_bd_present: int = 1
+    chroma_format_idc: int = 1
+    separate_colour_plane: int = 0
+    bit_depth_luma: int = 8
+    bit_depth_chroma: int = 8
+    conf_win: tuple = (0, 0, 0, 0)
+
+    def write(self, w: BitWriter) -> None:
+        w.u(self.width, 16)
+        w.u(self.height, 16)
+        w.flag(self.chroma_and_bd_present)
+        if self.chroma_and_bd_present:
+            w.u(self.chroma_format_idc, 2)
+            if self.chroma_format_idc == 3:
+                w.flag(self.separate_colour_plane)
+            w.u(self.bit_depth_luma - 8, 4)
+            w.u(self.bit_depth_chroma - 8, 4)
+        has_win = any(self.conf_win)
+        w.flag(has_win)
+        if has_win:
+            for v in self.conf_win:
+                w.ue(v)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "RepFormat":
+        f = cls()
+        f.width = r.u(16)
+        f.height = r.u(16)
+        f.chroma_and_bd_present = r.flag()
+        if f.chroma_and_bd_present:
+            f.chroma_format_idc = r.u(2)
+            if f.chroma_format_idc == 3:
+                f.separate_colour_plane = r.flag()
+            f.bit_depth_luma = r.u(4) + 8
+            f.bit_depth_chroma = r.u(4) + 8
+        if r.flag():
+            f.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
+        return f
+
+
+@dataclass
+class VPSExt:
+    """SHVC vps_extension() — the subset exercised by 2..N-layer scalable
+    streams with one scalability dimension (reference: hevc_ps.c:706
+    parse_vps_extension; struct hevc_ps.h:509-562).
+
+    The parser walks the full general syntax (within MAX_LAYERS=8);
+    the writer emits the canonical configuration our encoder produces."""
+    splitting_flag: int = 0
+    scalability_mask: List[int] = field(
+        default_factory=lambda: [0, 0, 1] + [0] * 13)
+    dimension_id_len: List[int] = field(default_factory=lambda: [1])
+    nuh_layer_id_present: int = 0
+    layer_id_in_nuh: List[int] = field(default_factory=lambda: [0, 1])
+    dimension_id: List[List[int]] = field(default_factory=lambda: [[0], [1]])
+    view_id_len: int = 0
+    view_id_val: List[int] = field(default_factory=lambda: [0] * 64)
+    # direct_dependency_flag[i][j]: layer i (vps order) depends on layer j
+    direct_dependency_flag: List[List[int]] = field(default_factory=list)
+    sub_layers_vps_max_minus1: List[int] = field(default_factory=list)
+    max_tid_il_ref_pics_plus1: Optional[List[List[int]]] = None
+    default_ref_layers_active: int = 1
+    num_ptl: int = 1  # vps_num_profile_tier_level_minus1 + 1
+    num_add_olss: int = 0
+    default_output_layer_idc: int = 0
+    rep_formats: List[RepFormat] = field(default_factory=list)
+    rep_format_idx: List[int] = field(default_factory=list)  # per layer
+    max_one_active_ref_layer: int = 1
+    poc_lsb_aligned: int = 0
+    # dpb_size() for OLS 1..: per-layer max_vps_dec_pic_buffering_minus1
+    dpb_max_dec_pic_buffering: List[int] = field(
+        default_factory=lambda: [5, 5])
+    direct_dep_type_len: int = 2
+    direct_dep_all_type: int = 2  # sample + motion inter-layer prediction
+    # ---- derived ----
+    num_direct_ref_layers: List[int] = field(default_factory=list)
+    ref_layer_id: List[List[int]] = field(default_factory=list)
+
+    def derive(self, max_layers: int) -> "VPSExt":
+        n = max_layers
+        if not self.direct_dependency_flag:
+            self.direct_dependency_flag = [
+                [1 if j == i - 1 else 0 for j in range(n)] for i in range(n)]
+        if not self.sub_layers_vps_max_minus1:
+            self.sub_layers_vps_max_minus1 = [0] * n
+        if self.max_tid_il_ref_pics_plus1 is None:
+            self.max_tid_il_ref_pics_plus1 = [[7] * n for _ in range(n)]
+        if len(self.layer_id_in_nuh) < n:
+            self.layer_id_in_nuh = list(range(n))
+        # NumDirectRefLayers / IdDirectRefLayer keyed by nuh_layer_id
+        max_id = max(self.layer_id_in_nuh) + 1
+        self.num_direct_ref_layers = [0] * max(max_id, n)
+        self.ref_layer_id = [[] for _ in range(max(max_id, n))]
+        layer_id_in_vps = {lid: i for i, lid in
+                           enumerate(self.layer_id_in_nuh[:n])}
+        self.layer_id_in_vps = layer_id_in_vps
+        for i in range(n):
+            lid = self.layer_id_in_nuh[i]
+            for j in range(i):
+                if self.direct_dependency_flag[i][j]:
+                    self.ref_layer_id[lid].append(self.layer_id_in_nuh[j])
+            self.num_direct_ref_layers[lid] = len(self.ref_layer_id[lid])
+        if not self.rep_format_idx:
+            self.rep_format_idx = [
+                min(i, len(self.rep_formats) - 1) if self.rep_formats else 0
+                for i in range(max(max_id, n))]
+        return self
+
+    def rep_format_of(self, nuh_layer_id: int) -> RepFormat:
+        return self.rep_formats[self.rep_format_idx[nuh_layer_id]]
+
+
+# ---------------------------------------------------------------------------
 # VPS (7.3.2.1)
 # ---------------------------------------------------------------------------
 
 @dataclass
 class VPS:
     vps_id: int = 0
+    base_layer_internal: int = 1
+    base_layer_available: int = 1
     max_layers: int = 1
     max_sub_layers: int = 1
     temporal_id_nesting: int = 1
@@ -206,11 +334,20 @@ class VPS:
     max_dec_pic_buffering: List[int] = field(default_factory=lambda: [5])
     num_reorder_pics: List[int] = field(default_factory=lambda: [0])
     max_latency_increase: List[int] = field(default_factory=lambda: [0])
+    max_layer_id: int = 0
+    # layer_id_included_flag[i][j] for layer set i (set 0 implicit = {0})
+    layer_id_included: List[List[int]] = field(default_factory=list)
+    vps_ext: Optional[VPSExt] = None
+
+    @property
+    def num_layer_sets(self) -> int:
+        return 1 + len(self.layer_id_included)
 
     def write_rbsp(self) -> bytes:
         w = BitWriter()
         w.u(self.vps_id, 4)
-        w.u(3, 2)  # vps_reserved_three_2bits
+        w.u(self.base_layer_internal, 1)
+        w.u(self.base_layer_available, 1)
         w.u(self.max_layers - 1, 6)
         w.u(self.max_sub_layers - 1, 3)
         w.u(self.temporal_id_nesting, 1)
@@ -221,19 +358,94 @@ class VPS:
             w.ue(self.max_dec_pic_buffering[i] - 1)
             w.ue(self.num_reorder_pics[i])
             w.ue(self.max_latency_increase[i])
-        w.u(0, 6)  # vps_max_layer_id
-        w.ue(0)  # vps_num_layer_sets_minus1
+        w.u(self.max_layer_id, 6)
+        w.ue(self.num_layer_sets - 1)
+        for incl in self.layer_id_included:
+            for j in range(self.max_layer_id + 1):
+                w.flag(incl[j] if j < len(incl) else 0)
         w.flag(0)  # vps_timing_info_present_flag
-        w.flag(0)  # vps_extension_flag
+        if self.vps_ext is not None:
+            w.flag(1)  # vps_extension_flag
+            w.align_zero_one()  # vps_extension_alignment_bit_equal_to_one
+            self._write_extension(w)
+        else:
+            w.flag(0)
         w.rbsp_trailing_bits()
         return w.getvalue()
+
+    def _write_extension(self, w: BitWriter) -> None:
+        """Canonical SHVC vps_extension writer (one scalability dim,
+        chain dependency, one OLS per layer set)."""
+        e = self.vps_ext.derive(self.max_layers)
+        n = self.max_layers
+        if n > 1 and self.base_layer_internal:
+            self.ptl.write(w, self.max_sub_layers, profile_present=False)
+        w.flag(e.splitting_flag)
+        assert not e.splitting_flag, "splitting_flag writer not needed"
+        for m in e.scalability_mask:
+            w.flag(m)
+        nst = sum(e.scalability_mask)
+        for j in range(nst):
+            w.u(e.dimension_id_len[j] - 1, 3)
+        w.flag(e.nuh_layer_id_present)
+        for i in range(1, n):
+            if e.nuh_layer_id_present:
+                w.u(e.layer_id_in_nuh[i], 6)
+            for j in range(nst):
+                w.u(e.dimension_id[i][j], e.dimension_id_len[j])
+        w.u(e.view_id_len, 4)
+        assert e.view_id_len == 0, "view_id writer not needed"
+        for i in range(1, n):
+            for j in range(i):
+                w.flag(e.direct_dependency_flag[i][j])
+        # chain dependency ⇒ NumIndependentLayers == 1 ⇒ no add layer sets
+        w.flag(0)  # vps_sub_layers_max_minus1_present_flag
+        w.flag(0)  # max_tid_ref_present_flag
+        w.flag(e.default_ref_layers_active)
+        w.ue(e.num_ptl - 1)
+        assert e.num_ptl <= 2, "extra PTL writer not needed"
+        if self.base_layer_internal and e.num_ptl > 2:
+            pass  # unreachable
+        if self.num_layer_sets > 1:
+            w.ue(e.num_add_olss)
+            assert e.num_add_olss == 0
+            w.u(e.default_output_layer_idc, 2)
+        # per-OLS output flags / ptl idx / alt flag: none for idc==0,
+        # num_ptl<=1, one OLS per layer set
+        assert e.default_output_layer_idc == 0
+        w.ue(len(e.rep_formats) - 1)
+        for f in e.rep_formats:
+            f.write(w)
+        if len(e.rep_formats) > 1:
+            w.flag(0)  # rep_format_idx_present_flag (infer min(i, n-1))
+        w.flag(e.max_one_active_ref_layer)
+        w.flag(e.poc_lsb_aligned)
+        for i in range(1, n):
+            if e.num_direct_ref_layers[e.layer_id_in_nuh[i]] == 0:
+                w.flag(0)  # poc_lsb_not_present_flag
+        # dpb_size(): one OLS per layer set, layer set i = layers 0..i
+        for ols in range(1, self.num_layer_sets):
+            w.flag(0)  # sub_layer_flag_info_present_flag
+            # j == 0 only (sub_layer_dpb_info inferred present)
+            n_in_ls = sum(self.layer_id_included[ols - 1]) \
+                if ols - 1 < len(self.layer_id_included) else ols + 1
+            for k in range(n_in_ls):
+                w.ue(e.dpb_max_dec_pic_buffering[k] - 1)
+            w.ue(0)  # max_vps_num_reorder_pics
+            w.ue(0)  # max_vps_latency_increase_plus1
+        w.ue(e.direct_dep_type_len - 2)
+        w.flag(1)  # direct_dependency_all_layers_flag
+        w.u(e.direct_dep_all_type, e.direct_dep_type_len)
+        w.ue(0)  # vps_non_vui_extension_length
+        w.flag(0)  # vps_vui_present_flag
 
     @classmethod
     def parse_rbsp(cls, rbsp: bytes) -> "VPS":
         r = BitReader(rbsp)
         v = cls()
         v.vps_id = r.u(4)
-        r.u(2)
+        v.base_layer_internal = r.u(1)
+        v.base_layer_available = r.u(1)
         v.max_layers = r.u(6) + 1
         v.max_sub_layers = r.u(3) + 1
         v.temporal_id_nesting = r.u(1)
@@ -248,8 +460,199 @@ class VPS:
             v.max_dec_pic_buffering[i] = r.ue() + 1
             v.num_reorder_pics[i] = r.ue()
             v.max_latency_increase[i] = r.ue()
-        # remaining (layer sets, timing, extension incl. SHVC) parsed later
+        v.max_layer_id = r.u(6)
+        num_layer_sets = r.ue() + 1
+        v.layer_id_included = []
+        for _ in range(1, num_layer_sets):
+            v.layer_id_included.append(
+                [r.flag() for _ in range(v.max_layer_id + 1)])
+        if r.flag():  # vps_timing_info_present_flag
+            r.u(32); r.u(32)
+            if r.flag():
+                r.ue()
+            if r.ue() != 0:
+                raise NotImplementedError("VPS HRD parameters")
+        if r.flag():  # vps_extension_flag
+            r.align()
+            v.vps_ext = cls._parse_extension(r, v)
         return v
+
+    @classmethod
+    def _parse_extension(cls, r: BitReader, v: "VPS") -> VPSExt:
+        """Parse vps_extension() (reference: hevc_ps.c:706)."""
+        e = VPSExt()
+        n = v.max_layers
+        if n > 1 and v.base_layer_internal:
+            ProfileTierLevel.parse(r, v.max_sub_layers,
+                                   profile_present=False)
+        e.splitting_flag = r.flag()
+        e.scalability_mask = [r.flag() for _ in range(16)]
+        nst = sum(e.scalability_mask)
+        e.dimension_id_len = [r.u(3) + 1
+                              for _ in range(nst - e.splitting_flag)]
+        if e.splitting_flag:
+            offs = [0] * (nst + 1)
+            for j in range(1, nst):
+                offs[j] = sum(e.dimension_id_len[:j])
+            e.dimension_id_len.append(6 - offs[nst - 1])
+        e.nuh_layer_id_present = r.flag()
+        e.layer_id_in_nuh = [0] * n
+        e.dimension_id = [[0] * nst for _ in range(n)]
+        for i in range(1, n):
+            e.layer_id_in_nuh[i] = r.u(6) if e.nuh_layer_id_present else i
+            if not e.splitting_flag:
+                for j in range(nst):
+                    e.dimension_id[i][j] = r.u(e.dimension_id_len[j])
+        # NumViews (only used to size view_id_val)
+        num_views = 1
+        view_order = {0: 0}
+        for i in range(1, n):
+            scal_view = 0
+            j = 0
+            for sm in range(16):
+                if e.scalability_mask[sm]:
+                    if sm == 1:
+                        scal_view = e.dimension_id[i][j]
+                    j += 1
+            if scal_view not in view_order.values():
+                num_views += 1
+            view_order[e.layer_id_in_nuh[i]] = scal_view
+        e.view_id_len = r.u(4)
+        if e.view_id_len:
+            for i in range(num_views):
+                e.view_id_val[i] = r.u(e.view_id_len)
+        e.direct_dependency_flag = [[0] * n for _ in range(n)]
+        for i in range(1, n):
+            for j in range(i):
+                e.direct_dependency_flag[i][j] = r.flag()
+        e.derive(n)
+        # NumIndependentLayers (layers with no direct refs)
+        n_indep = sum(1 for i in range(n)
+                      if e.num_direct_ref_layers[e.layer_id_in_nuh[i]] == 0)
+        num_add_layer_sets = 0
+        if n_indep > 1:
+            num_add_layer_sets = r.ue()
+            if num_add_layer_sets:
+                raise NotImplementedError("additional layer sets")
+        num_layer_sets = v.num_layer_sets + num_add_layer_sets
+        if r.flag():  # vps_sub_layers_max_minus1_present_flag
+            e.sub_layers_vps_max_minus1 = [r.u(3) for _ in range(n)]
+        else:
+            e.sub_layers_vps_max_minus1 = [v.max_sub_layers - 1] * n
+        # MaxSubLayersInLayerSet per layer set
+        lsets = [[0]] + [
+            [m for m in range(v.max_layer_id + 1) if incl[m]]
+            for incl in v.layer_id_included]
+        max_sl_in_ls = []
+        for ls in lsets:
+            msl = 0
+            for lid in ls:
+                msl = max(msl,
+                          e.sub_layers_vps_max_minus1[e.layer_id_in_vps[lid]])
+            max_sl_in_ls.append(msl + 1)
+        if r.flag():  # max_tid_ref_present_flag
+            for i in range(n - 1):
+                for j in range(i + 1, n):
+                    if e.direct_dependency_flag[j][i]:
+                        e.max_tid_il_ref_pics_plus1[i][j] = r.u(3)
+        e.default_ref_layers_active = r.flag()
+        e.num_ptl = r.ue() + 1
+        for i in range(2 if v.base_layer_internal else 1, e.num_ptl):
+            pp = r.flag()  # vps_profile_present_flag
+            ProfileTierLevel.parse(r, v.max_sub_layers, profile_present=pp)
+        if num_layer_sets > 1:
+            e.num_add_olss = r.ue()
+            e.default_output_layer_idc = min(2, r.u(2))
+        num_ols = num_layer_sets + e.num_add_olss
+        import math
+        output_layer_flag = {}
+        for i in range(1, num_ols):
+            if num_layer_sets > 2 and i >= num_layer_sets:
+                nb = max(1, math.ceil(math.log2(num_layer_sets - 1)))
+                ls_idx = r.u(nb) + 1
+            else:
+                ls_idx = i
+            nl = len(lsets[ls_idx])
+            if i > v.num_layer_sets - 1 or e.default_output_layer_idc == 2:
+                flags = [r.flag() for _ in range(nl)]
+            elif e.default_output_layer_idc == 0:
+                flags = [1] * nl
+            else:
+                mx = max(max(ls) for ls in lsets)
+                flags = [1 if lsets[ls_idx][j] == mx else 0
+                         for j in range(nl)]
+            output_layer_flag[i] = (ls_idx, flags)
+            necessary = list(flags)
+            for j in range(nl):
+                if flags[j]:
+                    for k in range(j):
+                        if e.direct_dependency_flag[
+                                e.layer_id_in_vps[lsets[ls_idx][j]]][
+                                e.layer_id_in_vps[lsets[ls_idx][k]]]:
+                            necessary[k] = 1
+            if e.num_ptl > 1:
+                nb = max(1, math.ceil(math.log2(e.num_ptl)))
+                for j in range(nl):
+                    if necessary[j]:
+                        r.u(nb)  # profile_tier_level_idx
+            n_out = sum(flags)
+            highest = max((lsets[ls_idx][j] for j in range(nl) if flags[j]),
+                          default=0)
+            if n_out == 1 and e.num_direct_ref_layers[highest] > 0:
+                r.flag()  # alt_output_layer_flag
+        n_rep = r.ue() + 1
+        e.rep_formats = [RepFormat.parse(r) for _ in range(n_rep)]
+        rep_idx_present = r.flag() if n_rep > 1 else 0
+        e.rep_format_idx = [min(i, n_rep - 1) for i in range(64)]
+        if rep_idx_present:
+            nb = max(1, math.ceil(math.log2(n_rep)))
+            for i in range(1 if v.base_layer_internal else 0, n):
+                e.rep_format_idx[e.layer_id_in_nuh[i]] = r.u(nb)
+        else:
+            for i in range(1 if v.base_layer_internal else 0, n):
+                e.rep_format_idx[e.layer_id_in_nuh[i]] = min(i, n_rep - 1)
+        e.max_one_active_ref_layer = r.flag()
+        e.poc_lsb_aligned = r.flag()
+        for i in range(1, n):
+            if e.num_direct_ref_layers[e.layer_id_in_nuh[i]] == 0:
+                r.flag()  # poc_lsb_not_present_flag
+        # dpb_size()
+        for i in range(1, num_ols):
+            ls_idx = output_layer_flag[i][0] if i in output_layer_flag else i
+            sub_info = r.flag()
+            _, flags = output_layer_flag[i]
+            necessary = list(flags)
+            nl = len(lsets[ls_idx])
+            for j in range(nl):
+                if flags[j]:
+                    for k in range(j):
+                        if e.direct_dependency_flag[
+                                e.layer_id_in_vps[lsets[ls_idx][j]]][
+                                e.layer_id_in_vps[lsets[ls_idx][k]]]:
+                            necessary[k] = 1
+            for j in range(max_sl_in_ls[ls_idx]):
+                present = 1 if j == 0 else (r.flag() if sub_info else 0)
+                if present:
+                    for k in range(nl):
+                        if necessary[k] and (v.base_layer_internal
+                                             or lsets[ls_idx][k]):
+                            r.ue()  # max_vps_dec_pic_buffering_minus1
+                    r.ue()  # max_vps_num_reorder_pics
+                    r.ue()  # max_vps_latency_increase_plus1
+        e.direct_dep_type_len = r.ue() + 2
+        if r.flag():  # direct_dependency_all_layers_flag
+            e.direct_dep_all_type = r.u(e.direct_dep_type_len)
+        else:
+            for i in range(1 if v.base_layer_internal else 2, n):
+                for j in range(0 if v.base_layer_internal else 1, i):
+                    if e.direct_dependency_flag[i][j]:
+                        r.u(e.direct_dep_type_len)
+        non_vui_len = r.ue()
+        for _ in range(non_vui_len):
+            r.u(8)
+        if r.flag():  # vps_vui_present_flag
+            pass  # vps_vui ignored (trailing data)
+        return e
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +702,11 @@ class SPS:
     high_precision_offsets: int = 0
     persistent_rice_adaptation: int = 0
     cabac_bypass_alignment: int = 0
+    # SHVC (F.7.3.2.2): multi-layer extension SPS state
+    nuh_layer_id: int = 0
+    is_multi_layer_ext: int = 0
+    update_rep_format: int = 0
+    sps_rep_format_idx: int = 0
 
     # ---- derived (computed on finalize/parse) ----
     def derive(self):
@@ -384,38 +792,70 @@ class SPS:
         return w.getvalue()
 
     @classmethod
-    def parse_rbsp(cls, rbsp: bytes) -> "SPS":
+    def parse_rbsp(cls, rbsp: bytes, nuh_layer_id: int = 0,
+                   vps_map=None) -> "SPS":
+        """Parse an SPS RBSP.  For nuh_layer_id > 0 handles the
+        multi-layer-extension path (F.7.3.2.2: sps_ext_or_max_sub_layers,
+        rep_format inference — reference: hevc_ps.c:1906-2090)."""
         r = BitReader(rbsp)
         s = cls()
+        s.nuh_layer_id = nuh_layer_id
         s.vps_id = r.u(4)
-        s.max_sub_layers = r.u(3) + 1
-        s.temporal_id_nesting = r.u(1)
-        s.ptl = ProfileTierLevel.parse(r, s.max_sub_layers)
+        vps = (vps_map or {}).get(s.vps_id)
+        if nuh_layer_id == 0:
+            s.max_sub_layers = r.u(3) + 1
+        else:
+            ext_or_max = r.u(3) + 1
+            s.is_multi_layer_ext = (ext_or_max - 1) == 7
+            if s.is_multi_layer_ext:
+                s.max_sub_layers = vps.max_sub_layers if vps else 1
+            else:
+                s.max_sub_layers = ext_or_max
+        if not s.is_multi_layer_ext:
+            s.temporal_id_nesting = r.u(1)
+            s.ptl = ProfileTierLevel.parse(r, s.max_sub_layers)
         s.sps_id = r.ue()
-        s.chroma_format_idc = r.ue()
-        if s.chroma_format_idc == 3:
-            s.separate_colour_plane = r.flag()
-        s.width = r.ue()
-        s.height = r.ue()
-        if r.flag():
-            s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
-        s.bit_depth_luma = r.ue() + 8
-        s.bit_depth_chroma = r.ue() + 8
+        if s.is_multi_layer_ext:
+            s.update_rep_format = r.flag()
+            if s.update_rep_format:
+                s.sps_rep_format_idx = r.u(8)
+            ext = vps.vps_ext
+            if s.update_rep_format:
+                rep = ext.rep_formats[s.sps_rep_format_idx]
+            else:
+                rep = ext.rep_format_of(nuh_layer_id)
+            s.width, s.height = rep.width, rep.height
+            s.chroma_format_idc = rep.chroma_format_idc
+            s.separate_colour_plane = rep.separate_colour_plane
+            s.bit_depth_luma = rep.bit_depth_luma
+            s.bit_depth_chroma = rep.bit_depth_chroma
+            s.conf_win = rep.conf_win
+        else:
+            s.chroma_format_idc = r.ue()
+            if s.chroma_format_idc == 3:
+                s.separate_colour_plane = r.flag()
+            s.width = r.ue()
+            s.height = r.ue()
+            if r.flag():
+                s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
+            s.bit_depth_luma = r.ue() + 8
+            s.bit_depth_chroma = r.ue() + 8
         s.log2_max_poc_lsb = r.ue() + 4
-        sub_layer_ordering = r.flag()
-        start = 0 if sub_layer_ordering else s.max_sub_layers - 1
-        s.max_dec_pic_buffering = [0] * s.max_sub_layers
-        s.num_reorder_pics = [0] * s.max_sub_layers
-        s.max_latency_increase = [0] * s.max_sub_layers
-        for i in range(start, s.max_sub_layers):
-            s.max_dec_pic_buffering[i] = r.ue() + 1
-            s.num_reorder_pics[i] = r.ue()
-            s.max_latency_increase[i] = r.ue()
-        if not sub_layer_ordering:
-            for i in range(start):
-                s.max_dec_pic_buffering[i] = s.max_dec_pic_buffering[start]
-                s.num_reorder_pics[i] = s.num_reorder_pics[start]
-                s.max_latency_increase[i] = s.max_latency_increase[start]
+        if not s.is_multi_layer_ext:
+            sub_layer_ordering = r.flag()
+            start = 0 if sub_layer_ordering else s.max_sub_layers - 1
+            s.max_dec_pic_buffering = [0] * s.max_sub_layers
+            s.num_reorder_pics = [0] * s.max_sub_layers
+            s.max_latency_increase = [0] * s.max_sub_layers
+            for i in range(start, s.max_sub_layers):
+                s.max_dec_pic_buffering[i] = r.ue() + 1
+                s.num_reorder_pics[i] = r.ue()
+                s.max_latency_increase[i] = r.ue()
+            if not sub_layer_ordering:
+                for i in range(start):
+                    s.max_dec_pic_buffering[i] = s.max_dec_pic_buffering[start]
+                    s.num_reorder_pics[i] = s.num_reorder_pics[start]
+                    s.max_latency_increase[i] = s.max_latency_increase[start]
         s.log2_min_cb_size = r.ue() + 3
         s.log2_ctb_size = s.log2_min_cb_size + r.ue()
         s.log2_min_tb_size = r.ue() + 2
@@ -424,7 +864,10 @@ class SPS:
         s.max_transform_hierarchy_depth_intra = r.ue()
         s.scaling_list_enabled = r.flag()
         if s.scaling_list_enabled:
-            if r.flag():
+            infer = r.flag() if s.is_multi_layer_ext else 0
+            if infer:
+                r.u(6)  # sps_scaling_list_ref_layer_id
+            elif r.flag():
                 parse_scaling_list_data(r)
         s.amp_enabled = r.flag()
         s.sao_enabled = r.flag()

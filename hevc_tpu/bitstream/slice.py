@@ -133,12 +133,74 @@ class SliceHeader:
     loop_filter_across_slices: int = 0
     entry_point_offsets: List[int] = field(default_factory=list)
     weight_table: Optional["WeightTable"] = None
+    # SHVC inter-layer prediction (F.7.3.6.1; reference: hevcdec.c:876-926)
+    inter_layer_pred_enabled: int = 0
+    active_num_ilr: int = 0
+    inter_layer_pred_layer_idc: List[int] = field(default_factory=list)
 
     def max_num_merge_cand(self) -> int:
         return 5 - self.five_minus_max_num_merge_cand
 
+    def _derive_ilr(self, vps, nuh_layer_id: int, temporal_id: int,
+                    r: Optional[BitReader], w: Optional[BitWriter]) -> None:
+        """Parse (r) or write (w) the slice-header inter-layer block and
+        derive active_num_ilr / inter_layer_pred_layer_idc.  Mirrors the
+        reference's hls_slice_header (hevcdec.c:876-926)."""
+        self.active_num_ilr = 0
+        self.inter_layer_pred_layer_idc = []
+        if vps is None or vps.vps_ext is None or nuh_layer_id == 0:
+            return
+        ext = vps.vps_ext
+        n_ilr = ext.num_direct_ref_layers[nuh_layer_id]
+        lid_vps = ext.layer_id_in_vps[nuh_layer_id]
+
+        def tid_ok(i):
+            return ((ext.max_tid_il_ref_pics_plus1[i][lid_vps] > temporal_id
+                     or temporal_id == 0)
+                    and ext.sub_layers_vps_max_minus1[i] >= temporal_id)
+
+        if not ext.default_ref_layers_active and n_ilr > 0:
+            if r is not None:
+                self.inter_layer_pred_enabled = r.flag()
+            else:
+                w.flag(self.inter_layer_pred_enabled)
+            if not self.inter_layer_pred_enabled:
+                return
+            if n_ilr > 1:
+                nbits = 1
+                while (1 << nbits) < n_ilr:
+                    nbits += 1
+                if not ext.max_one_active_ref_layer:
+                    if r is not None:
+                        self.active_num_ilr = r.u(nbits) + 1
+                    else:
+                        w.u(self.active_num_ilr - 1, nbits)
+                else:
+                    self.active_num_ilr = 1 if any(
+                        tid_ok(i) for i in range(n_ilr)) else 0
+                if self.active_num_ilr == n_ilr:
+                    self.inter_layer_pred_layer_idc = list(
+                        range(self.active_num_ilr))
+                else:
+                    if r is not None:
+                        self.inter_layer_pred_layer_idc = [
+                            r.u(nbits) for _ in range(self.active_num_ilr)]
+                    else:
+                        for idc in self.inter_layer_pred_layer_idc:
+                            w.u(idc, nbits)
+            else:
+                if tid_ok(0):
+                    self.active_num_ilr = 1
+                    self.inter_layer_pred_layer_idc = [0]
+        elif ext.default_ref_layers_active:
+            self.inter_layer_pred_enabled = 1
+            idc = [i for i in range(n_ilr) if tid_ok(i)]
+            self.active_num_ilr = len(idc)
+            self.inter_layer_pred_layer_idc = idc
+
     def write_rbsp(self, sps: SPS, pps: PPS, nal_type: int,
-                   data_payload: bytes) -> bytes:
+                   data_payload: bytes, nuh_layer_id: int = 0,
+                   vps=None, temporal_id: int = 0) -> bytes:
         """Serialize header followed by byte-aligned slice data."""
         w = BitWriter()
         w.flag(self.first_slice_in_pic)
@@ -173,6 +235,8 @@ class SliceHeader:
                     raise NotImplementedError
                 if sps.temporal_mvp_enabled:
                     w.flag(self.slice_temporal_mvp_enabled)
+            if nuh_layer_id > 0:
+                self._derive_ilr(vps, nuh_layer_id, temporal_id, None, w)
             if sps.sao_enabled:
                 w.flag(self.sao_luma)
                 if sps.chroma_format_idc:
@@ -239,7 +303,9 @@ class SliceHeader:
         return w.getvalue() + data_payload
 
     @classmethod
-    def parse(cls, r: BitReader, nal_type: int, sps_map, pps_map) -> "SliceHeader":
+    def parse(cls, r: BitReader, nal_type: int, sps_map, pps_map,
+              nuh_layer_id: int = 0, vps_map=None,
+              temporal_id: int = 0) -> "SliceHeader":
         """Parse from a BitReader positioned at the header start.
 
         Leaves `r` positioned at the first byte of slice data (post
@@ -284,6 +350,9 @@ class SliceHeader:
                     raise NotImplementedError("long-term ref pics")
                 if sps.temporal_mvp_enabled:
                     sh.slice_temporal_mvp_enabled = r.flag()
+            if nuh_layer_id > 0:
+                vps = (vps_map or {}).get(sps.vps_id)
+                sh._derive_ilr(vps, nuh_layer_id, temporal_id, r, None)
             if sps.sao_enabled:
                 sh.sao_luma = r.flag()
                 if sps.chroma_format_idc:

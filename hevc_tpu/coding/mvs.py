@@ -70,7 +70,8 @@ _COMB_L1 = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
 def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                      max_cand, num_ref_l0, ref_poc_l0,
                      num_ref_l1=0, ref_poc_l1=(),
-                     is_b=False, tc=None) -> List[MotionInfo]:
+                     is_b=False, tc=None, lt0=None,
+                     lt1=None) -> List[MotionInfo]:
     """Merge candidate list: spatial (8.5.3.2.3), combined bi
     (8.5.3.2.4 for B), zero padding (8.5.3.2.5)."""
     a1 = (x_pb - 1, y_pb + n_h - 1)
@@ -107,11 +108,13 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
     # temporal candidate (8.5.3.2.7): refIdx 0, after spatial
     if tc is not None and len(cand) < max_cand:
         mi = None
-        mv0 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 0, ref_poc_l0[0])
+        mv0 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 0, ref_poc_l0[0],
+                          target_lt=bool(lt0[0]) if lt0 else False)
         if mv0 is not None:
             mi = MotionInfo(mv0=mv0, ref0=0, poc0=ref_poc_l0[0])
         if is_b:
-            mv1 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 1, ref_poc_l1[0])
+            mv1 = temporal_mv(tc, x_pb, y_pb, n_w, n_h, 1, ref_poc_l1[0],
+                              target_lt=bool(lt1[0]) if lt1 else False)
             if mv1 is not None:
                 if mi is None:
                     mi = MotionInfo()
@@ -163,23 +166,36 @@ def _scale_tb_td(mv, tb, td) -> Tuple[int, int]:
 
 
 def _scale_mv(mv, cur_poc, cur_ref_poc, nb_ref_poc) -> Tuple[int, int]:
-    """Spatial AMVP scaling: tb = cur-ref distance, td = neighbour's."""
-    return _scale_tb_td(mv, cur_poc - cur_ref_poc, cur_poc - nb_ref_poc)
+    """Spatial AMVP scaling: tb = cur-ref distance, td = neighbour's
+    (reference: hevc_mvs.c:557 dist_scale — td of 0 clamps to 1)."""
+    if nb_ref_poc == cur_ref_poc:
+        return tuple(mv)
+    td = cur_poc - nb_ref_poc
+    if td == 0:
+        td = 1
+    return _scale_tb_td(mv, cur_poc - cur_ref_poc, td)
 
 
 def _lx_of(m: MotionInfo, lx: int):
+    """Neighbour's (mv, ref_poc, ref_idx) for list lx, or None."""
     if lx == 0:
-        return (m.mv0, m.poc0) if m.uses_l0 else None
-    return (m.mv1, m.poc1) if m.uses_l1 else None
+        return (m.mv0, m.poc0, m.ref0) if m.uses_l0 else None
+    return (m.mv1, m.poc1, m.ref1) if m.uses_l1 else None
 
 
 def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
-                    cur_poc, tc=None) -> List[Tuple[int, int]]:
+                    cur_poc, tc=None, lt0=None, lt1=None,
+                    ref_lt_list=None) -> List[Tuple[int, int]]:
     """Spatial AMVP candidates for list lx (8.5.3.2.6-7): [mvp0, mvp1].
 
     A neighbour contributes from either of its lists: same-ref first,
-    then (per the isScaledFlag rule) scaled from any reference."""
+    then (per the isScaledFlag rule) scaled from any reference.
+    lt0/lt1: per-ref-idx long-term flags of the slice's L0/L1 — the
+    scaled pass requires matching long-term status and never scales
+    long-term MVs (reference: hevc_mvs.c:600 mv_mp_mode_mx_lt)."""
     target_poc = ref_poc_list[ref_idx]
+    lt_of = (lt0 or (), lt1 or ())
+    cur_lt = bool(lt_of[lx][ref_idx]) if ref_idx < len(lt_of[lx]) else False
     a0 = (x_pb - 1, y_pb + n_h)
     a1 = (x_pb - 1, y_pb + n_h - 1)
     b0 = (x_pb + n_w, y_pb - 1)
@@ -196,11 +212,19 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
                 return got[0]
         return None
 
+    def nb_lt(l, ridx):
+        return bool(lt_of[l][ridx]) if ridx < len(lt_of[l]) else False
+
     def any_ref_scaled(m):
         for l in (lx, 1 - lx):
             got = _lx_of(m, l)
-            if got is not None:
-                return _scale_mv(got[0], cur_poc, target_poc, got[1])
+            if got is None:
+                continue
+            if nb_lt(l, got[2]) != cur_lt:
+                continue  # long-term status must match
+            if cur_lt:
+                return got[0]  # both long-term: no scaling
+            return _scale_mv(got[0], cur_poc, target_poc, got[1])
         return None
 
     mv_a = None
@@ -215,8 +239,10 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
     if mv_a is None:
         for m in a_neigh:
             if m is not None:
-                mv_a = any_ref_scaled(m)
-                break
+                got = any_ref_scaled(m)
+                if got is not None:
+                    mv_a = got
+                    break
     mv_b = None
     b_neigh = [motion(b0), motion(b1), motion(b2)]
     for m in b_neigh:
@@ -232,15 +258,18 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
         if mv_b is None:
             for m in b_neigh:
                 if m is not None:
-                    mv_b = any_ref_scaled(m)
-                    break
+                    got = any_ref_scaled(m)
+                    if got is not None:
+                        mv_b = got
+                        break
     out = []
     if mv_a is not None:
         out.append(tuple(mv_a))
     if mv_b is not None and (not out or tuple(mv_b) != out[0]):
         out.append(tuple(mv_b))
     if tc is not None and len(out) < 2:
-        t = temporal_mv(tc, x_pb, y_pb, n_w, n_h, lx, target_poc)
+        t = temporal_mv(tc, x_pb, y_pb, n_w, n_h, lx, target_poc,
+                        target_lt=cur_lt)
         if t is not None:
             out.append(tuple(t))
     while len(out) < 2:
@@ -279,10 +308,18 @@ def _col_motion_at(tc: TemporalCtx, x: int, y: int):
             tuple(int(v) for v in col["mv1"][y4, x4]), p1)
 
 
-def temporal_mv(tc: TemporalCtx, x_pb, y_pb, n_w, n_h, lx, target_poc):
+def temporal_mv(tc: TemporalCtx, x_pb, y_pb, n_w, n_h, lx, target_poc,
+                target_lt: bool = False):
     """Temporal candidate mvLXCol for list lx towards target_poc, or
     None.  Tries C0 (bottom-right, same-CTB-row constraint) then C1
-    (centre)."""
+    (centre).
+
+    Long-term rule (reference: hevc_mvs.c:141 check_mvset): the target
+    ref and the collocated block's ref must have matching long-term
+    status; long-term MVs are never scaled.  A collocated ref is
+    long-term exactly when its poc equals the collocated picture's own
+    poc — only SHVC inter-layer refs are long-term in this framework
+    and they always share the referencing picture's poc."""
     cands = []
     x_br, y_br = x_pb + n_w, y_pb + n_h
     if (y_pb >> tc.ctb_log2) == (y_br >> tc.ctb_log2):
@@ -305,9 +342,12 @@ def temporal_mv(tc: TemporalCtx, x_pb, y_pb, n_w, n_h, lx, target_poc):
                 mv_col, ref_col = mv1, p1
             else:
                 mv_col, ref_col = mv0, p0
+        col_lt = ref_col == tc.col["poc"]
+        if col_lt != bool(target_lt):
+            continue  # candidate unusable at this position
         tb = tc.cur_poc - target_poc
         td = tc.col["poc"] - ref_col
-        if tb == td:
+        if target_lt or tb == td or td == 0:
             return tuple(mv_col)
         return _scale_tb_td(mv_col, tb, td)
     return None
