@@ -220,8 +220,11 @@ class SliceHeader:
             w.ue(self.slice_type)
             if pps.output_flag_present:
                 w.flag(self.pic_output_flag)
-            if not is_idr_nal(nal_type):
+            # F.7.3.6.1: poc lsb is present for IDR too when
+            # nuh_layer_id > 0 (reference: hevcdec.c:803-806)
+            if nuh_layer_id > 0 or not is_idr_nal(nal_type):
                 w.u(self.pic_order_cnt_lsb, sps.log2_max_poc_lsb)
+            if not is_idr_nal(nal_type):
                 if self.explicit_rps is not None:
                     w.flag(0)  # short_term_ref_pic_set_sps_flag
                     self.explicit_rps.write(w, len(sps.st_rps), len(sps.st_rps))
@@ -335,8 +338,9 @@ class SliceHeader:
                 sh.pic_output_flag = r.flag()
             if sps.separate_colour_plane:
                 r.u(2)
-            if not is_idr_nal(nal_type):
+            if nuh_layer_id > 0 or not is_idr_nal(nal_type):
                 sh.pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb)
+            if not is_idr_nal(nal_type):
                 sps_rps = r.flag()
                 sh.short_term_rps_sps_flag = sps_rps
                 if not sps_rps:

@@ -27,14 +27,24 @@ def main(argv=None):
     ap.add_argument("-b", "--backend", default="inline",
                     choices=["inline", "plan", "jax"],
                     help="reconstruction backend (jax = TPU stage B)")
+    ap.add_argument("-l", "--layer", type=int, default=63,
+                    help="maximum quality (SHVC) layer id to decode; "
+                         "output is the highest decoded layer")
+    ap.add_argument("-t", "--temporal-layer", type=int, default=7,
+                    help="maximum temporal layer id to decode")
     args = ap.parse_args(argv)
 
     from .decoder.core import Decoder
 
     data = open(args.input, "rb").read()
     t0 = time.time()
-    dec = Decoder(check_md5=not args.no_md5, recon_backend=args.backend)
+    dec = Decoder(check_md5=not args.no_md5, recon_backend=args.backend,
+                  target_layer=args.layer,
+                  temporal_layer=args.temporal_layer)
     frames = dec.decode_bytes(data)
+    # output = highest decoded layer (reference: openhevc.c:553-562)
+    top = max((f.layer for f in frames), default=0)
+    frames = [f for f in frames if f.layer == top]
     if args.frames:
         frames = frames[:args.frames]
     dt = time.time() - t0

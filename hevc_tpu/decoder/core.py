@@ -38,6 +38,7 @@ class DecodedFrame:
     poc: int
     sei_hash: Optional[DecodedPictureHash] = None
     md5_ok: Optional[bool] = None
+    layer: int = 0
 
 
 class _CuState:
@@ -83,7 +84,8 @@ class SliceDecoder:
                  ref_list=None, cur_poc: int = 0,
                  rbsp: Optional[bytes] = None,
                  segment_starts: Optional[list] = None,
-                 ref_list_l1=None, tmvp=None):
+                 ref_list_l1=None, tmvp=None,
+                 ref_lt0=None, ref_lt1=None):
         self.pic = pic
         self.sps = sps
         self.pps = pps
@@ -99,6 +101,9 @@ class SliceDecoder:
         self.rbsp = rbsp
         self.segment_starts = segment_starts or []
         self.tmvp = tmvp
+        # per-ref-idx long-term flags (SHVC inter-layer refs are LT)
+        self.ref_lt0 = ref_lt0 or [False] * len(self.ref_list)
+        self.ref_lt1 = ref_lt1 or [False] * len(self.ref_list_l1)
 
     def _init_type(self):
         if self.sh.slice_type == SLICE_I:
@@ -427,7 +432,7 @@ class SliceDecoder:
                 self.pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                 sh.max_num_merge_cand(), sh.num_ref_idx_l0_active,
                 ref_pocs0, sh.num_ref_idx_l1_active, ref_pocs1, is_b,
-                tc=self.tmvp)
+                tc=self.tmvp, lt0=self.ref_lt0, lt1=self.ref_lt1)
             self._inter_pb(x_pb, y_pb, n_w, n_h, cand[idx])
             return True
         idc = self._decode_inter_pred_idc(n_w, n_h, depth) if is_b else 0
@@ -438,7 +443,8 @@ class SliceDecoder:
             mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
             cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 0,
                                        ref_idx, ref_pocs0, self.cur_poc,
-                                       tc=self.tmvp)
+                                       tc=self.tmvp, lt0=self.ref_lt0,
+                                       lt1=self.ref_lt1)
             mi.mv0 = (cands[mvp_flag][0] + mvd[0],
                       cands[mvp_flag][1] + mvd[1])
             mi.ref0 = ref_idx
@@ -452,7 +458,8 @@ class SliceDecoder:
             mvp_flag = d.decode_bin(cm.at("mvp_lx_flag", 0))
             cands = MV.amvp_candidates(self.pic, x_pb, y_pb, n_w, n_h, 1,
                                        ref_idx, ref_pocs1, self.cur_poc,
-                                       tc=self.tmvp)
+                                       tc=self.tmvp, lt0=self.ref_lt0,
+                                       lt1=self.ref_lt1)
             mi.mv1 = (cands[mvp_flag][0] + mvd[0],
                       cands[mvp_flag][1] + mvd[1])
             mi.ref1 = ref_idx
@@ -508,7 +515,8 @@ class SliceDecoder:
                     [p for p, _ in self.ref_list],
                     self.sh.num_ref_idx_l1_active,
                     [p for p, _ in self.ref_list_l1],
-                    self.sh.slice_type == SLICE_B, tc=self.tmvp)
+                    self.sh.slice_type == SLICE_B, tc=self.tmvp,
+                    lt0=self.ref_lt0, lt1=self.ref_lt1)
                 self._inter_pb(x0, y0, size, size, cand[idx])
                 pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
                               x0 >> 2:(x0 >> 2) + gq] = True
@@ -817,27 +825,56 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
             rec.astype(pic.planes[r.plane].dtype)
 
 
-class Decoder:
-    """Stream-level decoder: feed Annex-B bytes, get DecodedFrames."""
+class _LayerCtx:
+    """Per-layer decode state (the analogue of one reference decoder
+    instance; reference: openhevc.c MAX_DECODERS wiring :30, :229-231)."""
 
-    def __init__(self, check_md5: bool = True, recon_backend: str = "inline"):
+    def __init__(self, layer_id: int):
+        self.layer_id = layer_id
+        self.cur_pic: Optional[PictureState] = None
+        self.cur_poc = 0
+        self.slice_counter = 0
+        # DPB: poc -> [int32 planes] of the filtered reconstruction
+        # (reference: hevc_refs.c DPB management, re-scoped to a poc map)
+        self.dpb: Dict[int, List[np.ndarray]] = {}
+        self.dpb_motion: Dict[int, dict] = {}
+        self.pending_sei: Optional[DecodedPictureHash] = None
+        self.last_poc = 0
+        # inter-layer ref for the picture in flight: (poc, [planes])
+        self.il_ref = None
+
+
+class Decoder:
+    """Stream-level decoder: feed Annex-B bytes, get DecodedFrames.
+
+    Handles single-layer HEVC and SHVC multi-layer streams: NALs are
+    routed per nuh_layer_id to per-layer contexts; an enhancement-layer
+    picture takes the upsampled base-layer reconstruction as a
+    long-term inter-layer reference (reference: hevcdec.c:3597-3637
+    hevc_frame_start, hevc_refs.c:168/:719)."""
+
+    def __init__(self, check_md5: bool = True, recon_backend: str = "inline",
+                 target_layer: int = 63, temporal_layer: int = 7):
         """recon_backend: 'inline' reconstructs during parse (NumPy oracle);
         'plan' records stage-A symbol plans and replays them (NumPy);
-        'jax' records plans and reconstructs on device (hevc_tpu.tpu)."""
+        'jax' records plans and reconstructs on device (hevc_tpu.tpu).
+        target_layer/temporal_layer: decode-up-to selectors (the
+        quality_layer_id / temporal-layer-id AVOptions of the
+        reference, hevcdec.c:4642-4668)."""
         self.vps_map: Dict[int, VPS] = {}
         self.sps_map: Dict[int, SPS] = {}
         self.pps_map: Dict[int, PPS] = {}
         self.recon_backend = recon_backend
         self.check_md5 = check_md5
-        self._pending_sei: Optional[DecodedPictureHash] = None
-        self.cur_pic: Optional[PictureState] = None
-        self.cur_poc = 0
-        self._slice_counter = 0
+        self.target_layer = target_layer
+        self.temporal_layer = temporal_layer
+        self.layers: Dict[int, _LayerCtx] = {}
         self.frames: List[DecodedFrame] = []
-        # DPB: poc -> [int32 planes] of the filtered reconstruction
-        # (reference: hevc_refs.c DPB management, re-scoped to a poc map)
-        self.dpb: Dict[int, List[np.ndarray]] = {}
-        self.dpb_motion: Dict[int, dict] = {}
+
+    def _layer(self, lid: int) -> _LayerCtx:
+        if lid not in self.layers:
+            self.layers[lid] = _LayerCtx(lid)
+        return self.layers[lid]
 
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
         for nal in nalmod.split_annexb(data):
@@ -848,22 +885,30 @@ class Decoder:
         return out
 
     def flush(self):
-        if self.cur_pic is not None:
-            self._finish_picture()
+        self._finish_all_pending()
+
+    def _finish_all_pending(self):
+        for lid in sorted(self.layers):
+            lay = self.layers[lid]
+            if lay.cur_pic is not None:
+                self._finish_picture(lay)
 
     def decode_nal(self, nal: nalmod.NalUnit):
         t = nal.type
+        if nal.layer_id > self.target_layer \
+                or nal.temporal_id > self.temporal_layer:
+            return
         # prefix NALs (PS, prefix SEI, AUD) belong to the NEXT access unit:
-        # finalize the picture in flight before processing them
+        # finalize pictures in flight before processing them
         if t in (nalmod.NAL_VPS, nalmod.NAL_SPS, nalmod.NAL_PPS,
-                 nalmod.NAL_AUD, nalmod.NAL_SEI_PREFIX) \
-                and self.cur_pic is not None:
-            self._finish_picture()
+                 nalmod.NAL_AUD, nalmod.NAL_SEI_PREFIX):
+            self._finish_all_pending()
         if t == nalmod.NAL_VPS:
             v = VPS.parse_rbsp(nal.rbsp)
             self.vps_map[v.vps_id] = v
         elif t == nalmod.NAL_SPS:
-            s = SPS.parse_rbsp(nal.rbsp)
+            s = SPS.parse_rbsp(nal.rbsp, nuh_layer_id=nal.layer_id,
+                               vps_map=self.vps_map)
             self.sps_map[s.sps_id] = s
         elif t == nalmod.NAL_PPS:
             p = PPS.parse_rbsp(nal.rbsp)
@@ -871,32 +916,65 @@ class Decoder:
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             for ptype, payload in parse_sei_rbsp(nal.rbsp):
                 if ptype == SEI_TYPE_DECODED_PICTURE_HASH:
-                    self._pending_sei = DecodedPictureHash.parse(payload)
+                    self._layer(nal.layer_id).pending_sei = \
+                        DecodedPictureHash.parse(payload)
         elif nalmod.is_slice_nal(t):
             self._decode_slice(nal)
 
+    def _start_el_picture(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader):
+        """EL frame start: rendezvous with the base layer and build the
+        inter-layer reference by whole-frame upsampling (reference:
+        hevcdec.c:3597-3637; upsampling hevc_filter.c / hevcdsp)."""
+        vps = self.vps_map[sps.vps_id]
+        ext = vps.vps_ext
+        ref_lid = ext.ref_layer_id[lay.layer_id][0]
+        bl = self.layers.get(ref_lid)
+        if bl is None or not bl.dpb:
+            raise ValueError(
+                f"EL layer {lay.layer_id}: no decoded base layer {ref_lid}")
+        # the BL picture of this AU is the one most recently decoded
+        bl_poc = bl.last_poc
+        lay.cur_poc = bl_poc  # reference: s->poc = BL_frame->poc (:3621)
+        bl_planes = bl.dpb[bl_poc]
+        bl_sps = self.sps_map[0] if 0 in self.sps_map else None
+        rep_bl = ext.rep_format_of(ref_lid)
+        from ..ops.upsample import upsample_frame
+        il = upsample_frame(
+            bl_planes, sps.width, sps.height,
+            sub_w=sps.sub_w, sub_h=sps.sub_h,
+            bl_bit_depth=rep_bl.bit_depth_luma,
+            el_bit_depth=sps.bit_depth_luma)
+        lay.il_ref = (bl_poc, il)
+
     def _decode_slice(self, nal: nalmod.NalUnit):
+        lid = nal.layer_id
+        lay = self._layer(lid)
         r = BitReader(nal.rbsp)
-        sh = SliceHeader.parse(r, nal.type, self.sps_map, self.pps_map)
+        sh = SliceHeader.parse(r, nal.type, self.sps_map, self.pps_map,
+                               nuh_layer_id=lid, vps_map=self.vps_map,
+                               temporal_id=nal.temporal_id)
         pps = self.pps_map[sh.pps_id]
         sps = self.sps_map[pps.sps_id]
         if not hasattr(pps, "ctb_addr_rs_to_ts"):
             pps.derive(sps)
         if sh.first_slice_in_pic:
-            if self.cur_pic is not None:
-                self._finish_picture()
-            self.cur_pic = PictureState(sps, pps)
+            self._finish_all_pending()
+            lay.cur_pic = PictureState(sps, pps)
             if self.recon_backend != "inline":
-                self.cur_pic.plan = []
-            self._slice_counter = 0
+                lay.cur_pic.plan = []
+            lay.slice_counter = 0
             if nalmod.is_idr_nal(nal.type):
-                self.cur_poc = 0
-                self.dpb.clear()
+                lay.cur_poc = 0
+                lay.dpb.clear()
             else:
-                self.cur_poc = self._compute_poc(sps, sh, nal.type)
+                lay.cur_poc = self._compute_poc(lay, sps, sh, nal.type)
+            if lid > 0 and sh.active_num_ilr > 0:
+                self._start_el_picture(lay, sps, sh)
         ref_list, ref_list_l1 = [], []
+        lt0, lt1 = [], []
         if sh.slice_type != SLICE_I:
-            ref_list, ref_list_l1 = self._build_ref_lists(sps, sh)
+            ref_list, ref_list_l1, lt0, lt1 = \
+                self._build_ref_lists(lay, sps, sh, nal.type)
         assert r.byte_aligned()
         d = CabacDecoder(nal.rbsp, r.pos >> 3)
         if sh.slice_type == SLICE_I:
@@ -906,22 +984,22 @@ class Decoder:
         else:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
-        self.cur_pic.ref_list_l0 = ref_list
-        self.cur_pic.ref_list_l1 = ref_list_l1
+        lay.cur_pic.ref_list_l0 = ref_list
+        lay.cur_pic.ref_list_l1 = ref_list_l1
         tc = None
         if sh.slice_temporal_mvp_enabled and sh.slice_type != SLICE_I:
             from ..coding.mvs import TemporalCtx
             col_list = ref_list if sh.collocated_from_l0 else ref_list_l1
             col_poc = col_list[sh.collocated_ref_idx][0]
             all_pocs = [p for p, _ in ref_list] + [p for p, _ in ref_list_l1]
-            tc = TemporalCtx(col=self.dpb_motion[col_poc],
-                             cur_poc=self.cur_poc,
+            tc = TemporalCtx(col=lay.dpb_motion[col_poc],
+                             cur_poc=lay.cur_poc,
                              ctb_log2=sps.log2_ctb_size,
                              pic_w=sps.width, pic_h=sps.height,
-                             no_backward=all(p <= self.cur_poc
+                             no_backward=all(p <= lay.cur_poc
                                              for p in all_pocs),
                              col_from_l0=bool(sh.collocated_from_l0))
-        self.cur_pic.tmvp_ctx = tc
+        lay.cur_pic.tmvp_ctx = tc
         # entry-point segment starts, remapped from EPB'd byte offsets to
         # rbsp offsets (reference: hevcdec.c:3355-3389)
         data_start = r.pos >> 3
@@ -940,51 +1018,77 @@ class Decoder:
             for off in sh.entry_point_offsets:
                 raw += off
                 seg_starts.append(raw_to_post(raw))
-        sd = SliceDecoder(self.cur_pic, sps, pps, sh, d, cm,
-                          self._slice_counter,
-                          plan=getattr(self.cur_pic, "plan", None),
-                          ref_list=ref_list, cur_poc=self.cur_poc,
+        sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
+                          lay.slice_counter,
+                          plan=getattr(lay.cur_pic, "plan", None),
+                          ref_list=ref_list, cur_poc=lay.cur_poc,
                           rbsp=nal.rbsp, segment_starts=seg_starts,
-                          ref_list_l1=ref_list_l1, tmvp=tc)
+                          ref_list_l1=ref_list_l1, tmvp=tc,
+                          ref_lt0=lt0, ref_lt1=lt1)
         sd.decode_ctus()
-        self._slice_counter += 1
+        lay.slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
         # per-slice overrides; multi-slice per-CTB params land with tiles)
-        self.cur_pic.deblock_params = None
+        lay.cur_pic.deblock_params = None
         if not sh.deblocking_filter_disabled:
-            self.cur_pic.deblock_params = {
+            lay.cur_pic.deblock_params = {
                 "beta_offset": sh.beta_offset, "tc_offset": sh.tc_offset,
                 "cb_qp_offset": pps.cb_qp_offset,
                 "cr_qp_offset": pps.cr_qp_offset,
             }
 
-    def _build_ref_lists(self, sps: SPS, sh: SliceHeader):
-        """RefPicList0/1 from the slice RPS (8.3.2/8.3.4, short-term only;
-        reference: hevc_refs.c ff_hevc_slice_rpl :516)."""
-        if sh.explicit_rps is not None:
-            rps = sh.explicit_rps
-        else:
-            rps = sps.st_rps[sh.short_term_rps_idx]
-        before = [self.cur_poc + d
-                  for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
-        after = [self.cur_poc + d
-                 for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
-        if not before and not after:
+    def _build_ref_lists(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
+                         nal_type: int):
+        """RefPicList0/1 from the slice RPS (8.3.2/8.3.4 + F.8.3.4).
+
+        Candidate order per list (reference: hevc_refs.c:541-545
+        ff_hevc_slice_rpl): L0 = ST_CURR_BEF, IL_REF0, ST_CURR_AFT,
+        LT_CURR, IL_REF1; L1 = ST_CURR_AFT, IL_REF1, ST_CURR_BEF,
+        LT_CURR, IL_REF0.  The inter-layer ref lands in IL_REF0 (all
+        view ids are 0) and is long-term."""
+        before, after = [], []
+        if not nalmod.is_idr_nal(nal_type):
+            if sh.explicit_rps is not None:
+                rps = sh.explicit_rps
+            else:
+                rps = sps.st_rps[sh.short_term_rps_idx]
+            before = [lay.cur_poc + d
+                      for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
+            after = [lay.cur_poc + d
+                     for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
+        il = []
+        if lay.layer_id > 0 and sh.active_num_ilr > 0 \
+                and lay.il_ref is not None:
+            il = [("il", lay.il_ref[0])]
+        if not before and not after and not il:
             raise ValueError("inter slice with empty reference set")
 
-        def build(temp, n):
-            lst = [temp[i % len(temp)] for i in range(max(n, len(temp)))][:n]
-            return [(poc, self.dpb[poc]) for poc in lst]
+        def build(cands, n):
+            lst = [cands[i % len(cands)]
+                   for i in range(max(n, len(cands)))][:n]
+            refs, lts = [], []
+            for kind, poc in lst:
+                if kind == "il":
+                    refs.append((poc, lay.il_ref[1]))
+                    lts.append(True)
+                else:
+                    refs.append((poc, lay.dpb[poc]))
+                    lts.append(False)
+            return refs, lts
 
-        l0 = build(before + after, sh.num_ref_idx_l0_active)
-        l1 = []
+        st = lambda pocs: [("st", p) for p in pocs]
+        l0, lt0 = build(st(before) + il + st(after),
+                        sh.num_ref_idx_l0_active)
+        l1, lt1 = [], []
         if sh.slice_type == SLICE_B:
-            l1 = build(after + before, sh.num_ref_idx_l1_active)
-        return l0, l1
+            l1, lt1 = build(st(after) + st(before) + il,
+                            sh.num_ref_idx_l1_active)
+        return l0, l1, lt0, lt1
 
-    def _compute_poc(self, sps: SPS, sh: SliceHeader, nal_type: int) -> int:
+    def _compute_poc(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
+                     nal_type: int) -> int:
         # 8.3.1 (simplified: no msb cycle tracking needed for small tests)
-        prev = self.cur_poc
+        prev = lay.cur_poc
         max_lsb = sps.max_poc_lsb
         prev_lsb = prev & (max_lsb - 1)
         prev_msb = prev - prev_lsb
@@ -997,9 +1101,9 @@ class Decoder:
             msb = prev_msb
         return msb + lsb
 
-    def _finish_picture(self):
-        pic = self.cur_pic
-        self.cur_pic = None
+    def _finish_picture(self, lay: _LayerCtx):
+        pic = lay.cur_pic
+        lay.cur_pic = None
         plan = getattr(pic, "plan", None)
         if plan is not None:
             if self.recon_backend == "jax":
@@ -1027,18 +1131,22 @@ class Decoder:
                             pic.sps.bit_depth_luma,
                             pic.sps.sub_w, pic.sps.sub_h)
         # store the filtered reconstruction + motion for inter prediction
-        self.dpb[self.cur_poc] = [p.astype(np.int32) for p in pic.planes]
-        self.dpb_motion[self.cur_poc] = {
+        lay.dpb[lay.cur_poc] = [p.astype(np.int32) for p in pic.planes]
+        lay.last_poc = lay.cur_poc
+        lay.dpb_motion[lay.cur_poc] = {
             "mv0": pic.mv_l0.copy(), "poc0": pic.ref_poc_l0.copy(),
             "mv1": pic.mv_l1.copy(), "poc1": pic.ref_poc_l1.copy(),
-            "poc": self.cur_poc}
-        if len(self.dpb) > 16:
-            del self.dpb[min(self.dpb)]
-            self.dpb_motion.pop(min(self.dpb_motion), None)
-        frame = DecodedFrame(planes=pic.planes, poc=self.cur_poc)
-        if self._pending_sei is not None:
-            frame.sei_hash = self._pending_sei
-            self._pending_sei = None
+            "poc": lay.cur_poc}
+        lay.il_ref = None
+        if len(lay.dpb) > 16:
+            old = min(lay.dpb)
+            del lay.dpb[old]
+            lay.dpb_motion.pop(old, None)
+        frame = DecodedFrame(planes=pic.planes, poc=lay.cur_poc,
+                             layer=lay.layer_id)
+        if lay.pending_sei is not None:
+            frame.sei_hash = lay.pending_sei
+            lay.pending_sei = None
             if self.check_md5:
                 got = picture_md5(pic.planes, pic.sps.bit_depth_luma)
                 frame.md5_ok = got == frame.sei_hash.md5

@@ -159,6 +159,9 @@ class IntraEncoder:
         self.dpb: List = []  # [(poc, [int32 planes])]
         self.dpb_motion = {}
         self.poc = 0
+        # SHVC hooks (overridden by the EL encoder, encoder/shvc.py)
+        self.layer_id = 0
+        self.include_headers_in_first_au = True
 
     def headers_annexb(self) -> bytes:
         return nalmod.write_annexb([
@@ -171,9 +174,8 @@ class IntraEncoder:
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """planes: [Y, Cb, Cr] source arrays.  Returns the AU (Annex-B)."""
         sps, pps, cfg = self.sps, self.pps, self.cfg
-        self.is_p = cfg.gop in ("ipp", "lowb") and self.frames_encoded > 0
-        self.is_b = cfg.gop == "lowb" and self.frames_encoded > 0
-        if not self.is_p:
+        self.is_p, self.is_b, reset = self._frame_type()
+        if reset:
             self.poc = 0
             self.dpb = []
         self.pic = PictureState(sps, pps)
@@ -182,12 +184,7 @@ class IntraEncoder:
         self.cm = ContextModel(
             2 if self.is_b else (1 if self.is_p else 0), cfg.qp)
         self.qp_y = cfg.qp
-        if self.is_p:
-            self.ref_list = [self.dpb[-1]]
-            self.ref_list_l1 = [self.dpb[-1]] if self.is_b else []
-        else:
-            self.ref_list = []
-            self.ref_list_l1 = []
+        self._setup_refs()
         self.tmvp_ctx = None
         if cfg.tmvp and self.is_p:
             from ..coding.mvs import TemporalCtx
@@ -268,6 +265,7 @@ class IntraEncoder:
                 (1, list(cw[0][1]), list(cw[0][2]))]
         sh = SliceHeader(slice_type=stype,
                          weight_table=wt,
+                         pps_id=pps.pps_id,
                          slice_temporal_mvp_enabled=(
                              1 if (cfg.tmvp and self.is_p) else 0),
                          qp_delta=cfg.qp - pps.init_qp,
@@ -275,26 +273,32 @@ class IntraEncoder:
                          sao_chroma=1 if cfg.sao else 0,
                          pic_order_cnt_lsb=self.poc & (sps.max_poc_lsb - 1),
                          short_term_rps_sps_flag=1, short_term_rps_idx=0,
-                         num_ref_idx_l0_active=1, num_ref_idx_l1_active=1,
+                         num_ref_idx_l0_active=max(1, len(self.ref_list)),
+                         num_ref_idx_l1_active=max(1,
+                                                   len(self.ref_list_l1)),
                          five_minus_max_num_merge_cand=0)
-        nal_type = nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
+        nal_type = self._nal_type()
         if len(self._seg_payloads) > 1:
             sh.entry_point_offsets = self._entry_offsets(
                 sh, nal_type, self._seg_payloads)
-        slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload)
+        slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload,
+                                   nuh_layer_id=self.layer_id,
+                                   vps=self.vps)
         au = []
-        if self.frames_encoded == 0:
+        if self.frames_encoded == 0 and self.include_headers_in_first_au:
             au += [
                 (nalmod.NAL_VPS, 0, 0, self.vps.write_rbsp()),
-                (nalmod.NAL_SPS, 0, 0, self.sps.write_rbsp()),
-                (nalmod.NAL_PPS, 0, 0, self.pps.write_rbsp()),
+                (nalmod.NAL_SPS, self.layer_id, 0, self.sps.write_rbsp()),
+                (nalmod.NAL_PPS, self.layer_id, 0, self.pps.write_rbsp()),
             ]
         if cfg.sei_hash:
             md5s = picture_md5(self.pic.planes, sps.bit_depth_luma)
             sei = DecodedPictureHash(hash_type=0, md5=md5s)
-            au.append((nalmod.NAL_SEI_PREFIX, 0, 0, write_sei_rbsp(
-                [(SEI_TYPE_DECODED_PICTURE_HASH, sei.payload())])))
-        au.append((nal_type, 0, 0, slice_rbsp))
+            au.append((nalmod.NAL_SEI_PREFIX, self.layer_id, 0,
+                       write_sei_rbsp(
+                           [(SEI_TYPE_DECODED_PICTURE_HASH,
+                             sei.payload())])))
+        au.append((nal_type, self.layer_id, 0, slice_rbsp))
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
                                     for p in self.pic.planes]))
@@ -306,6 +310,29 @@ class IntraEncoder:
         self.dpb = self.dpb[-8:]
         self.poc += 1
         return nalmod.write_annexb(au)
+
+    def _frame_type(self):
+        """(is_p, is_b, reset_dpb) for this frame.  The EL encoder
+        overrides: EL IRAP pictures carry P slices predicting from the
+        inter-layer ref only."""
+        is_p = self.cfg.gop in ("ipp", "lowb") and self.frames_encoded > 0
+        is_b = self.cfg.gop == "lowb" and self.frames_encoded > 0
+        return is_p, is_b, not is_p
+
+    def _setup_refs(self):
+        """Build this frame's L0/L1 (+ long-term flags).  The EL
+        encoder overrides this to insert the inter-layer ref."""
+        if self.is_p:
+            self.ref_list = [self.dpb[-1]]
+            self.ref_list_l1 = [self.dpb[-1]] if self.is_b else []
+        else:
+            self.ref_list = []
+            self.ref_list_l1 = []
+        self.ref_lt0 = [False] * len(self.ref_list)
+        self.ref_lt1 = [False] * len(self.ref_list_l1)
+
+    def _nal_type(self):
+        return nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
 
     @property
     def recon_planes(self):
@@ -741,6 +768,25 @@ class IntraEncoder:
                     self._encode_eg1(a - 2)
                 e.encode_bypass(1 if v < 0 else 0)
 
+    def _encode_ref_idx(self, idx, num_ref):
+        """ref_idx_lX TR-coded bins (mirror of the decoder's
+        _decode_ref_idx)."""
+        e, cm = self.e, self.cm
+        e.encode_bin(cm.at("ref_idx_l0", 0), 1 if idx else 0)
+        if not idx:
+            return
+        if num_ref == 2:
+            return
+        e.encode_bin(cm.at("ref_idx_l0", 1), 1 if idx > 1 else 0)
+        if idx == 1:
+            return
+        for i in range(2, num_ref - 1):
+            if i < idx:
+                e.encode_bypass(1)
+            else:
+                e.encode_bypass(0)
+                break
+
     def _encode_merge_idx(self, idx, max_cand=5):
         e, cm = self.e, self.cm
         if max_cand <= 1:
@@ -798,12 +844,12 @@ class IntraEncoder:
                            MC.weighted_uni(preds[0], bd))
         return tuple(out)
 
-    def _motion_search(self, x0, y0, size, mvp):
+    def _motion_search(self, x0, y0, size, mvp, ref_idx=0):
         """Integer diamond around mvp, then one eighth/quarter-pel refine."""
         from ..ops import mc as MC
         sps = self.sps
         src = self.src[0][y0:y0 + size, x0:x0 + size]
-        _, ref_planes = self.ref_list[0]
+        _, ref_planes = self.ref_list[ref_idx]
         ref = ref_planes[0]
         bd = sps.bit_depth_luma
         r = self.cfg.search_range
@@ -941,12 +987,16 @@ class IntraEncoder:
         pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
         ref_pocs0 = [p for p, _ in self.ref_list]
         ref_pocs1 = [p for p, _ in self.ref_list_l1]
+        nref0 = len(self.ref_list)
+        nref1 = max(1, len(self.ref_list_l1))
         src = self.src[0][y0:y0 + size, x0:x0 + size]
         max_cand = 5
 
         cand = MV.merge_candidates(pic, x0, y0, size, size, 0,
-                                   MV.PART_2Nx2N, max_cand, 1, ref_pocs0,
-                                   1, ref_pocs1, is_b, tc=self.tmvp_ctx)
+                                   MV.PART_2Nx2N, max_cand, nref0,
+                                   ref_pocs0, nref1, ref_pocs1, is_b,
+                                   tc=self.tmvp_ctx, lt0=self.ref_lt0,
+                                   lt1=self.ref_lt1)
         best_merge, merge_cost = 0, None
         merge_preds = {}
         for i, mi in enumerate(cand):
@@ -956,16 +1006,26 @@ class IntraEncoder:
             if merge_cost is None or c < merge_cost:
                 best_merge, merge_cost = i, c
 
-        mvps0 = MV.amvp_candidates(pic, x0, y0, size, size, 0, 0,
-                                   ref_pocs0, self.poc, tc=self.tmvp_ctx)
-        mv_amvp, amvp_cost = self._motion_search(x0, y0, size, mvp=mvps0[0])
-        amvp_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=0,
-                                poc0=ref_pocs0[0])
+        # AMVP: search every L0 ref, keep the cheapest (ref bits penalty)
+        best_ref, mvps0, mv_amvp, amvp_cost = 0, None, None, None
+        for ridx in range(nref0):
+            mvps_r = MV.amvp_candidates(pic, x0, y0, size, size, 0, ridx,
+                                        ref_pocs0, self.poc,
+                                        tc=self.tmvp_ctx, lt0=self.ref_lt0,
+                                        lt1=self.ref_lt1)
+            mv_r, cost_r = self._motion_search(x0, y0, size,
+                                               mvp=mvps_r[0], ref_idx=ridx)
+            cost_r += 2 * ridx
+            if amvp_cost is None or cost_r < amvp_cost:
+                best_ref, mvps0 = ridx, mvps_r
+                mv_amvp, amvp_cost = mv_r, cost_r
+        amvp_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=best_ref,
+                                poc0=ref_pocs0[best_ref])
         # occasionally try explicit BI (same mv both lists) to exercise it
         bi_mi = None
         if is_b and ((x0 ^ y0) >> log2_size) % 3 == 0:
-            bi_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=0,
-                                  poc0=ref_pocs0[0],
+            bi_mi = MV.MotionInfo(mv0=tuple(mv_amvp), ref0=best_ref,
+                                  poc0=ref_pocs0[best_ref],
                                   mv1=(mv_amvp[0] + 4, mv_amvp[1]),
                                   ref1=0, poc1=ref_pocs1[0])
             bi_preds = self._mc_pred(x0, y0, size, size, bi_mi)
@@ -1027,7 +1087,8 @@ class IntraEncoder:
                 else:
                     e.encode_bin(cm.at("inter_pred_idc", depth), 0)
                     e.encode_bin(cm.at("inter_pred_idc", 4), 0)  # L0
-            # num_ref == 1: no ref_idx bits
+            if nref0 > 1:
+                self._encode_ref_idx(mi_used.ref0, nref0)
             mvd0 = (mi_used.mv0[0] - mvps0[0][0],
                     mi_used.mv0[1] - mvps0[0][1])
             self._encode_mvd(mvd0)
@@ -1035,7 +1096,9 @@ class IntraEncoder:
             if use_bi:
                 mvps1 = MV.amvp_candidates(pic, x0, y0, size, size, 1, 0,
                                            ref_pocs1, self.poc,
-                                           tc=self.tmvp_ctx)
+                                           tc=self.tmvp_ctx,
+                                           lt0=self.ref_lt0,
+                                           lt1=self.ref_lt1)
                 mvd1 = (mi_used.mv1[0] - mvps1[0][0],
                         mi_used.mv1[1] - mvps1[0][1])
                 self._encode_mvd(mvd1)
@@ -1097,9 +1160,12 @@ class IntraEncoder:
         offs = list(sizes[:-1])
         for _ in range(8):
             sh.entry_point_offsets = offs
-            rbsp = sh.write_rbsp(self.sps, self.pps, nal_type, payload)
+            rbsp = sh.write_rbsp(self.sps, self.pps, nal_type, payload,
+                                 nuh_layer_id=self.layer_id,
+                                 vps=self.vps)
             hdr_len = len(rbsp) - len(payload)
-            nalbytes = nalmod.write_nal_header(nal_type, 0, 0) + rbsp
+            nalbytes = nalmod.write_nal_header(nal_type, self.layer_id,
+                                               0) + rbsp
             ins = []
             zeros = 0
             for i, b in enumerate(nalbytes):
