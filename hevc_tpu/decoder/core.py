@@ -921,7 +921,8 @@ class Decoder:
         elif nalmod.is_slice_nal(t):
             self._decode_slice(nal)
 
-    def _start_el_picture(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader):
+    def _start_el_picture(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
+                          nal_type: int = 0):
         """EL frame start: rendezvous with the base layer and build the
         inter-layer reference by whole-frame upsampling (reference:
         hevcdec.c:3597-3637; upsampling hevc_filter.c / hevcdsp)."""
@@ -936,15 +937,29 @@ class Decoder:
         bl_poc = bl.last_poc
         lay.cur_poc = bl_poc  # reference: s->poc = BL_frame->poc (:3621)
         bl_planes = bl.dpb[bl_poc]
-        bl_sps = self.sps_map[0] if 0 in self.sps_map else None
         rep_bl = ext.rep_format_of(ref_lid)
-        from ..ops.upsample import upsample_frame
-        il = upsample_frame(
-            bl_planes, sps.width, sps.height,
-            sub_w=sps.sub_w, sub_h=sps.sub_h,
-            bl_bit_depth=rep_bl.bit_depth_luma,
-            el_bit_depth=sps.bit_depth_luma)
+        if self.recon_backend == "jax":
+            from ..tpu.upsample import upsample_frame_jax
+            il = [np.asarray(p) for p in upsample_frame_jax(
+                bl_planes, sps.width, sps.height,
+                sub_w=sps.sub_w, sub_h=sps.sub_h,
+                bl_bit_depth=rep_bl.bit_depth_luma,
+                el_bit_depth=sps.bit_depth_luma)]
+        else:
+            from ..ops.upsample import upsample_frame
+            il = upsample_frame(
+                bl_planes, sps.width, sps.height,
+                sub_w=sps.sub_w, sub_h=sps.sub_h,
+                bl_bit_depth=rep_bl.bit_depth_luma,
+                el_bit_depth=sps.bit_depth_luma)
         lay.il_ref = (bl_poc, il)
+        # inter-layer motion field for TMVP from the IL ref (set_mfm;
+        # zeroed at EL IRAP — reference: hevc_refs.c:733-755)
+        from ..ops.upsample import upscale_motion_field
+        lay.il_motion = upscale_motion_field(
+            bl.dpb_motion[bl_poc], rep_bl.width, rep_bl.height,
+            sps.width, sps.height, lay.cur_poc,
+            irap=nalmod.is_irap_nal(nal_type))
 
     def _decode_slice(self, nal: nalmod.NalUnit):
         lid = nal.layer_id
@@ -969,7 +984,7 @@ class Decoder:
             else:
                 lay.cur_poc = self._compute_poc(lay, sps, sh, nal.type)
             if lid > 0 and sh.active_num_ilr > 0:
-                self._start_el_picture(lay, sps, sh)
+                self._start_el_picture(lay, sps, sh, nal.type)
         ref_list, ref_list_l1 = [], []
         lt0, lt1 = [], []
         if sh.slice_type != SLICE_I:
@@ -990,9 +1005,13 @@ class Decoder:
         if sh.slice_temporal_mvp_enabled and sh.slice_type != SLICE_I:
             from ..coding.mvs import TemporalCtx
             col_list = ref_list if sh.collocated_from_l0 else ref_list_l1
+            col_lts = lt0 if sh.collocated_from_l0 else lt1
             col_poc = col_list[sh.collocated_ref_idx][0]
             all_pocs = [p for p, _ in ref_list] + [p for p, _ in ref_list_l1]
-            tc = TemporalCtx(col=lay.dpb_motion[col_poc],
+            # collocated == the long-term IL ref -> upscaled BL motion
+            col_motion = (lay.il_motion if col_lts[sh.collocated_ref_idx]
+                          else lay.dpb_motion[col_poc])
+            tc = TemporalCtx(col=col_motion,
                              cur_poc=lay.cur_poc,
                              ctb_log2=sps.log2_ctb_size,
                              pic_w=sps.width, pic_h=sps.height,

@@ -89,7 +89,8 @@ class EncoderConfig:
     gop: str = "all_intra"  # "all_intra" | "ipp" | "lowb" (low-delay B)
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
-    tmvp: bool = False      # temporal MV prediction (collocated ref 0)
+    tmvp: bool = False      # temporal MV prediction
+    tmvp_col_ref_idx: int = 0  # collocated_ref_idx (L0)
     weighted_pred: bool = False  # explicit weighted prediction (P + B)
 
 
@@ -185,14 +186,8 @@ class IntraEncoder:
             2 if self.is_b else (1 if self.is_p else 0), cfg.qp)
         self.qp_y = cfg.qp
         self._setup_refs()
-        self.tmvp_ctx = None
-        if cfg.tmvp and self.is_p:
-            from ..coding.mvs import TemporalCtx
-            col_poc = self.ref_list[0][0]
-            self.tmvp_ctx = TemporalCtx(
-                col=self.dpb_motion[col_poc], cur_poc=self.poc,
-                ctb_log2=sps.log2_ctb_size, pic_w=sps.width,
-                pic_h=sps.height, no_backward=True, col_from_l0=True)
+        self.tmvp_ctx = self._setup_tmvp() if (cfg.tmvp and self.is_p) \
+            else None
 
         self.sao_map = {}
         n_ctbs = sps.ctb_w * sps.ctb_h
@@ -267,7 +262,8 @@ class IntraEncoder:
                          weight_table=wt,
                          pps_id=pps.pps_id,
                          slice_temporal_mvp_enabled=(
-                             1 if (cfg.tmvp and self.is_p) else 0),
+                             1 if self.tmvp_ctx is not None else 0),
+                         collocated_ref_idx=cfg.tmvp_col_ref_idx,
                          qp_delta=cfg.qp - pps.init_qp,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
@@ -333,6 +329,18 @@ class IntraEncoder:
 
     def _nal_type(self):
         return nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL
+
+    def _setup_tmvp(self):
+        """TemporalCtx for the collocated L0 ref (idx
+        cfg.tmvp_col_ref_idx); EL overrides for the IL collocated
+        case."""
+        from ..coding.mvs import TemporalCtx
+        sps = self.sps
+        col_poc = self.ref_list[self.cfg.tmvp_col_ref_idx][0]
+        return TemporalCtx(
+            col=self.dpb_motion[col_poc], cur_poc=self.poc,
+            ctb_log2=sps.log2_ctb_size, pic_w=sps.width,
+            pic_h=sps.height, no_backward=True, col_from_l0=True)
 
     @property
     def recon_planes(self):

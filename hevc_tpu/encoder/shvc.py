@@ -20,7 +20,7 @@ import numpy as np
 
 from ..bitstream import nal as nalmod
 from ..bitstream.ps import VPS, VPSExt, RepFormat
-from ..ops.upsample import upsample_frame
+from ..ops.upsample import upsample_frame, upscale_motion_field
 from .core import EncoderConfig, IntraEncoder
 
 
@@ -40,6 +40,19 @@ class ElEncoder(IntraEncoder):
     def _nal_type(self):
         return (nalmod.NAL_IDR_W_RADL if self.frames_encoded == 0
                 else nalmod.NAL_TRAIL_R)
+
+    def _setup_tmvp(self):
+        if self.frames_encoded == 0:
+            return None  # IDR: slice_temporal_mvp_enabled inferred 0
+        if self.cfg.tmvp_col_ref_idx == 1:
+            # collocated = the IL ref: upscaled BL motion field
+            from ..coding.mvs import TemporalCtx
+            sps = self.sps
+            return TemporalCtx(
+                col=self.il_motion, cur_poc=self.poc,
+                ctb_log2=sps.log2_ctb_size, pic_w=sps.width,
+                pic_h=sps.height, no_backward=True, col_from_l0=True)
+        return super()._setup_tmvp()
 
     def _setup_refs(self):
         assert self.il_planes is not None, "IL ref not set"
@@ -61,7 +74,6 @@ class ShvcEncoder:
     def __init__(self, bl_cfg: EncoderConfig, el_cfg: EncoderConfig):
         assert bl_cfg.chroma_format_idc == 1 and \
             el_cfg.chroma_format_idc == 1, "SHVC layers are 4:2:0"
-        assert not el_cfg.tmvp, "EL TMVP needs the IL motion field (TODO)"
         self.bl = IntraEncoder(bl_cfg)
         self.el = ElEncoder(el_cfg)
         self.bl.include_headers_in_first_au = False
@@ -107,6 +119,11 @@ class ShvcEncoder:
             sub_w=self.el.sps.sub_w, sub_h=self.el.sps.sub_h,
             bl_bit_depth=self.bl.cfg.bit_depth,
             el_bit_depth=self.el.cfg.bit_depth)
+        bl_poc = self.bl.poc - 1
+        self.el.il_motion = upscale_motion_field(
+            self.bl.dpb_motion[bl_poc], self.bl.cfg.width,
+            self.bl.cfg.height, self.el.cfg.width, self.el.cfg.height,
+            bl_poc, irap=self.frames_encoded == 0)
         au += self.el.encode_frame(el_planes)
         self.frames_encoded += 1
         return au

@@ -124,6 +124,69 @@ def upsample_frame(bl_planes, el_w: int, el_h: int, *, sub_w=2, sub_h=2,
     return out
 
 
+def upscale_motion_field(bl_motion: dict, bl_w: int, bl_h: int,
+                         el_w: int, el_h: int, el_poc: int,
+                         irap: bool = False) -> dict:
+    """Inter-layer motion-field mapping for TMVP from the IL ref
+    (reference: hevc_filter.c:1985 ff_upscale_mv_block / hevc_refs.c
+    scale_upsampled_mv_field; zeroed at EL IRAP per
+    init_upsampled_mv_fields).
+
+    bl_motion: a decoder dpb_motion dict (mv0/mv1 [h4,w4,2] int32,
+    poc0/poc1 [h4,w4]).  Returns the same structure at EL dimensions,
+    sampled per 16x16 EL block at the collocated BL 16x16 block and
+    replicated, MVs rescaled by the SHVC mv_scale factors."""
+    h4e, w4e = -(-el_h // 4), -(-el_w // 4)
+    NO_POC = -(1 << 30)
+    out = {
+        "mv0": np.zeros((h4e, w4e, 2), np.int32),
+        "mv1": np.zeros((h4e, w4e, 2), np.int32),
+        "poc0": np.full((h4e, w4e), NO_POC, np.int64),
+        "poc1": np.full((h4e, w4e), NO_POC, np.int64),
+        "poc": el_poc,
+    }
+    if irap:
+        return out
+    scale_x = ((bl_w << 16) + (el_w >> 1)) // el_w
+    scale_y = ((bl_h << 16) + (el_h >> 1)) // el_h
+    snr = scale_x == 65536 and scale_y == 65536
+    mvsx = max(-4096, min(4095, ((el_w << 8) + (bl_w >> 1)) // bl_w))
+    mvsy = max(-4096, min(4095, ((el_h << 8) + (bl_h >> 1)) // bl_h))
+
+    def scale_mv(v, sc):
+        p = int(sc) * int(v)
+        return max(-32768, min(32767, (p + 127 + (p < 0)) >> 8))
+
+    for y_el in range(0, el_h, 16):
+        for x_el in range(0, el_w, 16):
+            x_bl = (((min(x_el, el_w - 1) + 8) * scale_x + (1 << 15))
+                    >> 16) + 4
+            y_bl = (((min(y_el, el_h - 1) + 8) * scale_y + (1 << 15))
+                    >> 16) + 4
+            ok = (x_bl & ~15) < bl_w and (y_bl & ~15) < bl_h
+            sl = np.s_[y_el >> 2:min(y_el + 16, el_h) >> 2,
+                       x_el >> 2:min(x_el + 16, el_w) >> 2]
+            if not ok:
+                continue
+            yb4, xb4 = (y_bl & ~15) >> 2, (x_bl & ~15) >> 2
+            p0 = int(bl_motion["poc0"][yb4, xb4])
+            p1 = int(bl_motion["poc1"][yb4, xb4])
+            if p0 == NO_POC and p1 == NO_POC:
+                continue
+            for lst, poc in (("0", p0), ("1", p1)):
+                if poc == NO_POC:
+                    continue
+                mv = bl_motion["mv" + lst][yb4, xb4]
+                if snr:
+                    mvx, mvy = int(mv[0]), int(mv[1])
+                else:
+                    mvx = scale_mv(mv[0], mvsx)
+                    mvy = scale_mv(mv[1], mvsy)
+                out["mv" + lst][sl] = (mvx, mvy)
+                out["poc" + lst][sl] = poc
+    return out
+
+
 def upscale_mv_field(mv_bl: np.ndarray, bl_w: int, bl_h: int, el_w: int,
                      el_h: int) -> np.ndarray:
     """Inter-layer MV field upscale (reference: hevc_filter.c:1985

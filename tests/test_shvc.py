@@ -148,3 +148,31 @@ def test_oracle_shvc_larger(tmp_path):
     stream, recons = encode_shvc(bl, el, 4)
     self_check(stream, recons)
     assert layer_yuv(recons, 1) == oracle_yuv(stream, 1, 352, 288, tmp_path)
+
+
+@needs_oracle
+@pytest.mark.parametrize("col_idx,bl_tmvp", [(0, False), (1, True)])
+def test_oracle_shvc_tmvp(tmp_path, col_idx, bl_tmvp):
+    """EL TMVP: collocated = previous EL frame (idx 0) and collocated =
+    the inter-layer ref (idx 1, upscaled BL motion field — set_mfm;
+    reference: hevc_filter.c:1985 ff_upscale_mv_block)."""
+    bl, el = cfg_pair((64, 64), (128, 128))
+    bl.tmvp = bl_tmvp
+    el.tmvp = True
+    el.tmvp_col_ref_idx = col_idx
+    stream, recons = encode_shvc(bl, el, 4)
+    self_check(stream, recons)
+    assert layer_yuv(recons, 1) == oracle_yuv(stream, 1, 128, 128, tmp_path)
+
+
+def test_shvc_jax_backend():
+    """Device stage-B backend on an SHVC stream (incl. the JAX
+    inter-layer upsampling kernel) matches the NumPy oracle path."""
+    bl, el = cfg_pair((64, 64), (128, 128))
+    stream, recons = encode_shvc(bl, el, 2)
+    ref = Decoder(recon_backend="inline").decode_bytes(stream)
+    jx = Decoder(recon_backend="jax").decode_bytes(stream)
+    for a, b in zip(ref, jx):
+        assert a.layer == b.layer and a.poc == b.poc
+        for pa, pb in zip(a.planes, b.planes):
+            assert (np.asarray(pa) == np.asarray(pb)).all()
