@@ -842,6 +842,10 @@ class _LayerCtx:
         self.last_poc = 0
         # inter-layer ref for the picture in flight: (poc, [planes])
         self.il_ref = None
+        # decoded-but-not-output pictures, bumped in POC order
+        # (reference: hevc_refs.c:224 ff_hevc_output_frame/:358 bump)
+        self.out_q: List[DecodedFrame] = []
+        self.num_reorder = 0
 
 
 class Decoder:
@@ -886,12 +890,22 @@ class Decoder:
 
     def flush(self):
         self._finish_all_pending()
+        for lid in sorted(self.layers):
+            self._drain_output(self.layers[lid])
 
     def _finish_all_pending(self):
         for lid in sorted(self.layers):
             lay = self.layers[lid]
             if lay.cur_pic is not None:
                 self._finish_picture(lay)
+
+    def _bump_one(self, lay: _LayerCtx):
+        i = min(range(len(lay.out_q)), key=lambda k: lay.out_q[k].poc)
+        self.frames.append(lay.out_q.pop(i))
+
+    def _drain_output(self, lay: _LayerCtx):
+        while lay.out_q:
+            self._bump_one(lay)
 
     def decode_nal(self, nal: nalmod.NalUnit):
         t = nal.type
@@ -979,6 +993,7 @@ class Decoder:
                 lay.cur_pic.plan = []
             lay.slice_counter = 0
             if nalmod.is_idr_nal(nal.type):
+                self._drain_output(lay)  # prior pictures precede the IDR
                 lay.cur_poc = 0
                 lay.dpb.clear()
             else:
@@ -1169,4 +1184,7 @@ class Decoder:
             if self.check_md5:
                 got = picture_md5(pic.planes, pic.sps.bit_depth_luma)
                 frame.md5_ok = got == frame.sei_hash.md5
-        self.frames.append(frame)
+        lay.out_q.append(frame)
+        lay.num_reorder = pic.sps.num_reorder_pics[-1]
+        while len(lay.out_q) > lay.num_reorder:
+            self._bump_one(lay)

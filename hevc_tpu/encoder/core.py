@@ -86,7 +86,7 @@ class EncoderConfig:
     wpp: bool = False            # entropy_coding_sync (one segment per row)
     tiles: tuple = ()            # (num_cols, num_rows) uniform tiles
     # inter coding
-    gop: str = "all_intra"  # "all_intra" | "ipp" | "lowb" (low-delay B)
+    gop: str = "all_intra"  # "all_intra"|"ipp"|"lowb"|"ra" (hierarchical B)
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
     tmvp: bool = False      # temporal MV prediction
@@ -155,6 +155,28 @@ class IntraEncoder:
         if cfg.gop in ("ipp", "lowb"):
             from ..bitstream.ps import ShortTermRPS
             self.sps.st_rps = [ShortTermRPS(delta_poc_s0=[-1], used_s0=[1])]
+        elif cfg.gop == "ra":
+            from ..bitstream.ps import ShortTermRPS
+            assert not cfg.tmvp, "tmvp unsupported with gop='ra'"
+            assert not cfg.weighted_pred, "wp unsupported with gop='ra'"
+            # one RPS per mini-GOP position (+ a {-1} for flush tails);
+            # unused entries keep future anchors alive in the DPB
+            self.sps.st_rps = [
+                ShortTermRPS(delta_poc_s0=[-4], used_s0=[1]),
+                ShortTermRPS(delta_poc_s0=[-2], used_s0=[1],
+                             delta_poc_s1=[2], used_s1=[1]),
+                ShortTermRPS(delta_poc_s0=[-1], used_s0=[1],
+                             delta_poc_s1=[1, 3], used_s1=[1, 0]),
+                ShortTermRPS(delta_poc_s0=[-1], used_s0=[1],
+                             delta_poc_s1=[1], used_s1=[1]),
+                ShortTermRPS(delta_poc_s0=[-1], used_s0=[1]),
+            ]
+            # decode order runs up to 2 pictures ahead of output order
+            self.sps.num_reorder_pics = [2]
+            self.sps.max_dec_pic_buffering = [5]
+        # decode-order schedule override for out-of-order GOPs:
+        # (poc, "I"|"P"|"B", rps_idx, ref_pocs_l0, ref_pocs_l1)
+        self._sched = None
         self.frames_encoded = 0
         self.rng = np.random.default_rng(cfg.seed)
         self.dpb: List = []  # [(poc, [int32 planes])]
@@ -175,7 +197,14 @@ class IntraEncoder:
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """planes: [Y, Cb, Cr] source arrays.  Returns the AU (Annex-B)."""
         sps, pps, cfg = self.sps, self.pps, self.cfg
-        self.is_p, self.is_b, reset = self._frame_type()
+        if self._sched is not None:
+            poc, ftype, _, _, _ = self._sched
+            self.is_p = ftype in ("P", "B")
+            self.is_b = ftype == "B"
+            reset = ftype == "I"
+            self.poc = poc
+        else:
+            self.is_p, self.is_b, reset = self._frame_type()
         if reset:
             self.poc = 0
             self.dpb = []
@@ -268,7 +297,9 @@ class IntraEncoder:
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
                          pic_order_cnt_lsb=self.poc & (sps.max_poc_lsb - 1),
-                         short_term_rps_sps_flag=1, short_term_rps_idx=0,
+                         short_term_rps_sps_flag=1,
+                         short_term_rps_idx=(
+                             self._sched[2] if self._sched else 0),
                          num_ref_idx_l0_active=max(1, len(self.ref_list)),
                          num_ref_idx_l1_active=max(1,
                                                    len(self.ref_list_l1)),
@@ -318,6 +349,14 @@ class IntraEncoder:
     def _setup_refs(self):
         """Build this frame's L0/L1 (+ long-term flags).  The EL
         encoder overrides this to insert the inter-layer ref."""
+        if self._sched is not None:
+            by_poc = dict(self.dpb)
+            _, _, _, l0, l1 = self._sched
+            self.ref_list = [(p, by_poc[p]) for p in l0]
+            self.ref_list_l1 = [(p, by_poc[p]) for p in l1]
+            self.ref_lt0 = [False] * len(self.ref_list)
+            self.ref_lt1 = [False] * len(self.ref_list_l1)
+            return
         if self.is_p:
             self.ref_list = [self.dpb[-1]]
             self.ref_list_l1 = [self.dpb[-1]] if self.is_b else []
@@ -1191,3 +1230,75 @@ class IntraEncoder:
                 return offs
             offs = new_offs
         raise RuntimeError("entry_point_offsets did not converge")
+
+
+class RaEncoder:
+    """Random-access hierarchical-B GOP driver (mini-GOP of 4).
+
+    Display-order frames in (`push`), decode-order access units out —
+    POC order 0(I), 4(P), 2(B), 1(B), 3(B), 8(P), 6(B), ...  The
+    decoder must reorder its output by POC via DPB bumping (reference:
+    hevc_refs.c:224 ff_hevc_output_frame / :358 ff_hevc_bump_frame),
+    which this GOP shape exists to exercise; the stream signals
+    sps_max_num_reorder_pics=2.
+
+    `recons` accumulates (poc, planes) reconstructions in decode order.
+    """
+
+    GOP = 4
+    # (display offset in the group, type, rps_idx, L0 deltas, L1 deltas)
+    SCHED = [
+        (4, "P", 0, (-4,), ()),
+        (2, "B", 1, (-2,), (2,)),
+        (1, "B", 2, (-1,), (1,)),
+        (3, "B", 3, (-1,), (1,)),
+    ]
+
+    def __init__(self, cfg: EncoderConfig):
+        assert cfg.gop == "ra"
+        self.enc = IntraEncoder(cfg)
+        self.buf: List[List[np.ndarray]] = []  # pending display frames
+        self.base_poc = 0   # POC of the last encoded anchor
+        self.n_pushed = 0
+        self.recons: List[Tuple[int, list]] = []
+
+    def _encode(self, planes, poc, ftype, rps_idx, l0, l1) -> bytes:
+        enc = self.enc
+        enc._sched = (poc, ftype, rps_idx,
+                      [poc + d for d in l0], [poc + d for d in l1])
+        try:
+            au = enc.encode_frame(planes)
+        finally:
+            enc._sched = None
+        self.recons.append((poc, [p.copy() for p in enc.recon_planes]))
+        return au
+
+    def push(self, planes: List[np.ndarray]) -> bytes:
+        """Feed the next display-order frame; returns 0+ encoded AUs."""
+        out = b""
+        if self.n_pushed == 0:
+            out = self._encode(planes, 0, "I", 0, (), ())
+        else:
+            self.buf.append(planes)
+            if len(self.buf) == self.GOP:
+                for off, ftype, rps_idx, l0, l1 in self.SCHED:
+                    out += self._encode(self.buf[off - 1],
+                                        self.base_poc + off,
+                                        ftype, rps_idx, l0, l1)
+                self.base_poc += self.GOP
+                self.buf = []
+        self.n_pushed += 1
+        return out
+
+    def flush(self) -> bytes:
+        """Encode a truncated tail group as a low-delay P chain."""
+        out = b""
+        for i, planes in enumerate(self.buf):
+            out += self._encode(planes, self.base_poc + i + 1,
+                                "P", 4, (-1,), ())
+        self.buf = []
+        return out
+
+    def encode(self, frames) -> bytes:
+        stream = b"".join(self.push(f) for f in frames)
+        return stream + self.flush()

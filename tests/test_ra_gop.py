@@ -1,0 +1,117 @@
+"""Random-access hierarchical-B GOP: encoder schedule + decoder DPB
+output reordering (bumping), bit-exact vs the openHEVC oracle.
+
+This exercises the reference's output logic (hevc_refs.c:224
+ff_hevc_output_frame / :358 ff_hevc_bump_frame): decode order is
+0,4,2,1,3,... while output must be in ascending POC order, delayed by
+sps_max_num_reorder_pics=2.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from hevc_tpu.decoder.core import Decoder
+from hevc_tpu.encoder.core import EncoderConfig, RaEncoder
+from hevc_tpu.encoder.generate import synth_frame
+
+ORACLE = "/root/repo/.oracle/build/hevc_nodisplay"
+needs_oracle = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                  reason="oracle binary not built")
+
+
+def moving_frames(w, h, n):
+    base = synth_frame("gradient", w, h, 0)
+    out = []
+    for t in range(n):
+        out.append([np.roll(base[0], (t * 3, t * 5), (0, 1)),
+                    np.roll(base[1], (t * 2, t * 2), (0, 1)),
+                    np.roll(base[2], (t, t * 3), (0, 1))])
+    return out
+
+
+def ra_cfg(w, h, **kw):
+    kw.setdefault("deblocking", True)
+    kw.setdefault("sao", True)
+    return EncoderConfig(width=w, height=h, qp=30, log2_ctb_size=5,
+                         log2_cu_size=5, gop="ra", seed=3,
+                         search_range=3, **kw)
+
+
+def check_stream(stream, recons, w, h, n):
+    """Decode, assert POC-ascending output + MD5 + recon match; return
+    the output-order YUV."""
+    outs = Decoder().decode_bytes(stream)
+    assert len(outs) == n
+    pocs = [f.poc for f in outs]
+    assert pocs == sorted(pocs), f"output not in POC order: {pocs}"
+    assert all(f.md5_ok for f in outs)
+    rec = dict(recons)
+    for f in outs:
+        for a, b in zip(f.planes, rec[f.poc]):
+            assert (np.asarray(a) == b).all()
+    return b"".join(np.asarray(p).astype(np.uint8).tobytes()
+                    for f in outs for p in f.planes)
+
+
+def oracle_yuv(stream, w, h, tmp_path):
+    sfile = str(tmp_path / "t.265")
+    ofile = str(tmp_path / "o")
+    with open(sfile, "wb") as f:
+        f.write(stream)
+    subprocess.run([ORACLE, "-i", sfile, "-o", ofile],
+                   capture_output=True, timeout=120, check=False)
+    return open(f"{ofile}_{w}x{h}.yuv", "rb").read()
+
+
+def test_ra_decode_order():
+    """Decode order 0,4,2,1,3 reorders to POC-ascending output."""
+    w, h, n = 64, 64, 10
+    enc = RaEncoder(ra_cfg(w, h))
+    stream = enc.encode(moving_frames(w, h, n))
+    # decode order as encoded: I, anchor, then the B pyramid, then tail
+    assert [p for p, _ in enc.recons] == [0, 4, 2, 1, 3, 8, 6, 5, 7, 9]
+    check_stream(stream, enc.recons, w, h, n)
+
+
+@needs_oracle
+def test_oracle_ra(tmp_path):
+    w, h, n = 96, 64, 9
+    enc = RaEncoder(ra_cfg(w, h))
+    stream = enc.encode(moving_frames(w, h, n))
+    ours = check_stream(stream, enc.recons, w, h, n)
+    assert ours == oracle_yuv(stream, w, h, tmp_path)
+
+
+@needs_oracle
+def test_oracle_ra_two_idr_periods(tmp_path):
+    """A second IDR mid-stream must drain the reorder queue first."""
+    w, h, n = 64, 64, 6
+    frames = moving_frames(w, h, n)
+    enc = RaEncoder(ra_cfg(w, h))
+    stream = enc.encode(frames)
+    enc2 = RaEncoder(ra_cfg(w, h))
+    stream += enc2.encode(frames[::-1])
+    recons = enc.recons + [(p + 100, r) for p, r in enc2.recons]
+    outs = Decoder().decode_bytes(stream)
+    pocs = [f.poc for f in outs]
+    assert pocs == sorted(pocs[:n]) + sorted(pocs[n:])
+    assert all(f.md5_ok for f in outs)
+    ours = b"".join(np.asarray(p).astype(np.uint8).tobytes()
+                    for f in outs for p in f.planes)
+    assert ours == oracle_yuv(stream, w, h, tmp_path)
+    del recons
+
+
+def test_ra_jax_backend():
+    """Device stage-B on an RA stream matches the NumPy oracle path."""
+    w, h, n = 64, 64, 5
+    enc = RaEncoder(ra_cfg(w, h))
+    stream = enc.encode(moving_frames(w, h, n))
+    ref = Decoder(recon_backend="inline").decode_bytes(stream)
+    jx = Decoder(recon_backend="jax").decode_bytes(stream)
+    assert [f.poc for f in jx] == [f.poc for f in ref]
+    for a, b in zip(ref, jx):
+        for pa, pb in zip(a.planes, b.planes):
+            assert (np.asarray(pa) == np.asarray(pb)).all()
