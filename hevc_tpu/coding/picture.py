@@ -291,3 +291,20 @@ def chroma_mode_to_idx(mode: int, luma_mode: int) -> int:
             return i
     assert mode == luma_mode, (mode, luma_mode)
     return 4
+
+
+def crop_conf_win(planes, sps: SPS):
+    """Crop decoded planes to the conformance window (7.4.3.2.1
+    conf_win offsets are in chroma units; reference output crop:
+    openhevc.c:662-740 oh_output_cropped_cpy)."""
+    cw = getattr(sps, "conf_win", (0, 0, 0, 0))
+    if not any(cw):
+        return planes
+    le, ri, to, bo = cw
+    out = []
+    for ci, p in enumerate(planes):
+        fx = sps.sub_w if ci == 0 else 1
+        fy = sps.sub_h if ci == 0 else 1
+        h, w = p.shape
+        out.append(p[to * fy:h - bo * fy, le * fx:w - ri * fx])
+    return out

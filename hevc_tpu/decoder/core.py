@@ -26,7 +26,8 @@ from ..bitstream.slice import SLICE_B, SLICE_I, SLICE_P, SliceHeader
 from ..cabac.ctx import ContextModel
 from ..cabac.engine import CabacDecoder
 from ..coding.picture import (CHROMA_422_MODE, PictureState,
-                              chroma_mode_from_idx, mpm_list)
+                              chroma_mode_from_idx, crop_conf_win,
+                              mpm_list)
 from ..coding.residual import decode_residual
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
@@ -1176,8 +1177,8 @@ class Decoder:
             old = min(lay.dpb)
             del lay.dpb[old]
             lay.dpb_motion.pop(old, None)
-        frame = DecodedFrame(planes=pic.planes, poc=lay.cur_poc,
-                             layer=lay.layer_id)
+        frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
+                             poc=lay.cur_poc, layer=lay.layer_id)
         if lay.pending_sei is not None:
             frame.sei_hash = lay.pending_sei
             lay.pending_sei = None

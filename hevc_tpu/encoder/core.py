@@ -28,7 +28,7 @@ from ..bitstream.sei import (SEI_TYPE_DECODED_PICTURE_HASH,
 from ..bitstream.slice import SLICE_I, SliceHeader
 from ..cabac.ctx import ContextModel
 from ..cabac.engine import CabacEncoder
-from ..coding.picture import PictureState, mpm_list
+from ..coding.picture import PictureState, crop_conf_win, mpm_list
 from ..coding.residual import encode_residual
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
@@ -118,11 +118,22 @@ class _TuPlan:
 class IntraEncoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        assert cfg.width % (1 << cfg.log2_min_cb_size) == 0
-        assert cfg.height % (1 << cfg.log2_min_cb_size) == 0
+        # pic_width/height_in_luma_samples must be min-CB multiples;
+        # arbitrary sizes are padded and signalled via the conformance
+        # window (reference: hevc_ps.c conf_win, output crop
+        # openhevc.c:662-740 oh_output_cropped_cpy)
+        mcb = 1 << cfg.log2_min_cb_size
+        self.out_w, self.out_h = cfg.width, cfg.height
+        pad_w, pad_h = -cfg.width % mcb, -cfg.height % mcb
+        coded_w, coded_h = cfg.width + pad_w, cfg.height + pad_h
+        sub_w = 2 if cfg.chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if cfg.chroma_format_idc == 1 else 1
+        assert pad_w % sub_w == 0 and pad_h % sub_h == 0, \
+            "pad must be a chroma-unit multiple"
         self.vps = VPS()
         self.sps = SPS(
-            width=cfg.width, height=cfg.height,
+            width=coded_w, height=coded_h,
+            conf_win=(0, pad_w // sub_w, 0, pad_h // sub_h),
             bit_depth_luma=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
             chroma_format_idc=cfg.chroma_format_idc,
             log2_min_cb_size=cfg.log2_min_cb_size,
@@ -209,7 +220,15 @@ class IntraEncoder:
             self.poc = 0
             self.dpb = []
         self.pic = PictureState(sps, pps)
-        self.src = [p.astype(np.int32) for p in planes]
+        self.src = []
+        for ci, p in enumerate(planes):
+            p = p.astype(np.int32)
+            tw = sps.width // (1 if ci == 0 else sps.sub_w)
+            th = sps.height // (1 if ci == 0 else sps.sub_h)
+            if p.shape != (th, tw):  # conformance-window padding
+                p = np.pad(p, ((0, th - p.shape[0]),
+                               (0, tw - p.shape[1])), mode="edge")
+            self.src.append(p)
         self.e = CabacEncoder()
         self.cm = ContextModel(
             2 if self.is_b else (1 if self.is_p else 0), cfg.qp)
@@ -384,6 +403,12 @@ class IntraEncoder:
     @property
     def recon_planes(self):
         return self.pic.planes
+
+    @property
+    def output_planes(self):
+        """Reconstruction cropped to the conformance window (what a
+        conformant decoder outputs)."""
+        return crop_conf_win(self.pic.planes, self.sps)
 
     # ---- split policies --------------------------------------------------
     def _want_cu_split(self, x0, y0, log2_size, depth) -> bool:

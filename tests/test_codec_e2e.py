@@ -333,3 +333,31 @@ def test_oracle_bitexact_tmvp_and_wp(tmp_path):
         stream, recons = encode_decode(cfg, frames)
         oracle = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
         assert flatten(recons) == oracle, f"tmvp/wp config {i} diverged"
+
+
+@needs_oracle
+@pytest.mark.parametrize("wh", [(100, 60), (52, 36)])
+def test_oracle_conformance_window(tmp_path, wh):
+    """Arbitrary (non-min-CB-multiple) frame sizes: the encoder pads and
+    signals a conformance window; decoder output is cropped, matching
+    the oracle's cropped YUV (openhevc.c:662-740)."""
+    w, h = wh
+    frames = [synth_frame("zoneplate", w, h, t) for t in range(3)]
+    cfg = EncoderConfig(width=w, height=h, qp=28, log2_ctb_size=5,
+                        log2_cu_size=4, gop="ipp", deblocking=True,
+                        sao=True, search_range=2)
+    enc = IntraEncoder(cfg)
+    stream = bytearray()
+    ours = bytearray()
+    for planes in frames:
+        stream += enc.encode_frame(planes)
+        for p in enc.output_planes:
+            ours += p.astype(np.uint8).tobytes()
+    assert enc.sps.width % 8 == 0 and enc.sps.height % 8 == 0
+    assert any(enc.sps.conf_win)
+    outs = Decoder().decode_bytes(bytes(stream))
+    assert all(f.md5_ok for f in outs)
+    got = b"".join(p.astype(np.uint8).tobytes()
+                   for f in outs for p in f.planes)
+    assert got == bytes(ours)
+    assert got == oracle_decode(bytes(stream), w, h, tmp_path)
