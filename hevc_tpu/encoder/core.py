@@ -182,12 +182,20 @@ class IntraEncoder:
                              delta_poc_s1=[1], used_s1=[1]),
                 ShortTermRPS(delta_poc_s0=[-1], used_s0=[1]),
             ]
-            # decode order runs up to 2 pictures ahead of output order
-            self.sps.num_reorder_pics = [2]
-            self.sps.max_dec_pic_buffering = [5]
+            # three temporal sublayers: tid0 = I/P anchors, tid1 = the
+            # mid B, tid2 = leaf Bs (droppable TRAIL_N); per-sublayer
+            # DPB ordering info (reference: temporal-layer-id AVOption
+            # hevcdec.c:4642-4668, oh_select_temporal_layer)
+            for ps in (self.sps, self.vps):
+                ps.max_sub_layers = 3
+                ps.num_reorder_pics = [0, 1, 2]
+                ps.max_dec_pic_buffering = [2, 3, 5]
+                ps.max_latency_increase = [0, 0, 0]
         # decode-order schedule override for out-of-order GOPs:
-        # (poc, "I"|"P"|"B", rps_idx, ref_pocs_l0, ref_pocs_l1)
+        # (poc, "I"|"P"|"B", rps_idx, ref_pocs_l0, ref_pocs_l1,
+        #  temporal_id, nal_type_override)
         self._sched = None
+        self._temporal_id = 0
         self.frames_encoded = 0
         self.rng = np.random.default_rng(cfg.seed)
         self.dpb: List = []  # [(poc, [int32 planes])]
@@ -209,13 +217,15 @@ class IntraEncoder:
         """planes: [Y, Cb, Cr] source arrays.  Returns the AU (Annex-B)."""
         sps, pps, cfg = self.sps, self.pps, self.cfg
         if self._sched is not None:
-            poc, ftype, _, _, _ = self._sched
+            poc, ftype = self._sched[0], self._sched[1]
             self.is_p = ftype in ("P", "B")
             self.is_b = ftype == "B"
             reset = ftype == "I"
             self.poc = poc
+            self._temporal_id = self._sched[5]
         else:
             self.is_p, self.is_b, reset = self._frame_type()
+            self._temporal_id = 0
         if reset:
             self.poc = 0
             self.dpb = []
@@ -324,6 +334,8 @@ class IntraEncoder:
                                                    len(self.ref_list_l1)),
                          five_minus_max_num_merge_cand=0)
         nal_type = self._nal_type()
+        if self._sched is not None and self._sched[6] is not None:
+            nal_type = self._sched[6]
         if len(self._seg_payloads) > 1:
             sh.entry_point_offsets = self._entry_offsets(
                 sh, nal_type, self._seg_payloads)
@@ -340,11 +352,12 @@ class IntraEncoder:
         if cfg.sei_hash:
             md5s = picture_md5(self.pic.planes, sps.bit_depth_luma)
             sei = DecodedPictureHash(hash_type=0, md5=md5s)
-            au.append((nalmod.NAL_SEI_PREFIX, self.layer_id, 0,
+            au.append((nalmod.NAL_SEI_PREFIX, self.layer_id,
+                       self._temporal_id,
                        write_sei_rbsp(
                            [(SEI_TYPE_DECODED_PICTURE_HASH,
                              sei.payload())])))
-        au.append((nal_type, self.layer_id, 0, slice_rbsp))
+        au.append((nal_type, self.layer_id, self._temporal_id, slice_rbsp))
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
                                     for p in self.pic.planes]))
@@ -370,7 +383,7 @@ class IntraEncoder:
         encoder overrides this to insert the inter-layer ref."""
         if self._sched is not None:
             by_poc = dict(self.dpb)
-            _, _, _, l0, l1 = self._sched
+            l0, l1 = self._sched[3], self._sched[4]
             self.ref_list = [(p, by_poc[p]) for p in l0]
             self.ref_list_l1 = [(p, by_poc[p]) for p in l1]
             self.ref_lt0 = [False] * len(self.ref_list)
@@ -1236,8 +1249,8 @@ class IntraEncoder:
                                  nuh_layer_id=self.layer_id,
                                  vps=self.vps)
             hdr_len = len(rbsp) - len(payload)
-            nalbytes = nalmod.write_nal_header(nal_type, self.layer_id,
-                                               0) + rbsp
+            nalbytes = nalmod.write_nal_header(
+                nal_type, self.layer_id, self._temporal_id) + rbsp
             ins = []
             zeros = 0
             for i, b in enumerate(nalbytes):
@@ -1271,12 +1284,14 @@ class RaEncoder:
     """
 
     GOP = 4
-    # (display offset in the group, type, rps_idx, L0 deltas, L1 deltas)
+    # (display offset in the group, type, rps_idx, L0 deltas, L1
+    #  deltas, temporal_id, nal_type override).  Leaf Bs are never
+    #  referenced: sub-layer non-reference TRAIL_N, droppable with -t.
     SCHED = [
-        (4, "P", 0, (-4,), ()),
-        (2, "B", 1, (-2,), (2,)),
-        (1, "B", 2, (-1,), (1,)),
-        (3, "B", 3, (-1,), (1,)),
+        (4, "P", 0, (-4,), (), 0, None),
+        (2, "B", 1, (-2,), (2,), 1, None),
+        (1, "B", 2, (-1,), (1,), 2, nalmod.NAL_TRAIL_N),
+        (3, "B", 3, (-1,), (1,), 2, nalmod.NAL_TRAIL_N),
     ]
 
     def __init__(self, cfg: EncoderConfig):
@@ -1287,10 +1302,12 @@ class RaEncoder:
         self.n_pushed = 0
         self.recons: List[Tuple[int, list]] = []
 
-    def _encode(self, planes, poc, ftype, rps_idx, l0, l1) -> bytes:
+    def _encode(self, planes, poc, ftype, rps_idx, l0, l1,
+                tid=0, ntype=None) -> bytes:
         enc = self.enc
         enc._sched = (poc, ftype, rps_idx,
-                      [poc + d for d in l0], [poc + d for d in l1])
+                      [poc + d for d in l0], [poc + d for d in l1],
+                      tid, ntype)
         try:
             au = enc.encode_frame(planes)
         finally:
@@ -1306,10 +1323,10 @@ class RaEncoder:
         else:
             self.buf.append(planes)
             if len(self.buf) == self.GOP:
-                for off, ftype, rps_idx, l0, l1 in self.SCHED:
+                for off, ftype, rps_idx, l0, l1, tid, nt in self.SCHED:
                     out += self._encode(self.buf[off - 1],
                                         self.base_poc + off,
-                                        ftype, rps_idx, l0, l1)
+                                        ftype, rps_idx, l0, l1, tid, nt)
                 self.base_poc += self.GOP
                 self.buf = []
         self.n_pushed += 1

@@ -115,3 +115,28 @@ def test_ra_jax_backend():
     for a, b in zip(ref, jx):
         for pa, pb in zip(a.planes, b.planes):
             assert (np.asarray(pa) == np.asarray(pb)).all()
+
+
+@needs_oracle
+@pytest.mark.parametrize("tsel,expect_pocs",
+                         [(7, list(range(9))), (1, [0, 2, 4, 6, 8]),
+                          (0, [0, 4, 8])])
+def test_oracle_temporal_layers(tmp_path, tsel, expect_pocs):
+    """Temporal sublayer selection: the RA GOP marks tid 0/1/2 (leaf Bs
+    are droppable TRAIL_N); decoding with a max temporal id must match
+    the oracle's -t output (oh_select_temporal_layer)."""
+    w, h, n = 64, 64, 9
+    enc = RaEncoder(ra_cfg(w, h))
+    stream = enc.encode(moving_frames(w, h, n))
+    outs = Decoder(temporal_layer=tsel).decode_bytes(stream)
+    assert [f.poc for f in outs] == expect_pocs
+    assert all(f.md5_ok for f in outs)
+    ours = b"".join(np.asarray(p).astype(np.uint8).tobytes()
+                    for f in outs for p in f.planes)
+    sfile = str(tmp_path / "t.265")
+    ofile = str(tmp_path / "o")
+    with open(sfile, "wb") as f:
+        f.write(stream)
+    subprocess.run([ORACLE, "-t", str(tsel), "-i", sfile, "-o", ofile],
+                   capture_output=True, timeout=120, check=False)
+    assert ours == open(f"{ofile}_{w}x{h}.yuv", "rb").read()
