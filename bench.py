@@ -144,10 +144,10 @@ def main():
         tuple(jnp.asarray(sao_e[p]) for p in range(3)),
         tuple(jnp.asarray(sao_c[p]) for p in range(3)),
     )
-    from hevc_tpu.tpu.recon import _mc_args
+    from hevc_tpu.tpu.recon import _mc_args, _pallas_kwargs
     mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
     kw = dict(mc_fields=mc_fields, refs_l=refs_l, refs_c=refs_c,
-              resid_fields=resid_fields)
+              resid_fields=resid_fields, **_pallas_kwargs(pf))
     statics = dict(bit_depth=pf.bit_depth, n_chunks=pf.n_chunks,
                    regions=regions, do_deblock=b["do_deblock"],
                    do_sao=b["do_sao"], ctb_log2=log2_ctb,

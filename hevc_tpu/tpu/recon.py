@@ -35,16 +35,17 @@ def _residuals(levels, rmeta, bit_depth):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "mc_shapes"))
+@partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "mc_shapes",
+                                   "mc_meta", "resid_ns", "use_pallas"))
 def reconstruct_device(canvas, scal, avail, levels, rmeta,
                        mc_fields, refs_l, refs_c, resid_fields,
-                       bit_depth, n_chunks, mc_shapes=()):
-    from .mc import mc_phase, resid_phase
+                       bit_depth, n_chunks, mc_shapes=(),
+                       mc_ft=(), mc_meta=(), resid_ft=(), resid_ns=(),
+                       use_pallas=False):
     resids = _residuals(levels, rmeta, bit_depth)
-    groups = tuple((ic, bi, w, h, f)
-                   for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
-    canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
-    canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
+    canvas = _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
+                           mc_fields, resid_fields, mc_shapes,
+                           mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
     return reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,
                                  n_chunks)
 
@@ -59,9 +60,76 @@ def _mc_args(pf: PackedFrame):
             resid_fields, mc_shapes)
 
 
+def use_pallas_default():
+    """Pallas inter kernels on real TPUs; XLA path elsewhere (CPU tests
+    use the XLA path as the reference; kernels are cross-checked in
+    interpret mode by tests/test_mc_pallas.py)."""
+    import os
+    env = os.environ.get("HEVC_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_args(pf: PackedFrame):
+    """Host-side prep for the Pallas inter path: transposed/aligned
+    field slabs (+ static block counts)."""
+    from . import mc_pallas as MP
+    pg = MP.prepare_mc_fields(pf.mc_groups)
+    mc_ft = tuple(ft.arr for *_m, ft in pg)
+    mc_meta = tuple((ic, bi, w, h, ft.n) for ic, bi, w, h, ft in pg)
+    rf = MP.prepare_resid_fields(pf.resid_groups)
+    resid_ft = tuple(ft.arr for ft in rf)
+    resid_ns = tuple(ft.n for ft in rf)
+    return mc_ft, mc_meta, resid_ft, resid_ns
+
+
+def _pallas_kwargs(pf: PackedFrame):
+    """kwargs bundle for decode_frame_device's Pallas inter path."""
+    use_pallas = use_pallas_default() and bool(pf.mc_groups or
+                                              any(g.shape[0]
+                                                  for g in pf.resid_groups))
+    if not use_pallas:
+        return dict(use_pallas=False)
+    mc_ft, mc_meta, resid_ft, resid_ns = _pallas_args(pf)
+    return dict(mc_ft=mc_ft, mc_meta=mc_meta, resid_ft=resid_ft,
+                resid_ns=resid_ns, use_pallas=True)
+
+
+def _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
+                  mc_fields, resid_fields, mc_shapes,
+                  mc_ft, mc_meta, resid_ft, resid_ns, use_pallas):
+    """MC + inter-residual phases, Pallas or XLA flavour."""
+    from .mc import mc_phase, resid_phase
+    if not use_pallas:
+        groups = tuple((ic, bi, w, h, f)
+                       for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
+        canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
+        return resid_phase(canvas, resid_fields, resids, bit_depth)
+    from . import mc_pallas as MP
+    ch, cw = canvas.shape
+    canvas = MP.pad_canvas(canvas)
+    groups = tuple((ic, bi, w, h, MP._FT(arr, n))
+                   for (ic, bi, w, h, n), arr in zip(mc_meta, mc_ft))
+    if any(n for *_m, n in mc_meta):
+        canvas = MP.mc_phase_pallas(canvas, MP.pad_refs(refs_l),
+                                    MP.pad_refs(refs_c), groups, bit_depth)
+    if any(resid_ns):
+        pools = tuple(MP.pad_resid_pool(resids[c], 4 << c)
+                      for c in range(4))
+        fts = tuple(MP._FT(a, n) for a, n in zip(resid_ft, resid_ns))
+        canvas = MP.resid_phase_pallas(canvas, fts, pools, bit_depth)
+    return canvas[:ch, :cw]
+
+
 def run_packed(pf: PackedFrame):
     """Execute a packed frame; returns the reconstructed canvas (np)."""
     mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
+    use_pallas = use_pallas_default() and bool(pf.mc_groups or
+                                              any(g.shape[0]
+                                                  for g in pf.resid_groups))
+    mc_ft, mc_meta, resid_ft, resid_ns = (
+        _pallas_args(pf) if use_pallas else ((), (), (), ()))
     canvas = reconstruct_device(
         jnp.asarray(pf.canvas),
         tuple(jnp.asarray(v) for v in pf.scal),
@@ -69,7 +137,8 @@ def run_packed(pf: PackedFrame):
         tuple(jnp.asarray(v) for v in pf.levels),
         tuple(jnp.asarray(v) for v in pf.rmeta),
         mc_fields, refs_l, refs_c, resid_fields,
-        pf.bit_depth, pf.n_chunks, mc_shapes)
+        pf.bit_depth, pf.n_chunks, mc_shapes,
+        mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
     return np.asarray(canvas)
 
 
@@ -88,26 +157,27 @@ def reconstruct_plan_jax(pic, plan) -> None:
 
 @partial(jax.jit, static_argnames=("bit_depth", "n_chunks", "regions",
                                    "do_deblock", "do_sao", "ctb_log2",
-                                   "sub_w", "sub_h", "mc_shapes"))
+                                   "sub_w", "sub_h", "mc_shapes",
+                                   "mc_meta", "resid_ns", "use_pallas"))
 def decode_frame_device(canvas, scal, avail, levels, rmeta, qp4, bs_v, bs_h,
                         beta_off, tc_off, cb_qp_off, cr_qp_off,
                         sao_type, sao_band_pos, sao_offs4, sao_eo_class,
                         bit_depth, n_chunks, regions, do_deblock, do_sao,
                         ctb_log2, sub_w, sub_h,
                         mc_fields=(), refs_l=None, refs_c=None,
-                        resid_fields=(), mc_shapes=()):
+                        resid_fields=(), mc_shapes=(),
+                        mc_ft=(), mc_meta=(), resid_ft=(), resid_ns=(),
+                        use_pallas=False):
     """Stage B end-to-end: returns (y, cb, cr) int32 planes.
 
     regions: static tuple ((oy, ox, h, w) per plane); sao_* are
     per-plane tuples of per-CTB parameter maps."""
     from .filters import deblock_jax, sao_plane_jax
 
-    from .mc import mc_phase, resid_phase
     resids = _residuals(levels, rmeta, bit_depth)
-    groups = tuple((ic, bi, w, h, f)
-                   for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
-    canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
-    canvas = resid_phase(canvas, resid_fields, resids, bit_depth)
+    canvas = _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
+                           mc_fields, resid_fields, mc_shapes,
+                           mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
     out = reconstruct_wavefront(canvas, scal, avail, resids, bit_depth,
                                 n_chunks)
     planes = []
@@ -184,7 +254,8 @@ def finish_frame_jax(pic, plan) -> None:
         tuple(jnp.asarray(sao_c[p]) for p in range(3)),
         pf.bit_depth, pf.n_chunks, regions, do_deblock, do_sao,
         sps.log2_ctb_size, sps.sub_w, sps.sub_h,
-        *_mc_args(pf)[:4], mc_shapes=_mc_args(pf)[4])
+        *_mc_args(pf)[:4], mc_shapes=_mc_args(pf)[4],
+        **_pallas_kwargs(pf))
     for plane, arr in enumerate((y, cb, cr)):
         pic.planes[plane][:] = np.asarray(arr).astype(
             pic.planes[plane].dtype)
