@@ -68,6 +68,11 @@ def use_pallas_default():
     env = os.environ.get("HEVC_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")
+    # jax.default_backend() still says "tpu" when tests force the default
+    # *device* to CPU (conftest.py), so honour jax_default_device first.
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
     return jax.default_backend() == "tpu"
 
 
