@@ -687,6 +687,11 @@ class SPS:
     amp_enabled: int = 0
     sao_enabled: int = 0
     pcm_enabled: int = 0
+    pcm_bit_depth_luma: int = 8
+    pcm_bit_depth_chroma: int = 8
+    log2_min_pcm_cb_size: int = 3
+    log2_max_pcm_cb_size: int = 3
+    pcm_loop_filter_disabled: int = 0
     st_rps: List[ShortTermRPS] = field(default_factory=list)
     long_term_ref_pics_present: int = 0
     temporal_mvp_enabled: int = 0
@@ -766,6 +771,12 @@ class SPS:
         w.flag(self.amp_enabled)
         w.flag(self.sao_enabled)
         w.flag(self.pcm_enabled)
+        if self.pcm_enabled:
+            w.u(self.pcm_bit_depth_luma - 1, 4)
+            w.u(self.pcm_bit_depth_chroma - 1, 4)
+            w.ue(self.log2_min_pcm_cb_size - 3)
+            w.ue(self.log2_max_pcm_cb_size - self.log2_min_pcm_cb_size)
+            w.flag(self.pcm_loop_filter_disabled)
         w.ue(len(self.st_rps))
         for i, rps in enumerate(self.st_rps):
             rps.write(w, i, len(self.st_rps))
@@ -873,9 +884,11 @@ class SPS:
         s.sao_enabled = r.flag()
         s.pcm_enabled = r.flag()
         if s.pcm_enabled:
-            r.u(4); r.u(4)  # pcm bit depths
-            r.ue(); r.ue()  # pcm cb sizes
-            r.flag()  # pcm_loop_filter_disabled
+            s.pcm_bit_depth_luma = r.u(4) + 1
+            s.pcm_bit_depth_chroma = r.u(4) + 1
+            s.log2_min_pcm_cb_size = r.ue() + 3
+            s.log2_max_pcm_cb_size = s.log2_min_pcm_cb_size + r.ue()
+            s.pcm_loop_filter_disabled = r.flag()
         num_rps = r.ue()
         for i in range(num_rps):
             s.st_rps.append(ShortTermRPS.parse(r, i, s.st_rps, num_rps))

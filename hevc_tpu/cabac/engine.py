@@ -141,6 +141,29 @@ class CabacDecoder:
         """Bytes consumed including partially-read byte."""
         return self.bytepos
 
+    def begin_pcm(self) -> int:
+        """After decode_terminate()==1 for pcm_flag: flush the engine
+        (DecodeFlush, 9.3.4.3.4 — consumes 7 bits) and byte-align past
+        the pcm_alignment_zero_bits.  Returns the byte offset in `data`
+        where pcm_sample payload starts (reference semantics:
+        cabac_functions.h skip_bytes + hevcdec.c hls_pcm_sample).
+
+        The raw bits this decoder has pulled (9-bit init + 1 per renorm)
+        exactly equal the bits the encoder emitted up to its terminate
+        flush (10-bit flush minus the suppressed first bit), so the
+        payload begins at the next byte boundary of the raw position."""
+        pos = (8 * self.bytepos - self._nbits + 7) >> 3
+        self._bitbuf = 0
+        self._nbits = 0
+        self.bytepos = pos
+        return pos
+
+    def reinit_at(self, byte_offset: int) -> None:
+        """Re-initialize the arithmetic engine at a byte-aligned position
+        (after pcm_sample data, 9.3.2.5).  Context states are untouched."""
+        self.bytepos = byte_offset
+        self.init()
+
 
 class CabacEncoder:
     """Arithmetic encoder per the informative process of clause 9.3.4.4."""
@@ -257,3 +280,24 @@ class CabacEncoder:
         share one buffer in a slice via entry points)."""
         while self._ncur:
             self._write_bit(0)
+
+    def begin_pcm(self) -> None:
+        """After encode_terminate(1) for pcm_flag: byte-align with zeros
+        (the pcm_alignment_zero_bits)."""
+        while self._ncur:
+            self._write_bit(0)
+
+    def write_raw(self, value: int, n: int) -> None:
+        """Write n raw (non-arithmetic) bits — pcm_sample u(v) payload."""
+        for i in range(n - 1, -1, -1):
+            self._write_bit((value >> i) & 1)
+
+    def restart(self) -> None:
+        """Re-initialize the arithmetic engine after pcm_sample data
+        (encoder mirror of 9.3.2.5; context states are untouched)."""
+        if self._ncur:
+            raise ValueError("PCM payload must leave the stream byte-aligned")
+        self.low = 0
+        self.range = 510
+        self.bits_outstanding = 0
+        self.first_bit = True

@@ -60,6 +60,11 @@ class PictureState:
         self.slice_idx = np.full((sps.ctb_h, sps.ctb_w), -1, np.int32)
         # per-4x4 CU transquant bypass + transform-skip flags (for filters)
         self.tq_bypass = np.zeros((self.h4, self.w4), bool)
+        # per-4x4 "loop filters must not modify these samples" mask:
+        # lossless CUs (8.7.2.5.3 nDp/nQp=0) and PCM CUs when
+        # pcm_loop_filter_disabled_flag (reference: is_pcm/tq-bypass tests
+        # in hevc_filter.c deblocking + sao_edge_restore)
+        self.no_filter = np.zeros((self.h4, self.w4), bool)
         # deblocking boundary strengths: bs_v = left edge of each 4x4,
         # bs_h = top edge (reference: hevc_filter.c boundary_strength :765)
         self.bs_v = np.zeros((self.h4, self.w4), np.int8)

@@ -493,6 +493,11 @@ class SliceDecoder:
         gq = size >> 2
         if pps.transquant_bypass_enabled:
             cu.tq_bypass = d.decode_bin(cm.at("cu_transquant_bypass_flag", 0))
+            if cu.tq_bypass:
+                pic.tq_bypass[y0 >> 2:(y0 >> 2) + gq,
+                              x0 >> 2:(x0 >> 2) + gq] = True
+                pic.no_filter[y0 >> 2:(y0 >> 2) + gq,
+                              x0 >> 2:(x0 >> 2) + gq] = True
         if self.sh.slice_type != SLICE_I:
             # cu_skip_flag, ctx from neighbour skip flags
             ctx = 0
@@ -531,8 +536,13 @@ class SliceDecoder:
             # part_mode: bin 1 → PART_2Nx2N, 0 → PART_NxN (intra)
             part2n = d.decode_bin(cm.at("part_mode", 0))
             cu.intra_split = not part2n
-        if sps.pcm_enabled:
-            raise NotImplementedError("PCM")
+        if (sps.pcm_enabled and not cu.intra_split
+                and sps.log2_min_pcm_cb_size <= log2_size
+                <= sps.log2_max_pcm_cb_size
+                and d.decode_terminate()):
+            # pcm_flag == 1 (7.3.8.5; decoded with DecodeTerminate, 9.3.1)
+            self._pcm_cu(x0, y0, log2_size, depth, cu)
+            return
 
         # intra mode syntax: all prev flags, then all mpm/rem payloads
         n_pb = 4 if cu.intra_split else 1
@@ -588,11 +598,71 @@ class SliceDecoder:
         pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
         if cu.tq_bypass:
             pic.tq_bypass[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = True
+            pic.no_filter[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = True
 
         cu.inter_split = False
         cu.max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
                               + (1 if cu.intra_split else 0))
         self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, (1, 1), (1, 1), cu)
+
+    def _pcm_cu(self, x0, y0, log2_size, depth, cu):
+        """PCM coding unit: raw u(v) samples in the bitstream, engine
+        re-initialized after (7.3.8.7 pcm_sample; reference:
+        hevcdec.c hls_pcm_sample)."""
+        sps, pic, d = self.sps, self.pic, self.d
+        size = 1 << log2_size
+        pos = d.begin_pcm()
+        data = d.data
+        bitpos = pos * 8
+
+        def read(nbits):
+            nonlocal bitpos
+            v = 0
+            for _ in range(nbits):
+                v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            return v
+
+        blocks = []
+        for c_idx in range(3 if sps.chroma_format_idc else 1):
+            if c_idx == 0:
+                w = h = size
+                pbd, bd = sps.pcm_bit_depth_luma, sps.bit_depth_luma
+                xs, ys = x0, y0
+            else:
+                w, h = size // sps.sub_w, size // sps.sub_h
+                pbd, bd = sps.pcm_bit_depth_chroma, sps.bit_depth_chroma
+                xs, ys = x0 // sps.sub_w, y0 // sps.sub_h
+            shift = bd - pbd
+            blk = np.empty((h, w), np.int32)
+            for yy in range(h):
+                for xx in range(w):
+                    blk[yy, xx] = read(pbd) << shift
+            blocks.append((c_idx, xs, ys, blk))
+        d.reinit_at((bitpos + 7) >> 3)
+
+        # bookkeeping: PCM CU is MODE_INTRA; neighbours' MPM derivation
+        # sees INTRA_DC (8.4.2); deblocking sees intra edges
+        gq = size >> 2
+        ysl = slice(y0 >> 2, (y0 >> 2) + gq)
+        xsl = slice(x0 >> 2, (x0 >> 2) + gq)
+        pic.intra_mode_y[ysl, xsl] = 1  # INTRA_DC
+        pic.is_intra[ysl, xsl] = True
+        pic.ct_depth[ysl, xsl] = depth
+        pic.qp_y[ysl, xsl] = self.qp_y
+        if sps.pcm_loop_filter_disabled:
+            pic.no_filter[ysl, xsl] = True
+        pic.mark_intra_tu_edges(x0, y0, size)
+
+        if self.plan is not None:
+            for c_idx, xs, ys, blk in blocks:
+                self.plan.append(BlockRecord(
+                    plane=c_idx, x=xs, y=ys, size=blk.shape[1],
+                    h=blk.shape[0], mode=0, qp=0, levels=blk, kind="pcm"))
+            return
+        for c_idx, xs, ys, blk in blocks:
+            pic.planes[c_idx][ys:ys + blk.shape[0], xs:xs + blk.shape[1]] = \
+                blk.astype(pic.planes[c_idx].dtype)
 
     def _inter_cu(self, x0, y0, log2_size, depth, cu):
         """Inter CU: partitions, PUs (merge/AMVP + MC), residual tree."""
