@@ -29,6 +29,23 @@ from ..coding.picture import (CHROMA_422_MODE, PictureState,
                               chroma_mode_from_idx, crop_conf_win,
                               mpm_list)
 from ..coding.residual import decode_residual
+
+_NATIVE_RESIDUAL = None
+
+
+def _native_residual():
+    """Resolve the C++ residual-coding front-end once (None if unavailable).
+
+    The native kernel (hevc_tpu/native/residual.cpp) is the analogue of the
+    reference's C entropy hot loop (reference: libavcodec/hevc_cabac.c:2408);
+    it is bit-exact with coding.residual.decode_residual (tests/test_native.py).
+    """
+    global _NATIVE_RESIDUAL
+    if _NATIVE_RESIDUAL is None:
+        from .. import native
+        _NATIVE_RESIDUAL = native.decode_residual if native.available() \
+            else False
+    return _NATIVE_RESIDUAL or None
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
 
@@ -752,7 +769,8 @@ class SliceDecoder:
             if cu.pred_intra else 0
         ts_allowed = (pps.transform_skip_enabled and not cu.tq_bypass
                       and log2_size <= pps.log2_max_transform_skip_block_size)
-        return decode_residual(
+        fn = _native_residual() or decode_residual
+        return fn(
             self.d, self.cm, log2_size, c_idx, scan,
             sign_data_hiding=bool(pps.sign_data_hiding),
             transform_skip_allowed=ts_allowed,
