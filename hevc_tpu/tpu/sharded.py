@@ -1,0 +1,179 @@
+"""Tile-sharded stage-B filtering: deblock + SAO over a device mesh.
+
+The TPU-native analogue of the reference's tile parallelism + seam pass
+(reference: hevcdec.c:3144-3194 per-tile jobs, :3292-3328 tiles_filters
+cross-tile deblock/SAO; SURVEY.md §2.2).  The frame is sharded in column
+bands over a ("tile",) mesh axis; the cross-tile dependency becomes an
+explicit halo exchange (jax.lax.ppermute over ICI):
+
+- deblock: a 16-luma-pixel halo of the unfiltered plane (and the 4x4 QP /
+  boundary-strength maps) — a vertical-edge filter segment reads 4 and
+  writes 3 pixels on each side of an edge, and the 8-pixel edge grid must
+  stay aligned across the band boundary for both luma and subsampled
+  chroma;
+- SAO: a 1-pixel halo of the *deblocked* plane (SAO edge classification
+  reads the 8-neighbourhood after deblocking).
+
+Bit-exactness contract: for any shard count whose band width is a
+multiple of the CTB size, the result equals the single-device
+deblock_jax + sao_plane_jax output (tests/test_sharded.py), which is
+itself bit-exact vs the openHEVC oracle.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .filters import _luma_pass, _chroma_pass, _upsample, _EO
+
+
+def _halo(x, hw: int, n: int, axis_name: str):
+    """Exchange hw columns with both neighbours along `axis_name`.
+
+    Returns (left_halo, right_halo) for the local shard; shards at the
+    frame boundary receive zeros (never read: boundary edges carry bs=0
+    and SAO validity masks use global coordinates)."""
+    send_r = [(i, i + 1) for i in range(n - 1)]
+    send_l = [(i + 1, i) for i in range(n - 1)]
+    left = jax.lax.ppermute(x[:, -hw:], axis_name, send_r)
+    right = jax.lax.ppermute(x[:, :hw], axis_name, send_l)
+    return left, right
+
+
+def _sao_local(ext, tmap, pos, offs4, cls, ctb_log2: int, bd: int,
+               x0, w_global: int):
+    """SAO over one column band given a 1-pixel column halo.
+
+    ext: int32 [h, wb+2] deblocked band with halo; maps are the band's
+    per-CTB parameters; x0 = global column of the band start (traced).
+    Mirrors filters.sao_plane_jax exactly, with validity computed in
+    global frame coordinates."""
+    h = ext.shape[0]
+    wb = ext.shape[1] - 2
+    cs = 1 << ctb_log2
+    maxv = (1 << bd) - 1
+    plane = ext[:, 1:-1]
+    t = _upsample(tmap, cs, h, wb)
+    posm = _upsample(pos, cs, h, wb)
+    offs = _upsample(offs4, cs, h, wb)
+    clsm = _upsample(cls, cs, h, wb)
+
+    band = plane >> (bd - 5)
+    band_off = jnp.zeros_like(plane)
+    for k in range(4):
+        band_off = band_off + jnp.where(band == ((posm + k) & 31),
+                                        offs[..., k], 0)
+    band_out = jnp.clip(plane + band_off, 0, maxv)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, wb), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, wb), 1) + x0
+    padv = jnp.pad(ext, ((1, 1), (0, 0)), mode="edge")
+
+    def shifted(dy, dx):
+        return jax.lax.dynamic_slice(padv, (1 + dy, 1 + dx), (h, wb))
+
+    edge_out = plane
+    for k, (ay, ax, by, bx) in enumerate(_EO):
+        a = shifted(ay, ax)
+        b = shifted(by, bx)
+        idx = 2 + jnp.sign(plane - a) + jnp.sign(plane - b)
+        cat = jnp.where(idx == 2, 0, jnp.where(idx < 2, idx + 1, idx))
+        off = jnp.zeros_like(plane)
+        for c in range(4):
+            off = off + jnp.where(cat == c + 1, offs[..., c], 0)
+        valid = ((yy + ay >= 0) & (yy + ay < h)
+                 & (xx + ax >= 0) & (xx + ax < w_global)
+                 & (yy + by >= 0) & (yy + by < h)
+                 & (xx + bx >= 0) & (xx + bx < w_global))
+        res = jnp.where(valid, jnp.clip(plane + off, 0, maxv), plane)
+        edge_out = jnp.where(clsm == k, res, edge_out)
+    return jnp.where(t == 1, band_out, jnp.where(t == 2, edge_out, plane))
+
+
+def filter_frame_sharded(mesh: Mesh, y, cb, cr, qp4, bs_v, bs_h,
+                         beta_off, tc_off, cb_qp_off, cr_qp_off,
+                         sao_type, sao_band_pos, sao_offs4, sao_eo_class,
+                         *, bit_depth: int, ctb_log2: int,
+                         sub_w: int = 2, sub_h: int = 2,
+                         do_deblock: bool = True, do_sao: bool = True,
+                         axis: str = "tile"):
+    """Deblock + SAO one frame, column-band-sharded over `mesh`.
+
+    Planes are int32 [h, w] (luma) / subsampled (chroma); qp4/bs_* are
+    the per-4x4 luma-grid maps; sao_* are 3-tuples of per-CTB maps as
+    produced by recon.pack_sao_params.  Returns (y, cb, cr) with the
+    same shardings as the inputs."""
+    n = mesh.shape[axis]
+    h, w = y.shape
+    assert w % (n << ctb_log2) == 0, \
+        f"band width {w}/{n} must be a multiple of the CTB size"
+    band = w // n
+
+    col = NamedSharding(mesh, P(None, axis))
+    col3 = NamedSharding(mesh, P(None, axis, None))
+
+    def run(y, cb, cr, qp4, bs_v, bs_h, st, sp, so, sc):
+        if do_deblock:
+            hl = 16                       # luma halo (8-grid aligned)
+            hm = hl // 4                  # 4x4-map halo
+            hc = hl // sub_w              # chroma halo
+            parts = {}
+            for name, arr, hw in (("y", y, hl), ("qp", qp4, hm),
+                                  ("bv", bs_v, hm),
+                                  ("cb", cb, hc), ("cr", cr, hc)):
+                lft, rgt = _halo(arr, hw, n, axis)
+                parts[name] = jnp.concatenate([lft, arr, rgt], axis=1)
+            ey = _luma_pass(parts["y"], parts["qp"], parts["bv"],
+                            beta_off, tc_off, bit_depth)[:, hl:-hl]
+            ecb = _chroma_pass(parts["cb"], parts["qp"], parts["bv"],
+                               tc_off, cb_qp_off, bit_depth,
+                               sub_w)[:, hc:-hc]
+            ecr = _chroma_pass(parts["cr"], parts["qp"], parts["bv"],
+                               tc_off, cr_qp_off, bit_depth,
+                               sub_w)[:, hc:-hc]
+            # horizontal edges: column-independent → local transpose pass
+            y = _luma_pass(ey.T, qp4.T, bs_h.T, beta_off, tc_off,
+                           bit_depth).T
+            cb = _chroma_pass(ecb.T, qp4.T, bs_h.T, tc_off, cb_qp_off,
+                              bit_depth, sub_h).T
+            cr = _chroma_pass(ecr.T, qp4.T, bs_h.T, tc_off, cr_qp_off,
+                              bit_depth, sub_h).T
+        if do_sao:
+            idx = jax.lax.axis_index(axis)
+            outs = []
+            for plane_i, p in enumerate((y, cb, cr)):
+                lg = ctb_log2 - (0 if plane_i == 0
+                                 else (sub_w.bit_length() - 1))
+                lft, rgt = _halo(p, 1, n, axis)
+                ext = jnp.concatenate([lft, p, rgt], axis=1)
+                wb = p.shape[1]
+                outs.append(_sao_local(
+                    ext, st[plane_i], sp[plane_i], so[plane_i],
+                    sc[plane_i], lg, bit_depth, idx * wb, wb * n))
+            y, cb, cr = outs
+        return y, cb, cr
+
+    spec = P(None, axis)
+    kw = dict(mesh=mesh,
+              in_specs=(spec,) * 6 + ((spec,) * 3,) * 2
+              + ((P(None, axis, None),) * 3,) + ((spec,) * 3,),
+              out_specs=(spec, spec, spec))
+    try:
+        fn = shard_map(run, check_rep=False, **kw)
+    except TypeError:  # newer jax: check_rep was renamed/removed
+        fn = shard_map(run, **kw)
+    args = tuple(jax.device_put(a, col) for a in
+                 (y, cb, cr, qp4, bs_v, bs_h))
+    sao_args = (tuple(jax.device_put(a, col) for a in sao_type),
+                tuple(jax.device_put(a, col) for a in sao_band_pos),
+                tuple(jax.device_put(a, col3) for a in sao_offs4),
+                tuple(jax.device_put(a, col) for a in sao_eo_class))
+    return jax.jit(fn)(*args, *sao_args)
