@@ -20,8 +20,8 @@ import numpy as np
 from ..bitstream import nal as nalmod
 from ..bitstream.bits import BitReader
 from ..bitstream.ps import PPS, SPS, VPS
-from ..bitstream.sei import (SEI_TYPE_DECODED_PICTURE_HASH, DecodedPictureHash,
-                             parse_sei_rbsp, picture_md5)
+from ..bitstream.sei import (SEI_TYPE_DECODED_PICTURE_HASH, SIDE_DATA_PARSERS,
+                             DecodedPictureHash, parse_sei_rbsp, picture_md5)
 from ..bitstream.slice import SLICE_B, SLICE_I, SLICE_P, SliceHeader
 from ..cabac.ctx import ContextModel
 from ..cabac.engine import CabacDecoder
@@ -57,6 +57,10 @@ class DecodedFrame:
     sei_hash: Optional[DecodedPictureHash] = None
     md5_ok: Optional[bool] = None
     layer: int = 0
+    # SEI-derived side data: key -> parsed message (bitstream/sei.py
+    # SIDE_DATA_PARSERS); the analogue of AVFrame side data populated by
+    # the reference's set_side_data (hevcdec.c:3456-3573)
+    side_data: Optional[Dict[str, object]] = None
 
 
 class _CuState:
@@ -928,6 +932,10 @@ class _LayerCtx:
         self.dpb: Dict[int, List[np.ndarray]] = {}
         self.dpb_motion: Dict[int, dict] = {}
         self.pending_sei: Optional[DecodedPictureHash] = None
+        # side-data SEIs: persistent items stay attached until cancelled
+        # (reference: hevcdec.c set_side_data consuming hevc_sei.c state)
+        self.side_data: Dict[str, object] = {}
+        self.oneshot_side_data: Dict[str, object] = {}
         self.last_poc = 0
         # inter-layer ref for the picture in flight: (poc, [planes])
         self.il_ref = None
@@ -1018,9 +1026,19 @@ class Decoder:
             self.pps_map[p.pps_id] = p
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             for ptype, payload in parse_sei_rbsp(nal.rbsp):
+                lay = self._layer(nal.layer_id)
                 if ptype == SEI_TYPE_DECODED_PICTURE_HASH:
-                    self._layer(nal.layer_id).pending_sei = \
-                        DecodedPictureHash.parse(payload)
+                    lay.pending_sei = DecodedPictureHash.parse(payload)
+                elif ptype in SIDE_DATA_PARSERS:
+                    key, parser = SIDE_DATA_PARSERS[ptype]
+                    msg = parser(payload)
+                    if getattr(msg, "cancel", 0):
+                        lay.side_data.pop(key, None)
+                    elif key in ("user_data_registered",
+                                 "active_parameter_sets"):
+                        lay.oneshot_side_data[key] = msg
+                    else:
+                        lay.side_data[key] = msg
         elif nalmod.is_slice_nal(t):
             self._decode_slice(nal)
 
@@ -1267,6 +1285,10 @@ class Decoder:
             lay.dpb_motion.pop(old, None)
         frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
                              poc=lay.cur_poc, layer=lay.layer_id)
+        if lay.side_data or lay.oneshot_side_data:
+            frame.side_data = dict(lay.side_data)
+            frame.side_data.update(lay.oneshot_side_data)
+            lay.oneshot_side_data.clear()
         if lay.pending_sei is not None:
             frame.sei_hash = lay.pending_sei
             lay.pending_sei = None

@@ -72,6 +72,9 @@ class EncoderConfig:
     log2_cu_size: int = 4  # target CU size for the "fixed" policy
     candidate_modes: tuple = (R.INTRA_PLANAR, R.INTRA_DC, 10, 26, 2, 18, 34)
     sei_hash: bool = True
+    # side-data SEIs to emit in the first AU: tuple of (payload_type, msg)
+    # where msg has .payload() (see bitstream/sei.py dataclasses)
+    sei_side_data: tuple = ()
     deblocking: bool = False  # in-loop deblocking (decoder filter stage)
     sao: bool = False  # emit random SAO params (exercises the SAO stage)
     transform_skip: bool = False  # use transform_skip on some 4x4 TUs
@@ -349,14 +352,16 @@ class IntraEncoder:
                 (nalmod.NAL_SPS, self.layer_id, 0, self.sps.write_rbsp()),
                 (nalmod.NAL_PPS, self.layer_id, 0, self.pps.write_rbsp()),
             ]
+        sei_msgs = []
+        if self.frames_encoded == 0 and cfg.sei_side_data:
+            sei_msgs += [(t, m.payload()) for t, m in cfg.sei_side_data]
         if cfg.sei_hash:
             md5s = picture_md5(self.pic.planes, sps.bit_depth_luma)
             sei = DecodedPictureHash(hash_type=0, md5=md5s)
+            sei_msgs.append((SEI_TYPE_DECODED_PICTURE_HASH, sei.payload()))
+        if sei_msgs:
             au.append((nalmod.NAL_SEI_PREFIX, self.layer_id,
-                       self._temporal_id,
-                       write_sei_rbsp(
-                           [(SEI_TYPE_DECODED_PICTURE_HASH,
-                             sei.payload())])))
+                       self._temporal_id, write_sei_rbsp(sei_msgs)))
         au.append((nal_type, self.layer_id, self._temporal_id, slice_rbsp))
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
