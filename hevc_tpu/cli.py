@@ -35,8 +35,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from .decoder.core import Decoder
+    from .io import open_input
 
-    data = open(args.input, "rb").read()
+    # container probe: raw Annex-B, MP4 (hvcC), MPEG-TS
+    data = open_input(args.input)
     t0 = time.time()
     dec = Decoder(check_md5=not args.no_md5, recon_backend=args.backend,
                   target_layer=args.layer,
