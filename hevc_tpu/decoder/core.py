@@ -61,6 +61,8 @@ class DecodedFrame:
     # SIDE_DATA_PARSERS); the analogue of AVFrame side data populated by
     # the reference's set_side_data (hevcdec.c:3456-3573)
     side_data: Optional[Dict[str, object]] = None
+    bit_depth: int = 8
+    chroma_format: int = 1  # chroma_format_idc (0/1/2/3)
 
 
 class _CuState:
@@ -1284,7 +1286,9 @@ class Decoder:
             del lay.dpb[old]
             lay.dpb_motion.pop(old, None)
         frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
-                             poc=lay.cur_poc, layer=lay.layer_id)
+                             poc=lay.cur_poc, layer=lay.layer_id,
+                             bit_depth=pic.sps.bit_depth_luma,
+                             chroma_format=pic.sps.chroma_format_idc)
         if lay.side_data or lay.oneshot_side_data:
             frame.side_data = dict(lay.side_data)
             frame.side_data.update(lay.oneshot_side_data)
