@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from .. import log as ohlog
 from ..bitstream import nal as nalmod
 from ..bitstream.bits import BitReader
 from ..bitstream.ps import PPS, SPS, VPS
@@ -945,6 +946,11 @@ class _LayerCtx:
         # (reference: hevc_refs.c:224 ff_hevc_output_frame/:358 bump)
         self.out_q: List[DecodedFrame] = []
         self.num_reorder = 0
+        # random-access state: RASL pictures with poc <= max_ra are
+        # discarded after starting decode at a CRA/BLA (reference:
+        # hevcdec.c:3776-3799 max_ra logic)
+        self.max_ra: float = float("inf")
+        self.skip_cur_pic = False
 
 
 class Decoder:
@@ -1097,6 +1103,28 @@ class Decoder:
             pps.derive(sps)
         if sh.first_slice_in_pic:
             self._finish_all_pending()
+            lay.skip_cur_pic = False
+            if nalmod.is_idr_nal(nal.type):
+                poc = 0
+            else:
+                poc = self._compute_poc(lay, sps, sh, nal.type)
+            # random-access: discard RASL leading pictures of the CRA/BLA
+            # we started at (reference: hevcdec.c:3776-3799)
+            if nalmod.is_idr_nal(nal.type):
+                lay.max_ra = float("-inf")
+            elif nalmod.is_irap_nal(nal.type) \
+                    and lay.max_ra == float("inf"):
+                lay.max_ra = poc
+            if nal.type in (nalmod.NAL_RASL_N, nalmod.NAL_RASL_R):
+                if poc <= lay.max_ra:
+                    ohlog.log(ohlog.OH_LOG_VERBOSE,
+                              f"discarding RASL poc {poc} "
+                              f"(random access at {lay.max_ra})")
+                    lay.skip_cur_pic = True
+                    lay.cur_pic = None
+                    return
+            elif poc > lay.max_ra:
+                lay.max_ra = float("-inf")
             lay.cur_pic = PictureState(sps, pps)
             if self.recon_backend != "inline":
                 lay.cur_pic.plan = []
@@ -1106,9 +1134,11 @@ class Decoder:
                 lay.cur_poc = 0
                 lay.dpb.clear()
             else:
-                lay.cur_poc = self._compute_poc(lay, sps, sh, nal.type)
+                lay.cur_poc = poc
             if lid > 0 and sh.active_num_ilr > 0:
                 self._start_el_picture(lay, sps, sh, nal.type)
+        elif lay.skip_cur_pic:
+            return
         ref_list, ref_list_l1 = [], []
         lt0, lt1 = [], []
         if sh.slice_type != SLICE_I:
@@ -1215,7 +1245,7 @@ class Decoder:
                     refs.append((poc, lay.il_ref[1]))
                     lts.append(True)
                 else:
-                    refs.append((poc, lay.dpb[poc]))
+                    refs.append((poc, self._ref_or_conceal(lay, sps, poc)))
                     lts.append(False)
             return refs, lts
 
@@ -1227,6 +1257,31 @@ class Decoder:
             l1, lt1 = build(st(after) + st(before) + il,
                             sh.num_ref_idx_l1_active)
         return l0, l1, lt0, lt1
+
+    def _ref_or_conceal(self, lay: _LayerCtx, sps: SPS, poc: int):
+        """Missing-reference concealment: synthesize a mid-gray frame with
+        zeroed motion so decode continues (reference: hevc_refs.c:622
+        generate_missing_ref + log-and-continue default error policy)."""
+        if poc in lay.dpb:
+            return lay.dpb[poc]
+        ohlog.log(ohlog.OH_LOG_WARNING,
+                  f"missing reference picture poc {poc}, concealing")
+        dims = [(sps.height, sps.width)]
+        if sps.chroma_format_idc:
+            dims += [(sps.height // sps.sub_h, sps.width // sps.sub_w)] * 2
+        planes = []
+        for i, (h, w) in enumerate(dims):
+            bd = sps.bit_depth_luma if i == 0 else sps.bit_depth_chroma
+            planes.append(np.full((h, w), 1 << (bd - 1), np.int32))
+        lay.dpb[poc] = planes
+        pw = lay.cur_pic.mv_l0.shape
+        h4, w4 = pw[0], pw[1]
+        zmv = np.zeros((h4, w4, 2), np.int32)
+        zpoc = np.full((h4, w4), -(1 << 30), np.int64)
+        lay.dpb_motion[poc] = {"mv0": zmv, "poc0": zpoc,
+                               "mv1": zmv.copy(), "poc1": zpoc.copy(),
+                               "poc": poc}
+        return planes
 
     def _compute_poc(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
                      nal_type: int) -> int:

@@ -93,6 +93,10 @@ class EncoderConfig:
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
     tmvp: bool = False      # temporal MV prediction
+    # gop="ra": code non-first anchors as CRA_NUT with the in-between Bs
+    # as RASL leading pictures (true random-access points; the decoder's
+    # max_ra logic drops the RASLs when decode starts at the CRA)
+    cra_anchors: bool = False
     tmvp_col_ref_idx: int = 0  # collocated_ref_idx (L0)
     weighted_pred: bool = False  # explicit weighted prediction (P + B)
 
@@ -185,6 +189,12 @@ class IntraEncoder:
                              delta_poc_s1=[1], used_s1=[1]),
                 ShortTermRPS(delta_poc_s0=[-1], used_s0=[1]),
             ]
+            if cfg.cra_anchors:
+                # CRA anchor RPS: keep the previous anchor alive for the
+                # RASL leading pictures without referencing it (used=0 ->
+                # an ST_FOLL entry in the reference's rps terms)
+                self.sps.st_rps.append(
+                    ShortTermRPS(delta_poc_s0=[-4], used_s0=[0]))
             # three temporal sublayers: tid0 = I/P anchors, tid1 = the
             # mid B, tid2 = leaf Bs (droppable TRAIL_N); per-sublayer
             # DPB ordering info (reference: temporal-layer-id AVOption
@@ -223,6 +233,8 @@ class IntraEncoder:
             poc, ftype = self._sched[0], self._sched[1]
             self.is_p = ftype in ("P", "B")
             self.is_b = ftype == "B"
+            # "CRA": intra-coded non-IDR random-access point — keeps POC
+            # continuity and the DPB (leading RASLs still reference it)
             reset = ftype == "I"
             self.poc = poc
             self._temporal_id = self._sched[5]
@@ -1328,7 +1340,17 @@ class RaEncoder:
         else:
             self.buf.append(planes)
             if len(self.buf) == self.GOP:
-                for off, ftype, rps_idx, l0, l1, tid, nt in self.SCHED:
+                sched = self.SCHED
+                if self.enc.cfg.cra_anchors:
+                    # anchor -> intra CRA; in-between Bs -> RASL leading
+                    # pictures (reference semantics: hevcdec.c max_ra)
+                    rasl = {2: nalmod.NAL_RASL_R, 1: nalmod.NAL_RASL_N,
+                            3: nalmod.NAL_RASL_N}
+                    sched = [(4, "CRA", 5, (), (), 0, nalmod.NAL_CRA_NUT)]
+                    sched += [(off, ft, rp, l0, l1, tid, rasl[off])
+                              for off, ft, rp, l0, l1, tid, _ in
+                              self.SCHED[1:]]
+                for off, ftype, rps_idx, l0, l1, tid, nt in sched:
                     out += self._encode(self.buf[off - 1],
                                         self.base_poc + off,
                                         ftype, rps_idx, l0, l1, tid, nt)
