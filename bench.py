@@ -28,7 +28,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(ROOT, ".bench")
 ORACLE = os.path.join(ROOT, ".oracle", "build", "hevc_nodisplay")
 W, H, QP, FRAMES = 1280, 720, 30, 3
-TAG = f"ipp_{W}x{H}_qp{QP}_ctb64_filt"
+TAG = f"v2ipp_{W}x{H}_qp{QP}_ctb64_filt"
 
 
 def ensure_stream():

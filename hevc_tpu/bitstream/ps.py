@@ -684,6 +684,9 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: int = 0
+    # parsed/authored scaling_list_data (coding/scaling.py); None with
+    # scaling_list_enabled means the default matrices
+    scaling_list: object = None
     amp_enabled: int = 0
     sao_enabled: int = 0
     pcm_enabled: int = 0
@@ -767,7 +770,11 @@ class SPS:
         w.ue(self.max_transform_hierarchy_depth_intra)
         w.flag(self.scaling_list_enabled)
         if self.scaling_list_enabled:
-            w.flag(0)  # sps_scaling_list_data_present_flag → default lists
+            if self.scaling_list is not None:
+                w.flag(1)  # sps_scaling_list_data_present_flag
+                self.scaling_list.write(w)
+            else:
+                w.flag(0)  # default lists
         w.flag(self.amp_enabled)
         w.flag(self.sao_enabled)
         w.flag(self.pcm_enabled)
@@ -875,11 +882,13 @@ class SPS:
         s.max_transform_hierarchy_depth_intra = r.ue()
         s.scaling_list_enabled = r.flag()
         if s.scaling_list_enabled:
+            from ..coding.scaling import ScalingListData
             infer = r.flag() if s.is_multi_layer_ext else 0
             if infer:
                 r.u(6)  # sps_scaling_list_ref_layer_id
             elif r.flag():
-                parse_scaling_list_data(r)
+                s.scaling_list = ScalingListData().parse(
+                    r, s.chroma_format_idc)
         s.amp_enabled = r.flag()
         s.sao_enabled = r.flag()
         s.pcm_enabled = r.flag()
@@ -1008,6 +1017,7 @@ class PPS:
     beta_offset: int = 0  # *2 actually beta_offset_div2*2
     tc_offset: int = 0
     scaling_list_data_present: int = 0
+    scaling_list: object = None
     lists_modification_present: int = 0
     log2_parallel_merge_level: int = 2
     slice_header_extension_present: int = 0
@@ -1066,6 +1076,8 @@ class PPS:
                 w.se(self.beta_offset // 2)
                 w.se(self.tc_offset // 2)
         w.flag(self.scaling_list_data_present)
+        if self.scaling_list_data_present:
+            self.scaling_list.write(w)
         w.flag(self.lists_modification_present)
         w.ue(self.log2_parallel_merge_level - 2)
         w.flag(self.slice_header_extension_present)
@@ -1135,7 +1147,8 @@ class PPS:
                 p.tc_offset = r.se() * 2
         p.scaling_list_data_present = r.flag()
         if p.scaling_list_data_present:
-            parse_scaling_list_data(r)
+            from ..coding.scaling import ScalingListData
+            p.scaling_list = ScalingListData().parse(r)
         p.lists_modification_present = r.flag()
         p.log2_parallel_merge_level = r.ue() + 2
         p.slice_header_extension_present = r.flag()

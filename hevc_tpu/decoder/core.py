@@ -98,6 +98,7 @@ class BlockRecord:
     bi: bool = False     # bi-predicted mc record
     mv1: tuple = (0, 0)
     ref_idx1: int = 0
+    mtx: int = -1        # scaling-list matrix id (-1 = flat 16)
 
 
 class SliceDecoder:
@@ -129,6 +130,16 @@ class SliceDecoder:
         # per-ref-idx long-term flags (SHVC inter-layer refs are LT)
         self.ref_lt0 = ref_lt0 or [False] * len(self.ref_list)
         self.ref_lt1 = ref_lt1 or [False] * len(self.ref_list_l1)
+        # active scaling lists: PPS overrides SPS; None = flat 16
+        # (reference: hevc_cabac.c:1488-1494 derive_quant_parameters)
+        self.scaling = None
+        if sps.scaling_list_enabled:
+            from ..coding.scaling import ScalingListData
+            if pps.scaling_list_data_present:
+                self.scaling = pps.scaling_list
+            else:
+                self.scaling = sps.scaling_list or ScalingListData()
+        pic.scaling = self.scaling
 
     def _init_type(self):
         if self.sh.slice_type == SLICE_I:
@@ -792,6 +803,21 @@ class SliceDecoder:
         return R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
                            sps.qp_bd_offset)
 
+    def _matrix_id(self, c_idx, log2_size, ts, cu) -> int:
+        """Active scaling-matrix id for a TU, or -1 for flat scaling
+        (reference: hevc_cabac.c:1487/1541 gating incl. the
+        transform-skip >4x4 exclusion)."""
+        if self.scaling is None or (ts and log2_size > 2):
+            return -1
+        from ..coding.scaling import matrix_id_for
+        return matrix_id_for(not cu.pred_intra, c_idx)
+
+    def _scale_matrix(self, c_idx, log2_size, ts, cu):
+        mid = self._matrix_id(c_idx, log2_size, ts, cu)
+        if mid < 0:
+            return None, 16
+        return self.scaling.factor(log2_size, mid)
+
     def _recon_block(self, c_idx, x, y, size, mode, levels, ts, cu):
         """Reconstruct one block immediately (stage-B NumPy oracle path),
         or record it into the frame plan."""
@@ -806,7 +832,8 @@ class SliceDecoder:
                 plane=c_idx, x=x, y=y, size=size, mode=mode, qp=qp,
                 levels=None if levels is None else levels.copy(),
                 dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass),
-                kind="intra" if cu.pred_intra else "resid"))
+                kind="intra" if cu.pred_intra else "resid",
+                mtx=self._matrix_id(c_idx, log2_size, ts, cu)))
             return
         bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
@@ -819,7 +846,9 @@ class SliceDecoder:
             if cu.tq_bypass:
                 res = levels
             else:
-                d = R.dequant(levels, qp, log2_size, bd)
+                mtx, dc = self._scale_matrix(c_idx, log2_size, ts, cu)
+                d = R.dequant(levels, qp, log2_size, bd,
+                              scale_matrix=mtx, dc_scale=dc)
                 res = (R.transform_skip_residual(d, bd) if ts
                        else R.inverse_transform(d, bd, dst=use_dst))
             rec = np.clip(pred + res, 0, maxv)
@@ -911,7 +940,11 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
                 res = r.levels
             else:
                 log2 = r.size.bit_length() - 1
-                d = R.dequant(r.levels, r.qp, log2, bd)
+                mtx, dc = (None, 16)
+                if r.mtx >= 0 and getattr(pic, "scaling", None) is not None:
+                    mtx, dc = pic.scaling.factor(log2, r.mtx)
+                d = R.dequant(r.levels, r.qp, log2, bd,
+                              scale_matrix=mtx, dc_scale=dc)
                 res = (R.transform_skip_residual(d, bd) if r.ts
                        else R.inverse_transform(d, bd, dst=r.dst))
             rec = np.clip(pred + res, 0, maxv)

@@ -93,6 +93,10 @@ class EncoderConfig:
     search_range: int = 4   # integer-pel motion search radius
     p_intra_fallback: bool = True  # allow intra CUs inside P frames
     tmvp: bool = False      # temporal MV prediction
+    # scaling lists (quantization matrices): None = off, "default" =
+    # signal scaling_list_enabled with the Table 7-5/7-6 defaults,
+    # "custom" = emit explicit matrices in the SPS
+    scaling_lists: object = None
     # gop="ra": code non-first anchors as CRA_NUT with the in-between Bs
     # as RASL leading pictures (true random-access points; the decoder's
     # max_ra logic drops the RASLs when decode starts at the CRA)
@@ -170,6 +174,26 @@ class IntraEncoder:
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
         ).derive(self.sps)
+        self.scaling = None
+        if cfg.scaling_lists:
+            from ..coding.scaling import ScalingListData
+            self.scaling = ScalingListData()
+            self.sps.scaling_list_enabled = 1
+            if cfg.scaling_lists == "custom":
+                # deterministic non-default matrices exercising every
+                # size class + separate DC scales
+                for sz in range(4):
+                    n = 16 if sz == 0 else 64
+                    w = 4 if sz == 0 else 8
+                    for mid in range(6):
+                        base = 16 + ((mid * 5) % 7)
+                        row = np.arange(n, dtype=np.int32)
+                        self.scaling.sl[sz][mid] = \
+                            base + (row // w + row % w + mid) % 9
+                self.scaling.sl_dc[:] = \
+                    16 + (np.arange(12, dtype=np.int32) % 5).reshape(2, 6)
+                self.scaling.remap_444()
+                self.sps.scaling_list = self.scaling
         if cfg.gop in ("ipp", "lowb"):
             from ..bitstream.ps import ShortTermRPS
             self.sps.st_rps = [ShortTermRPS(delta_poc_s0=[-1], used_s0=[1])]
@@ -217,6 +241,15 @@ class IntraEncoder:
         # SHVC hooks (overridden by the EL encoder, encoder/shvc.py)
         self.layer_id = 0
         self.include_headers_in_first_au = True
+
+    def _deq(self, lv, qp, log2, bd, c_idx, is_inter, ts=False):
+        """Dequant honouring the active scaling lists (8.6.3 gating as in
+        the decoder / reference hevc_cabac.c:1487)."""
+        if self.scaling is None or (ts and log2 > 2):
+            return R.dequant(lv, qp, log2, bd)
+        from ..coding.scaling import matrix_id_for
+        m, dc = self.scaling.factor(log2, matrix_id_for(is_inter, c_idx))
+        return R.dequant(lv, qp, log2, bd, scale_matrix=m, dc_scale=dc)
 
     def headers_annexb(self) -> bytes:
         return nalmod.write_annexb([
@@ -698,7 +731,8 @@ class IntraEncoder:
         node.lv_y = lv
         node.cbf_luma = 1 if lv.any() else 0
         if node.cbf_luma:
-            dq = R.dequant(lv, self.qp_y + sps.qp_bd_offset, node.log2, bd)
+            dq = self._deq(lv, self.qp_y + sps.qp_bd_offset, node.log2,
+                           bd, 0, False, node.ts)
             r = (R.transform_skip_residual(dq, bd) if node.ts
                  else R.inverse_transform(dq, bd, dst=use_dst))
             rec = np.clip(pred + r, 0, maxv)
@@ -756,7 +790,7 @@ class IntraEncoder:
                 lv = quantize(forward_transform(res, bd), qp, log2c, bd)
                 cbf = 1 if lv.any() else 0
                 if cbf:
-                    dq = R.dequant(lv, qp, log2c, bd)
+                    dq = self._deq(lv, qp, log2c, bd, c_idx, False)
                     rec = np.clip(pred + R.inverse_transform(dq, bd),
                                   0, maxv)
                 else:
@@ -1037,7 +1071,8 @@ class IntraEncoder:
         py, pcb, pcr = preds
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         if lv_y is not None:
-            d = R.dequant(lv_y, self.qp_y + sps.qp_bd_offset, log2_size, bd)
+            d = self._deq(lv_y, self.qp_y + sps.qp_bd_offset, log2_size,
+                          bd, 0, True)
             py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
             pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
                          x0 >> 2:(x0 + size) >> 2] = True
@@ -1055,7 +1090,8 @@ class IntraEncoder:
                 if lv is None:
                     continue
                 csize = 1 << log2c
-                d = R.dequant(lv, qp, log2c, sps.bit_depth_chroma)
+                d = self._deq(lv, qp, log2c, sps.bit_depth_chroma,
+                              c_idx, True)
                 out[by - yc:by - yc + csize, bx - xc:bx - xc + csize] = \
                     np.clip(out[by - yc:by - yc + csize,
                                 bx - xc:bx - xc + csize]

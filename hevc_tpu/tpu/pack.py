@@ -48,7 +48,8 @@ class PackedFrame:
     scal: tuple                   # per class: int32 [n_chunks, B, 8]
     avail: tuple                  # per class: bool [n_chunks, B, 128]
     levels: tuple                 # per class: int32 [Nc, s, s]
-    rmeta: tuple                  # per class: int32 [Nc, 4] (qp,dst,ts,raw)
+    rmeta: tuple                  # per class: int32 [Nc, 5]
+                                  # (qp, dst, ts, raw, mtx+1)
     n_chunks: int
     region: dict                  # plane -> (oy, ox, h, w)
     bit_depth: int
@@ -57,6 +58,8 @@ class PackedFrame:
     resid_groups: tuple = ()      # per class int32 [N, 3] = (cy, cx, slot)
     refs_l: np.ndarray = None     # int32 [R, Hp, Wp] padded luma refs
     refs_c: np.ndarray = None     # int32 [2R, hp, wp] padded cb+cr refs
+    scale_bank: tuple = ()        # per class: int32 [7, s, s] scaling
+                                  # matrices (0 = flat, 1..6 = matrix id)
 
 
 def region_offsets(sps):
@@ -143,7 +146,8 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
             continue
         c = classes[r.size]
         lv[c].append(np.asarray(r.levels, np.int32))
-        rmeta[c].append((r.qp, int(r.dst), int(r.ts), int(r.tqb)))
+        rmeta[c].append((r.qp, int(r.dst), int(r.ts), int(r.tqb),
+                         r.mtx + 1))
         slots[id(r)] = len(lv[c])
 
     rec_meta = {}  # id(rec) -> (class, scal fields, avail bits)
@@ -270,10 +274,23 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
         nlv = _round_up(max(1, len(lv[c]) + 1), 16)
         padl = nlv - len(lv[c])
         levels.append(np.stack(lv[c] + [np.zeros((s, s), np.int32)] * padl))
-        rmetas.append(np.asarray(rmeta[c] + [(0, 0, 0, 0)] * padl, np.int32))
+        rmetas.append(np.asarray(rmeta[c] + [(0, 0, 0, 0, 0)] * padl,
+                                 np.int32))
+
+    # scaling-list matrix banks: slot 0 = flat 16, 1..6 = matrix ids
+    scaling = getattr(pic, "scaling", None)
+    bank = []
+    for c in range(4):
+        s_sz = 4 << c
+        b = np.full((7, s_sz, s_sz), 16, np.int32)
+        if scaling is not None:
+            for mid in range(6):
+                b[mid + 1] = scaling.factor(c + 2, mid)[0]
+        bank.append(b)
 
     return PackedFrame(canvas=canvas, scal=tuple(scal), avail=tuple(avail),
                        levels=tuple(levels), rmeta=tuple(rmetas),
                        n_chunks=n_chunks, region=reg, bit_depth=bd,
                        mc_groups=mc_groups, resid_groups=resid_groups,
-                       refs_l=refs_l, refs_c=refs_c)
+                       refs_l=refs_l, refs_c=refs_c,
+                       scale_bank=tuple(bank))

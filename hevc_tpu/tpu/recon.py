@@ -20,15 +20,20 @@ from .pack import PackedFrame, pack_frame
 from .transforms import residual_batch
 
 
-def _residuals(levels, rmeta, bit_depth):
+def _residuals(levels, rmeta, bit_depth, scale_bank=None):
     """Per-class residual batches with a zeros slot prepended.
 
-    rmeta: per class int32 [Nc, 4] = (qp, dst, ts, raw)."""
+    rmeta: per class int32 [Nc, 4|5] = (qp, dst, ts, raw[, mtx+1]);
+    scale_bank: optional per-class int32 [7, S, S] scale-matrix banks
+    (slot 0 = flat 16, 1..6 = scaling-list matrix ids)."""
     out = []
     for c, log2 in enumerate((2, 3, 4, 5)):
         m = rmeta[c]
+        sm = None
+        if scale_bank is not None:
+            sm = jnp.take(scale_bank[c], m[:, 4], axis=0)
         r = residual_batch(levels[c], m[:, 0], m[:, 1] != 0, m[:, 2] != 0,
-                           log2, bit_depth)
+                           log2, bit_depth, sm)
         r = jnp.where((m[:, 3] != 0)[:, None, None], levels[c], r)
         zero = jnp.zeros((1,) + r.shape[1:], r.dtype)
         out.append(jnp.concatenate([zero, r]))
@@ -41,8 +46,8 @@ def reconstruct_device(canvas, scal, avail, levels, rmeta,
                        mc_fields, refs_l, refs_c, resid_fields,
                        bit_depth, n_chunks, mc_shapes=(),
                        mc_ft=(), mc_meta=(), resid_ft=(), resid_ns=(),
-                       use_pallas=False):
-    resids = _residuals(levels, rmeta, bit_depth)
+                       use_pallas=False, scale_bank=None):
+    resids = _residuals(levels, rmeta, bit_depth, scale_bank)
     canvas = _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
                            mc_fields, resid_fields, mc_shapes,
                            mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
@@ -143,7 +148,8 @@ def run_packed(pf: PackedFrame):
         tuple(jnp.asarray(v) for v in pf.rmeta),
         mc_fields, refs_l, refs_c, resid_fields,
         pf.bit_depth, pf.n_chunks, mc_shapes,
-        mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
+        mc_ft, mc_meta, resid_ft, resid_ns, use_pallas,
+        tuple(jnp.asarray(b) for b in pf.scale_bank))
     return np.asarray(canvas)
 
 
@@ -172,14 +178,14 @@ def decode_frame_device(canvas, scal, avail, levels, rmeta, qp4, bs_v, bs_h,
                         mc_fields=(), refs_l=None, refs_c=None,
                         resid_fields=(), mc_shapes=(),
                         mc_ft=(), mc_meta=(), resid_ft=(), resid_ns=(),
-                        use_pallas=False):
+                        use_pallas=False, scale_bank=None):
     """Stage B end-to-end: returns (y, cb, cr) int32 planes.
 
     regions: static tuple ((oy, ox, h, w) per plane); sao_* are
     per-plane tuples of per-CTB parameter maps."""
     from .filters import deblock_jax, sao_plane_jax
 
-    resids = _residuals(levels, rmeta, bit_depth)
+    resids = _residuals(levels, rmeta, bit_depth, scale_bank)
     canvas = _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
                            mc_fields, resid_fields, mc_shapes,
                            mc_ft, mc_meta, resid_ft, resid_ns, use_pallas)
@@ -260,6 +266,7 @@ def finish_frame_jax(pic, plan) -> None:
         pf.bit_depth, pf.n_chunks, regions, do_deblock, do_sao,
         sps.log2_ctb_size, sps.sub_w, sps.sub_h,
         *_mc_args(pf)[:4], mc_shapes=_mc_args(pf)[4],
+        scale_bank=tuple(jnp.asarray(b) for b in pf.scale_bank),
         **_pallas_kwargs(pf))
     for plane, arr in enumerate((y, cb, cr)):
         pic.planes[plane][:] = np.asarray(arr).astype(

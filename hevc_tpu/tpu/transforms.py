@@ -36,18 +36,31 @@ def mat(key):
 
 @partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
 def dequant_batch(levels: jax.Array, qp: jax.Array, log2_size: int,
-                  bit_depth: int) -> jax.Array:
-    """Scaling process (8.6.3), flat scaling list.
+                  bit_depth: int, scale_m=None) -> jax.Array:
+    """Scaling process (8.6.3).
 
-    levels: int32 [N, S, S]; qp: int32 [N] (already includes QpBdOffset).
-    Returns int32 [N, S, S] clipped to 16 bit."""
+    levels: int32 [N, S, S]; qp: int32 [N] (already includes QpBdOffset);
+    scale_m: optional int32 [N, S, S] scaling matrices (None = flat 16).
+    Returns int32 [N, S, S] clipped to 16 bit.
+
+    Exact in int32: the reference's 64-bit product
+    (level * (ls << qp/6) * m + add) >> sh is refactored to
+    (level * ls * m + add') >> (sh - qp/6); |level*ls*m| < 2^30 since
+    ls <= 45 and m <= 255, and a non-positive effective shift becomes a
+    left shift whose operand is pre-clipped (anything >= 2^15 saturates
+    to the same +/-32767 either way)."""
     sh = bit_depth + log2_size - 5
     ls = jnp.asarray(LEVEL_SCALE, jnp.int32)[qp % 6]
-    scale = (ls << (qp // 6)) * 16  # m[x][y] = 16 flat
-    hi = (scale >> sh)[:, None, None]
-    lo = (scale & ((1 << sh) - 1))[:, None, None]
-    r = 1 << (sh - 1)
-    d = levels * hi + ((levels * lo + r) >> sh)
+    if scale_m is None:
+        lsm = (ls * 16)[:, None, None]
+    else:
+        lsm = ls[:, None, None] * scale_m
+    num = levels * lsm
+    sh2 = (sh - qp // 6)[:, None, None]
+    sh2p = jnp.maximum(sh2, 1)
+    d_pos = (num + (1 << (sh2p - 1))) >> sh2p
+    d_neg = jnp.clip(num, -(1 << 24), 1 << 24) << jnp.maximum(-sh2, 0)
+    d = jnp.where(sh2 > 0, d_pos, d_neg)
     return jnp.clip(d, -32768, 32767)
 
 
@@ -85,11 +98,11 @@ def transform_skip_batch(d: jax.Array, bit_depth: int) -> jax.Array:
 @partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
 def residual_batch(levels: jax.Array, qp: jax.Array, dst_mask: jax.Array,
                    ts_mask: jax.Array, log2_size: int,
-                   bit_depth: int) -> jax.Array:
+                   bit_depth: int, scale_m=None) -> jax.Array:
     """Full levels → spatial residual for one TU size class.
 
     ts_mask selects the transform-skip path per block."""
-    d = dequant_batch(levels, qp, log2_size, bit_depth)
+    d = dequant_batch(levels, qp, log2_size, bit_depth, scale_m)
     it = inverse_transform_batch(d, bit_depth, dst_mask)
     ts = transform_skip_batch(d, bit_depth)
     return jnp.where(ts_mask[:, None, None], ts, it)
