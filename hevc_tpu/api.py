@@ -63,7 +63,6 @@ class OHHandle:
         self._check_md5 = False
         self._started = False
         self._dec: Optional[Decoder] = None
-        self._pts_fifo: List[int] = []
         self._out_fifo: List[OHFrame] = []
         self._display_no = 0
 
@@ -125,7 +124,7 @@ class OHHandle:
         decoded layer's picture, display (POC) order."""
         assert self._started, "call start() first"
         if packet:
-            self._pts_fifo.append(pts)
+            self._dec.next_pts = pts
             for n in nalmod.split_annexb(packet):
                 self._dec.decode_nal(n)
         else:
@@ -177,7 +176,9 @@ class OHHandle:
             chroma_format=f.chroma_format,
             linesize=tuple(p.shape[1] for p in f.planes),
             display_picture_number=self._display_no,
-            pts=self._pts_fifo.pop(0) if self._pts_fifo else 0,
+            # pts travels with the picture (captured at its first slice),
+            # so B-frame reorder emits each picture's own timestamp
+            pts=f.pts,
         )
         self._display_no += 1
         return OHFrame(planes=f.planes, info=info,

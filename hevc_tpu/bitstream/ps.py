@@ -470,8 +470,10 @@ class VPS:
             r.u(32); r.u(32)
             if r.flag():
                 r.ue()
-            if r.ue() != 0:
-                raise NotImplementedError("VPS HRD parameters")
+            for i in range(r.ue()):  # vps_num_hrd_parameters
+                r.ue()  # hrd_layer_set_idx
+                cprms = r.flag() if i > 0 else 1
+                skip_hrd_parameters(r, bool(cprms), v.max_sub_layers)
         if r.flag():  # vps_extension_flag
             r.align()
             v.vps_ext = cls._parse_extension(r, v)
@@ -946,6 +948,43 @@ def parse_scaling_list_data(r: BitReader):
     return lists
 
 
+def skip_hrd_parameters(r: BitReader, common_inf: bool,
+                        max_sub_layers: int) -> None:
+    """hrd_parameters() (E.2.2): parse-and-ignore, like the reference —
+    broadcast/conformance streams carry HRD in VUI/VPS and must not
+    abort the parse (reference: hevc_ps.c decode_hrd; error policy
+    hevcdec.c:3907-3910 log-and-continue)."""
+    nal_hrd = vcl_hrd = 0
+    sub_pic = 0
+    if common_inf:
+        nal_hrd = r.flag()
+        vcl_hrd = r.flag()
+        if nal_hrd or vcl_hrd:
+            sub_pic = r.flag()
+            if sub_pic:
+                r.u(8); r.u(5); r.flag(); r.u(5)
+            r.u(4); r.u(4)  # bit_rate_scale, cpb_size_scale
+            if sub_pic:
+                r.u(4)  # cpb_size_du_scale
+            r.u(5); r.u(5); r.u(5)  # initial/au removal, dpb output lens
+    for _ in range(max_sub_layers):
+        fixed_general = r.flag()
+        fixed_within_cvs = 1 if fixed_general else r.flag()
+        low_delay = 0
+        if fixed_within_cvs:
+            r.ue()  # elemental_duration_in_tc_minus1
+        else:
+            low_delay = r.flag()
+        cpb_cnt = 1 if low_delay else r.ue() + 1
+        for t, present in ((0, nal_hrd), (1, vcl_hrd)):
+            if present:
+                for _ in range(cpb_cnt):
+                    r.ue(); r.ue()  # bit_rate/cpb_size value
+                    if sub_pic:
+                        r.ue(); r.ue()  # *_du values
+                    r.flag()  # cbr_flag
+
+
 def parse_vui(r: BitReader, sps: SPS):
     """Parse (and discard most of) vui_parameters (E.2.1)."""
     if r.flag():  # aspect_ratio_info
@@ -969,8 +1008,8 @@ def parse_vui(r: BitReader, sps: SPS):
         r.u(32); r.u(32)
         if r.flag():
             r.ue()
-        if r.flag():  # hrd_parameters — skip not implemented
-            raise NotImplementedError("HRD parameters not supported")
+        if r.flag():  # hrd_parameters: parse-and-ignore
+            skip_hrd_parameters(r, True, sps.max_sub_layers)
     if r.flag():  # bitstream_restriction
         r.flag(); r.flag(); r.flag()
         r.ue(); r.ue(); r.ue(); r.ue(); r.ue()
@@ -1173,6 +1212,11 @@ class PPS:
 
     # ---- derived tile/address maps (reference: hevc_ps.c setup_pps) ----
     def derive(self, sps: SPS) -> "PPS":
+        # PPS scaling lists are parsed before the SPS is known; apply the
+        # 4:4:4 32x32-chroma mirror now (7.4.5 note; reference:
+        # hevc_ps.c:3128 passes the SPS into scaling_list_data)
+        if self.scaling_list_data_present and sps.chroma_format_idc == 3:
+            self.scaling_list.remap_444()
         cw, ch = sps.ctb_w, sps.ctb_h
         nc, nr = self.num_tile_columns, self.num_tile_rows
         if self.tiles_enabled:

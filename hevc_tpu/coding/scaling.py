@@ -76,6 +76,13 @@ class ScalingListData:
                 else:
                     delta = r.ue()
                     if delta:  # copy from earlier matrix (0 = keep default)
+                        # Deliberate bug-for-bug parity with the reference:
+                        # spec 7.4.5 says refMatrixId = matrixId -
+                        # delta*(sizeId==3 ? 3 : 1), but the reference's
+                        # scaling_list_data (hevc_ps.c) subtracts the raw
+                        # delta for 32x32 too.  Our oracle is the reference
+                        # binary, so we match it; encoder.write only emits
+                        # delta patterns where the two agree.
                         self.sl[size_id][matrix_id] = \
                             self.sl[size_id][matrix_id - delta]
                         if size_id > 1:

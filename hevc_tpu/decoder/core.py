@@ -64,6 +64,9 @@ class DecodedFrame:
     side_data: Optional[Dict[str, object]] = None
     bit_depth: int = 8
     chroma_format: int = 1  # chroma_format_idc (0/1/2/3)
+    # presentation timestamp of the AU this picture was decoded from
+    # (propagated with the picture, like the reference's AVFrame->pts)
+    pts: int = 0
 
 
 class _CuState:
@@ -930,6 +933,10 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
             pic.planes[r.plane][r.y:r.y + r.h, r.x:r.x + r.size] = \
                 pred.astype(pic.planes[r.plane].dtype)
             continue
+        if r.kind == "pcm":
+            pic.planes[r.plane][r.y:r.y + r.h, r.x:r.x + r.size] = \
+                r.levels.astype(pic.planes[r.plane].dtype)
+            continue
         if r.kind == "resid":
             pred = pic.planes[r.plane][r.y:r.y + r.size,
                                        r.x:r.x + r.size].astype(np.int32)
@@ -1012,6 +1019,10 @@ class Decoder:
         self.temporal_layer = temporal_layer
         self.layers: Dict[int, _LayerCtx] = {}
         self.frames: List[DecodedFrame] = []
+        # pts of the AU currently being fed (set by the API wrapper);
+        # captured per picture at its first slice so B-frame reordering
+        # keeps each picture's own timestamp
+        self.next_pts = 0
 
     def _layer(self, lid: int) -> _LayerCtx:
         if lid not in self.layers:
@@ -1156,9 +1167,13 @@ class Decoder:
                     lay.skip_cur_pic = True
                     lay.cur_pic = None
                     return
-            elif poc > lay.max_ra:
-                lay.max_ra = float("-inf")
+                # only a decodable RASL_R past the CRA ends the discard
+                # window (reference: hevcdec.c:3797) — back-to-back CRAs
+                # keep discarding each CRA's own leading pictures
+                if nal.type == nalmod.NAL_RASL_R:
+                    lay.max_ra = float("-inf")
             lay.cur_pic = PictureState(sps, pps)
+            lay.cur_pts = self.next_pts
             if self.recon_backend != "inline":
                 lay.cur_pic.plan = []
             lay.slice_counter = 0
@@ -1376,7 +1391,8 @@ class Decoder:
         frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
                              poc=lay.cur_poc, layer=lay.layer_id,
                              bit_depth=pic.sps.bit_depth_luma,
-                             chroma_format=pic.sps.chroma_format_idc)
+                             chroma_format=pic.sps.chroma_format_idc,
+                             pts=getattr(lay, "cur_pts", 0))
         if lay.side_data or lay.oneshot_side_data:
             frame.side_data = dict(lay.side_data)
             frame.side_data.update(lay.oneshot_side_data)

@@ -103,6 +103,12 @@ class EncoderConfig:
     cra_anchors: bool = False
     tmvp_col_ref_idx: int = 0  # collocated_ref_idx (L0)
     weighted_pred: bool = False  # explicit weighted prediction (P + B)
+    # PCM coding units: None = off, "all" = every eligible CU, float =
+    # per-CU probability.  pcm_bit_depth 0 = same as bit_depth (exercises
+    # the raw-sample path; a smaller value exercises the shift).
+    pcm: object = None
+    pcm_bit_depth: int = 0
+    pcm_loop_filter_disabled: bool = False
 
 
 class _TuPlan:
@@ -156,6 +162,15 @@ class IntraEncoder:
             sao_enabled=1 if cfg.sao else 0,
             temporal_mvp_enabled=1 if cfg.tmvp else 0,
         ).derive()
+        if cfg.pcm:
+            pbd = cfg.pcm_bit_depth or cfg.bit_depth
+            self.sps.pcm_enabled = 1
+            self.sps.pcm_bit_depth_luma = pbd
+            self.sps.pcm_bit_depth_chroma = pbd
+            self.sps.log2_min_pcm_cb_size = max(3, cfg.log2_min_cb_size)
+            self.sps.log2_max_pcm_cb_size = min(5, cfg.log2_ctb_size)
+            self.sps.pcm_loop_filter_disabled = \
+                1 if cfg.pcm_loop_filter_disabled else 0
         if cfg.bit_depth == 10:
             self.sps.ptl.profile_idc = 2  # Main 10
             self.sps.ptl.compat_flags = (1 << 30) | (1 << 29)
@@ -630,6 +645,18 @@ class IntraEncoder:
             intra_split = self._want_nxn()
             e.encode_bin(cm.at("part_mode", 0), 0 if intra_split else 1)
 
+        # pcm_flag (7.3.8.5; terminate-coded per 9.3.1)
+        if (sps.pcm_enabled and not intra_split
+                and sps.log2_min_pcm_cb_size <= log2_size
+                <= sps.log2_max_pcm_cb_size):
+            want = (self.cfg.pcm == "all"
+                    or (self.cfg.pcm not in (None, False)
+                        and self.rng.random() < float(self.cfg.pcm)))
+            e.encode_terminate(1 if want else 0)
+            if want:
+                self._encode_pcm_cu(x0, y0, log2_size, depth)
+                return
+
         gq = size >> 2
         pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
         pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
@@ -684,6 +711,40 @@ class IntraEncoder:
                          pb_size)
         self._propagate_cbf(root)
         self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode, (1, 1), (1, 1))
+
+    def _encode_pcm_cu(self, x0, y0, log2_size, depth):
+        """pcm_sample payload (7.3.8.7): raw u(v) samples, engine
+        restarted after (9.3.2.5).  Mirrors decoder/core.py _pcm_cu."""
+        sps, e, pic = self.sps, self.e, self.pic
+        size = 1 << log2_size
+        e.begin_pcm()
+        for c_idx in range(3 if sps.chroma_format_idc else 1):
+            if c_idx == 0:
+                w = h = size
+                pbd, bd = sps.pcm_bit_depth_luma, sps.bit_depth_luma
+                xs, ys = x0, y0
+            else:
+                w, h = size // sps.sub_w, size // sps.sub_h
+                pbd, bd = sps.pcm_bit_depth_chroma, sps.bit_depth_chroma
+                xs, ys = x0 // sps.sub_w, y0 // sps.sub_h
+            shift = bd - pbd
+            src = self.src[c_idx][ys:ys + h, xs:xs + w] >> shift
+            for row in src:
+                for v in row:
+                    e.write_raw(int(v), pbd)
+            pic.planes[c_idx][ys:ys + h, xs:xs + w] = \
+                (src << shift).astype(pic.planes[c_idx].dtype)
+        e.restart()
+        gq = size >> 2
+        ysl = slice(y0 >> 2, (y0 >> 2) + gq)
+        xsl = slice(x0 >> 2, (x0 >> 2) + gq)
+        pic.intra_mode_y[ysl, xsl] = 1  # INTRA_DC (8.4.2 neighbour rule)
+        pic.is_intra[ysl, xsl] = True
+        pic.ct_depth[ysl, xsl] = depth
+        pic.qp_y[ysl, xsl] = self.qp_y
+        if sps.pcm_loop_filter_disabled:
+            pic.no_filter[ysl, xsl] = True
+        pic.mark_intra_tu_edges(x0, y0, size)
 
     def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
                  max_trafo_depth) -> _TuPlan:

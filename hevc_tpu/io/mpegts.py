@@ -119,14 +119,21 @@ class TsReader:
         data = self.data
         pmt_pid = None
         cur = bytearray()
-        for i in range(0, len(data) - TS_SIZE + 1, TS_SIZE):
+        i = 0
+        while i + TS_SIZE <= len(data):
             pkt = data[i:i + TS_SIZE]
             if pkt[0] != SYNC:
-                # resync: scan forward
-                j = data.find(bytes([SYNC]), i)
+                # resync: realign the 188-byte grid to the next sync byte
+                # whose following packet boundary also syncs
+                j = data.find(bytes([SYNC]), i + 1)
+                while 0 <= j and j + TS_SIZE < len(data) \
+                        and data[j + TS_SIZE] != SYNC:
+                    j = data.find(bytes([SYNC]), j + 1)
                 if j < 0:
                     break
+                i = j
                 continue
+            i += TS_SIZE
             pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
             pusi = pkt[1] & 0x40
             afc = (pkt[3] >> 4) & 3

@@ -105,6 +105,12 @@ def _schedule_levels(pic: PictureState, plan):
                 np.maximum(m[r.y:r.y + r.size, r.x:r.x + r.size], 0)
             resid_records.append(r)
             continue
+        if r.kind == "pcm":
+            # raw samples are pre-filled into the canvas before any chunk
+            # runs, so they are readable from level 0 like MC output
+            m[r.y:r.y + r.h, r.x:r.x + r.size] = \
+                np.maximum(m[r.y:r.y + r.h, r.x:r.x + r.size], 0)
+            continue
         h, w = m.shape
         n2 = 2 * r.size
         x0 = max(0, r.x - 1)
@@ -142,6 +148,13 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
     rmeta = [[] for _ in range(4)]
     slots = {}
     for r in plan:
+        if r.kind == "pcm":
+            # PCM: raw samples, not transform levels — write them straight
+            # into the canvas (no scatter ever targets a PCM block)
+            oy, ox, _, _ = reg[r.plane]
+            canvas[oy + r.y:oy + r.y + r.h,
+                   ox + r.x:ox + r.x + r.size] = r.levels
+            continue
         if r.levels is None:
             continue
         c = classes[r.size]
