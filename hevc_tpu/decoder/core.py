@@ -123,6 +123,9 @@ class SliceDecoder:
         self.cm = cm
         self.slice_idx = slice_idx
         self.qp_y = pps.init_qp + sh.qp_delta
+        # per-QG luma QP state (8.6.1; reference hevc_filter.c:94-147)
+        from ..coding.qp import QpState
+        self.qpst = QpState(self.qp_y)
         self.plan = plan  # list to record BlockRecords into (stage-A mode)
         self.ref_list = ref_list or []  # L0: [(poc, [int32 planes]), ...]
         self.ref_list_l1 = ref_list_l1 or []
@@ -168,6 +171,14 @@ class SliceDecoder:
         while True:
             rs = int(pps.ctb_addr_ts_to_rs[ts])
             xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
+            # QP prediction restarts at WPP-row / tile starts
+            # (reference: hevcdec.c:2808/:2814 hls_decode_neighbour)
+            if wpp:
+                if xc == 0:
+                    self.qpst.first_qp_group = True
+            elif tiles and ts > 0 and (int(pps.tile_id_of_ts[ts])
+                                       != int(pps.tile_id_of_ts[ts - 1])):
+                self.qpst.first_qp_group = True
             self.pic.set_ctb_slice(xc, yc, self.slice_idx)
             if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                 self._decode_sao(xc, yc)
@@ -266,7 +277,7 @@ class SliceDecoder:
 
     # ---- quadtree --------------------------------------------------------
     def coding_quadtree(self, x0, y0, log2_size, depth):
-        sps = self.sps
+        sps, pps = self.sps, self.pps
         size = 1 << log2_size
         w, h = sps.width, sps.height
         if (x0 + size <= w and y0 + size <= h
@@ -275,14 +286,28 @@ class SliceDecoder:
             split = self.d.decode_bin(self.cm.at("split_cu_flag", ctx))
         else:
             split = 1 if log2_size > sps.log2_min_cb_size else 0
+        # quantization-group start: re-arm cu_qp_delta (7.3.8.8 note;
+        # reference: hevcdec.c:2727-2730)
+        if pps.cu_qp_delta_enabled and log2_size >= \
+                sps.log2_ctb_size - pps.diff_cu_qp_delta_depth:
+            self.qpst.is_cu_qp_delta_coded = False
+            self.qpst.cu_qp_delta_val = 0
         if split:
             half = size >> 1
             for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
                 x1, y1 = x0 + dx * half, y0 + dy * half
                 if x1 < w and y1 < h:
                     self.coding_quadtree(x1, y1, log2_size - 1, depth + 1)
+            if pps.cu_qp_delta_enabled:
+                from ..coding.qp import qg_mask
+                m = qg_mask(sps, pps)
+                if ((x0 + size) & m) == 0 and ((y0 + size) & m) == 0:
+                    self.qpst.qp_pred_state = self.qpst.cur_qp
         else:
             self.coding_unit(x0, y0, log2_size, depth)
+            if pps.cu_qp_delta_enabled:
+                from ..coding.qp import end_of_cu
+                end_of_cu(self.qpst, self.pic, sps, pps, x0, y0, log2_size)
 
     # ---- inter helpers ---------------------------------------------------
     def _decode_merge_idx(self) -> int:
@@ -799,12 +824,40 @@ class SliceDecoder:
 
     def _component_qp(self, c_idx):
         sps, pps = self.sps, self.pps
+        qp = self.qpst.cur_qp  # per-QG QP (== slice QP without cu_qp_delta)
         if c_idx == 0:
-            return self.qp_y + sps.qp_bd_offset
+            return qp + sps.qp_bd_offset
         off = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
                else pps.cr_qp_offset + self.sh.cr_qp_offset)
-        return R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+        return R.chroma_qp(qp, off, sps.chroma_format_idc,
                            sps.qp_bd_offset)
+
+    def _decode_cu_qp_delta(self, cu):
+        """cu_qp_delta_abs/sign (7.3.8.10, binarization 9.3.3.9: TR cMax 5
+        prefix + EG0 suffix; reference: hevc_cabac.c:756)."""
+        d, cm = self.d, self.cm
+        prefix = 0
+        inc = 0
+        while prefix < 5 and d.decode_bin(cm.at("cu_qp_delta", inc)):
+            prefix += 1
+            inc = 1
+        val = prefix
+        if prefix >= 5:
+            k = 0
+            suffix = 0
+            while d.decode_bypass():
+                suffix += 1 << k
+                k += 1
+            while k:
+                k -= 1
+                suffix += d.decode_bypass() << k
+            val += suffix
+        if val and d.decode_bypass():
+            val = -val
+        self.qpst.cu_qp_delta_val = val
+        self.qpst.is_cu_qp_delta_coded = True
+        from ..coding.qp import set_qpy
+        set_qpy(self.qpst, self.pic, self.sps, self.pps, cu.x0, cu.y0)
 
     def _matrix_id(self, c_idx, log2_size, ts, cu) -> int:
         """Active scaling-matrix id for a TU, or -1 for flat scaling
@@ -862,9 +915,17 @@ class SliceDecoder:
 
     def transform_unit(self, x0, y0, xb, yb, log2_size, depth, blk_idx,
                        cbf_luma, cbf_cb, cbf_cr, cu):
-        sps, pic = self.sps, self.pic
+        sps, pic, pps = self.sps, self.pic, self.pps
         size = 1 << log2_size
         pic.mark_intra_tu_edges(x0, y0, size)
+        # cu_qp_delta: first TU of the QG with any coded residual
+        # (reference: hevcdec.c:1346 hls_transform_unit)
+        cbf_chroma = (cbf_cb[0] or cbf_cr[0]
+                      or (sps.chroma_format_idc == 2
+                          and (cbf_cb[1] or cbf_cr[1])))
+        if (pps.cu_qp_delta_enabled and not self.qpst.is_cu_qp_delta_coded
+                and (cbf_luma or cbf_chroma)):
+            self._decode_cu_qp_delta(cu)
         # ---- luma ----
         mode_y = int(pic.intra_mode_y[y0 >> 2, x0 >> 2])
         lv_y, ts_y = (None, 0)

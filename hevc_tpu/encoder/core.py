@@ -109,6 +109,10 @@ class EncoderConfig:
     pcm: object = None
     pcm_bit_depth: int = 0
     pcm_loop_filter_disabled: bool = False
+    # per-CU QP: -1 = off, else diff_cu_qp_delta_depth (0 = one QG per
+    # CTB).  When on, the target QP varies deterministically per QG in
+    # [qp-3, qp+3] and the delta is signalled via cu_qp_delta.
+    cu_qp_delta_depth: int = -1
 
 
 class _TuPlan:
@@ -184,6 +188,8 @@ class IntraEncoder:
             transform_skip_enabled=1 if cfg.transform_skip else 0,
             deblocking_filter_control_present=0 if cfg.deblocking else 1,
             deblocking_filter_disabled=0 if cfg.deblocking else 1,
+            cu_qp_delta_enabled=1 if cfg.cu_qp_delta_depth >= 0 else 0,
+            diff_cu_qp_delta_depth=max(0, cfg.cu_qp_delta_depth),
             entropy_coding_sync_enabled=1 if cfg.wpp else 0,
             tiles_enabled=1 if cfg.tiles else 0,
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
@@ -306,6 +312,11 @@ class IntraEncoder:
         self.cm = ContextModel(
             2 if self.is_b else (1 if self.is_p else 0), cfg.qp)
         self.qp_y = cfg.qp
+        # per-QG QP: qpst mirrors the decoder's state machine; cur_qp is
+        # the target QP the quantizer uses (== slice QP when disabled)
+        from ..coding.qp import QpState
+        self.qpst = QpState(cfg.qp)
+        self.cur_qp = cfg.qp
         self._setup_refs()
         self.tmvp_ctx = self._setup_tmvp() if (cfg.tmvp and self.is_p) \
             else None
@@ -326,6 +337,7 @@ class IntraEncoder:
             segments[-1].append(rs)
         seg_payloads = []
         wpp_saved = None
+        gi = 0  # global tile-scan index (for QP-prediction restarts)
         for si, seg in enumerate(segments):
             self.e = CabacEncoder()
             if si > 0:
@@ -338,6 +350,16 @@ class IntraEncoder:
                     self.cm = ContextModel(init_type, cfg.qp)
             for rs in seg:
                 xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
+                # QP prediction restarts at WPP-row / tile starts
+                # (mirror of decoder SliceDecoder.decode_ctus)
+                if cfg.wpp:
+                    if xc == 0:
+                        self.qpst.first_qp_group = True
+                elif cfg.tiles and gi > 0 and (
+                        int(pps.tile_id_of_ts[gi])
+                        != int(pps.tile_id_of_ts[gi - 1])):
+                    self.qpst.first_qp_group = True
+                gi += 1
                 self.pic.set_ctb_slice(xc, yc, 0)
                 if cfg.sao:
                     self._encode_sao(xc, yc)
@@ -590,8 +612,14 @@ class IntraEncoder:
         self.sao_map[(xc, yc)] = prm
 
     # ---- quadtree --------------------------------------------------------
+    def _target_qp(self, x0, y0) -> int:
+        """Deterministic per-QG target QP in [qp-3, qp+3]."""
+        qgl = self.sps.log2_ctb_size - self.pps.diff_cu_qp_delta_depth
+        v = ((x0 >> qgl) + 2 * (y0 >> qgl)) % 7 - 3
+        return min(51, max(1, self.cfg.qp + v))
+
     def _quadtree(self, x0, y0, log2_size, depth):
-        sps = self.sps
+        sps, pps = self.sps, self.pps
         size = 1 << log2_size
         w, h = sps.width, sps.height
         inside = x0 + size <= w and y0 + size <= h
@@ -603,14 +631,27 @@ class IntraEncoder:
             split = 1 if log2_size > sps.log2_min_cb_size else 0
         else:
             split = 0
+        if pps.cu_qp_delta_enabled and log2_size >= \
+                sps.log2_ctb_size - pps.diff_cu_qp_delta_depth:
+            self.qpst.is_cu_qp_delta_coded = False
+            self.qpst.cu_qp_delta_val = 0
+            self.cur_qp = self._target_qp(x0, y0)
         if split:
             half = size >> 1
             for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
                 x1, y1 = x0 + dx * half, y0 + dy * half
                 if x1 < w and y1 < h:
                     self._quadtree(x1, y1, log2_size - 1, depth + 1)
+            if pps.cu_qp_delta_enabled:
+                from ..coding.qp import qg_mask
+                m = qg_mask(sps, pps)
+                if ((x0 + size) & m) == 0 and ((y0 + size) & m) == 0:
+                    self.qpst.qp_pred_state = self.qpst.cur_qp
         else:
             self._coding_unit(x0, y0, log2_size, depth)
+            if pps.cu_qp_delta_enabled:
+                from ..coding.qp import end_of_cu
+                end_of_cu(self.qpst, self.pic, sps, pps, x0, y0, log2_size)
 
     def _choose_mode(self, x0, y0, size) -> int:
         # intra prediction operates per-TU (max 32); for a 64x64 CU evaluate
@@ -710,7 +751,8 @@ class IntraEncoder:
         self._compute_tu(root, modes, chroma_mode, x0, y0, intra_split,
                          pb_size)
         self._propagate_cbf(root)
-        self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode, (1, 1), (1, 1))
+        self._emit_tu(root, intra_split, max_trafo_depth, chroma_mode,
+                      (1, 1), (1, 1), (x0, y0))
 
     def _encode_pcm_cu(self, x0, y0, log2_size, depth):
         """pcm_sample payload (7.3.8.7): raw u(v) samples, engine
@@ -745,6 +787,40 @@ class IntraEncoder:
         if sps.pcm_loop_filter_disabled:
             pic.no_filter[ysl, xsl] = True
         pic.mark_intra_tu_edges(x0, y0, size)
+
+    def _maybe_emit_cu_qp_delta(self, cu_x0, cu_y0, any_cbf):
+        """Emit cu_qp_delta_abs/sign at the QG's first residual-carrying
+        TU (mirror of decoder _decode_cu_qp_delta; 9.3.3.9 TR+EG0)."""
+        if (not self.pps.cu_qp_delta_enabled
+                or self.qpst.is_cu_qp_delta_coded or not any_cbf):
+            return
+        from ..coding.qp import qp_pred
+        # flag first: qp_pred's first_qp_group handoff reads it (mirrors
+        # the decoder's decode-then-set_qpy order)
+        self.qpst.is_cu_qp_delta_coded = True
+        pred = qp_pred(self.qpst, self.pic, self.sps, self.pps,
+                       cu_x0, cu_y0)
+        delta = self.cur_qp - pred
+        e, cm = self.e, self.cm
+        a = abs(delta)
+        prefix = min(a, 5)
+        for i in range(prefix):
+            e.encode_bin(cm.at("cu_qp_delta", 0 if i == 0 else 1), 1)
+        if prefix < 5:
+            e.encode_bin(cm.at("cu_qp_delta", 0 if prefix == 0 else 1), 0)
+        else:
+            # EG0 suffix of (a - 5): value = 2^k - 1 + b
+            v = a - 5
+            k = (v + 1).bit_length() - 1
+            b = v + 1 - (1 << k)
+            for _ in range(k):
+                e.encode_bypass(1)
+            e.encode_bypass(0)
+            e.encode_bypass_bits(b, k)
+        if a:
+            e.encode_bypass(1 if delta < 0 else 0)
+        self.qpst.cu_qp_delta_val = delta
+        self.qpst.cur_qp = self.cur_qp  # == set_qpy result (no wrap)
 
     def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
                  max_trafo_depth) -> _TuPlan:
@@ -788,11 +864,11 @@ class IntraEncoder:
             coef = res.astype(np.int64) << (13 - bd)
         else:
             coef = forward_transform(res, bd, dst=use_dst)
-        lv = quantize(coef, self.qp_y + sps.qp_bd_offset, node.log2, bd)
+        lv = quantize(coef, self.cur_qp + sps.qp_bd_offset, node.log2, bd)
         node.lv_y = lv
         node.cbf_luma = 1 if lv.any() else 0
         if node.cbf_luma:
-            dq = self._deq(lv, self.qp_y + sps.qp_bd_offset, node.log2,
+            dq = self._deq(lv, self.cur_qp + sps.qp_bd_offset, node.log2,
                            bd, 0, False, node.ts)
             r = (R.transform_skip_residual(dq, bd) if node.ts
                  else R.inverse_transform(dq, bd, dst=use_dst))
@@ -841,7 +917,7 @@ class IntraEncoder:
             mode = CHROMA_422_MODE[chroma_mode]
         for c_idx in (1, 2):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+            qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             lvs, cbfs = [], []
             for (xc, yc, log2c) in blocks:
@@ -877,7 +953,7 @@ class IntraEncoder:
         node.cbf_cr = (int(any(any(ch.cbf_cr) for ch in node.children)), 0)
 
     def _emit_tu(self, node: _TuPlan, intra_split, max_trafo_depth,
-                 chroma_mode, cbf_cb_par, cbf_cr_par):
+                 chroma_mode, cbf_cb_par, cbf_cr_par, cu_xy=(0, 0)):
         """Pass 2: emit the transform tree syntax (mirrors decode)."""
         sps, e, cm = self.sps, self.e, self.cm
         log2, depth = node.log2, node.depth
@@ -901,11 +977,19 @@ class IntraEncoder:
         if node.split:
             for ch in node.children:
                 self._emit_tu(ch, intra_split, max_trafo_depth, chroma_mode,
-                              node.cbf_cb, node.cbf_cr)
+                              node.cbf_cb, node.cbf_cr, cu_xy)
             return
         # leaf: cbf_luma is always signalled for intra CUs
         e.encode_bin(cm.at("cbf_luma", 1 if depth == 0 else 0),
                      node.cbf_luma)
+        # cu_qp_delta at the first residual-carrying TU; the chroma cbfs
+        # seen here are the inherited ones for 4x4 leaves (mirror of
+        # decoder transform_unit / reference hevcdec.c:1346)
+        tcb = node.cbf_cb if log2 > 2 else cbf_cb_par
+        tcr = node.cbf_cr if log2 > 2 else cbf_cr_par
+        any_cbf = (node.cbf_luma or tcb[0] or tcr[0]
+                   or (is422 and (tcb[1] or tcr[1])))
+        self._maybe_emit_cu_qp_delta(cu_xy[0], cu_xy[1], any_cbf)
         mode = int(self.pic.intra_mode_y[node.y0 >> 2, node.x0 >> 2])
         if node.cbf_luma:
             scan = scan_idx_for_intra(mode, log2, 0, sps.chroma_format_idc)
@@ -1093,13 +1177,13 @@ class IntraEncoder:
         py, pcb, pcr = preds
         res_y = self.src[0][y0:y0 + size, x0:x0 + size] - py
         coef = forward_transform(res_y, bd)
-        lv_y = quantize(coef, self.qp_y + sps.qp_bd_offset, log2_size, bd,
+        lv_y = quantize(coef, self.cur_qp + sps.qp_bd_offset, log2_size, bd,
                         intra=False)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         out_c = []
         for c_idx, pred in ((1, pcb), (2, pcr)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+            qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             lvs = []
             for (bx, by, log2c) in self._inter_chroma_blocks(x0, y0,
@@ -1132,7 +1216,7 @@ class IntraEncoder:
         py, pcb, pcr = preds
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         if lv_y is not None:
-            d = self._deq(lv_y, self.qp_y + sps.qp_bd_offset, log2_size,
+            d = self._deq(lv_y, self.cur_qp + sps.qp_bd_offset, log2_size,
                           bd, 0, True)
             py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
             pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
@@ -1144,7 +1228,7 @@ class IntraEncoder:
             if not lvs:
                 lvs = [None] * len(blocks)
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-            qp = R.chroma_qp(self.qp_y, off, sps.chroma_format_idc,
+            qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             out = pred.astype(np.int32).copy()
             for (bx, by, log2c), lv in zip(blocks, lvs):
@@ -1326,6 +1410,8 @@ class IntraEncoder:
             e.encode_bin(cm.at("cbf_luma", 1), 0 if lv_y is None else 1)
         else:
             assert lv_y is not None, "all-zero residual must use rootcbf=0"
+        self._maybe_emit_cu_qp_delta(
+            x0, y0, (lv_y is not None) or any_cb or any_cr)
         if lv_y is not None:
             encode_residual(e, cm, lv_y, log2_size, 0, 0)
         blocks = self._inter_chroma_blocks(x0, y0, log2_size)
