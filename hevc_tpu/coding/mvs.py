@@ -18,8 +18,35 @@ PART_2Nx2N = 0
 PART_2NxN = 1
 PART_Nx2N = 2
 PART_NxN = 3
+PART_2NxnU = 4
+PART_2NxnD = 5
+PART_nLx2N = 6
+PART_nRx2N = 7
 
 NO_POC = -(1 << 30)
+
+
+def part_blocks(part: int, x0: int, y0: int, size: int):
+    """PU rectangles [(x, y, w, h)] of one CU for a partition mode
+    (reference: hevcdec.c:2116 hls_prediction_unit grid incl. AMP)."""
+    half, q = size >> 1, size >> 2
+    if part == PART_2Nx2N:
+        return [(x0, y0, size, size)]
+    if part == PART_2NxN:
+        return [(x0, y0, size, half), (x0, y0 + half, size, half)]
+    if part == PART_Nx2N:
+        return [(x0, y0, half, size), (x0 + half, y0, half, size)]
+    if part == PART_2NxnU:
+        return [(x0, y0, size, q), (x0, y0 + q, size, size - q)]
+    if part == PART_2NxnD:
+        return [(x0, y0, size, size - q), (x0, y0 + size - q, size, q)]
+    if part == PART_nLx2N:
+        return [(x0, y0, q, size), (x0 + q, y0, size - q, size)]
+    if part == PART_nRx2N:
+        return [(x0, y0, size - q, size), (x0 + size - q, y0, q, size)]
+    return [(x0, y0, half, half), (x0 + half, y0, half, half),
+            (x0, y0 + half, half, half),
+            (x0 + half, y0 + half, half, half)]
 
 
 @dataclass
@@ -41,9 +68,8 @@ class MotionInfo:
         return self.ref1 >= 0
 
 
-def _neighbour_motion(pic, x_cur, y_cur, xn, yn) -> Optional[MotionInfo]:
-    if not pic.available(x_cur, y_cur, xn, yn):
-        return None
+def _motion_at(pic, xn, yn) -> Optional[MotionInfo]:
+    """Stored motion at luma (xn, yn), or None when intra/no motion."""
     y4, x4 = yn >> 2, xn >> 2
     if pic.is_intra[y4, x4]:
         return None
@@ -56,6 +82,52 @@ def _neighbour_motion(pic, x_cur, y_cur, xn, yn) -> Optional[MotionInfo]:
         ref0=r0, poc0=int(pic.ref_poc_l0[y4, x4]),
         mv1=(int(pic.mv_l1[y4, x4, 0]), int(pic.mv_l1[y4, x4, 1])),
         ref1=r1, poc1=int(pic.ref_poc_l1[y4, x4]))
+
+
+def _pu_flags(pic, x0, y0, n_w, n_h):
+    """Per-PU neighbour-availability flags (left, up, up_left,
+    up_right_sap, bottom_left) — mirror of the reference's
+    ff_hevc_set_neighbour_available (hevc_mvs.c:43) + per-CTB boundary
+    flags (hevcdec.c hls_decode_neighbour).  Unlike the z-scan sample
+    availability used for intra prediction, these allow a second PU to
+    read the first PU's motion inside the same CU."""
+    sps, pps = pic.sps, pic.pps
+    lcb = sps.log2_ctb_size
+    ctb = 1 << lcb
+    x0b, y0b = x0 & (ctb - 1), y0 & (ctb - 1)
+    cx, cy = x0 >> lcb, y0 >> lcb
+    cur_slice = pic.slice_idx[cy, cx]
+    tile = pps.tile_of_ctb
+
+    def ctb_ok(nx, ny):
+        if nx < 0 or ny < 0 or nx >= sps.ctb_w or ny >= sps.ctb_h:
+            return False
+        return (pic.slice_idx[ny, nx] == cur_slice
+                and tile[ny, nx] == tile[cy, cx])
+
+    left = bool(x0b) or ctb_ok(cx - 1, cy)
+    up = bool(y0b) or ctb_ok(cx, cy - 1)
+    if not x0b and not y0b:
+        up_left = ctb_ok(cx - 1, cy - 1)
+    else:
+        up_left = left and up
+    if x0b + n_w == ctb:
+        up_right_sap = ctb_ok(cx + 1, cy - 1) and not y0b
+    else:
+        up_right_sap = up
+    # end_of_tiles_y = bottom of the current CTB row (hevcdec.c:2816)
+    eoty = min((cy << lcb) + ctb, sps.height)
+    bottom_left = False if (y0 + n_h) >= eoty else left
+    return left, up, up_left, up_right_sap, bottom_left
+
+
+def _z_avail(pic, xc, yc, xn, yn) -> bool:
+    """6.4.1 z-scan availability as the reference applies it to the A0/B0
+    corner candidates (hevc_mvs.c:65 z_scan_block_avail)."""
+    lcb = pic.sps.log2_ctb_size
+    if (yn >> lcb) < (yc >> lcb) or (xn >> lcb) < (xc >> lcb):
+        return True
+    return pic.z_order[yn >> 2, xn >> 2] <= pic.z_order[yc >> 2, xc >> 2]
 
 
 def _same_motion(a: MotionInfo, b: MotionInfo) -> bool:
@@ -73,34 +145,50 @@ def merge_candidates(pic, x_pb, y_pb, n_w, n_h, part_idx, part_mode,
                      is_b=False, tc=None, lt0=None,
                      lt1=None) -> List[MotionInfo]:
     """Merge candidate list: spatial (8.5.3.2.3), combined bi
-    (8.5.3.2.4 for B), zero padding (8.5.3.2.5)."""
+    (8.5.3.2.4 for B), zero padding (8.5.3.2.5).  Availability follows
+    the reference's model (hevc_mvs.c:307 derive_spatial_merge_candidates):
+    boundary flags for A1/B1/B2, z-scan only for the A0/B0 corners,
+    part-shape exclusions for the second PU."""
+    sps = pic.sps
     a1 = (x_pb - 1, y_pb + n_h - 1)
     b1 = (x_pb + n_w - 1, y_pb - 1)
     b0 = (x_pb + n_w, y_pb - 1)
     a0 = (x_pb - 1, y_pb + n_h)
     b2 = (x_pb - 1, y_pb - 1)
+    f_left, f_up, f_up_left, f_up_right, f_bottom_left = \
+        _pu_flags(pic, x_pb, y_pb, n_w, n_h)
 
     cand: List[MotionInfo] = []
     m_a1 = None
-    if not (part_idx == 1 and part_mode == PART_Nx2N):
-        m_a1 = _neighbour_motion(pic, x_pb, y_pb, *a1)
+    # second-PU exclusions (8.5.3.2.3): A1 for vertical splits, B1 for
+    # horizontal splits — AMP modes included
+    if f_left and not (part_idx == 1 and part_mode in
+                       (PART_Nx2N, PART_nLx2N, PART_nRx2N)):
+        m_a1 = _motion_at(pic, *a1)
         if m_a1 is not None:
             cand.append(m_a1)
     # pruning compares against a neighbour's MOTION whenever available,
     # regardless of whether that neighbour was itself pruned
     m_b1 = None
-    if not (part_idx == 1 and part_mode == PART_2NxN):
-        m_b1 = _neighbour_motion(pic, x_pb, y_pb, *b1)
+    if f_up and not (part_idx == 1 and part_mode in
+                     (PART_2NxN, PART_2NxnU, PART_2NxnD)):
+        m_b1 = _motion_at(pic, *b1)
         if m_b1 is not None and not (m_a1 and _same_motion(m_b1, m_a1)):
             cand.append(m_b1)
-    m_b0 = _neighbour_motion(pic, x_pb, y_pb, *b0)
+    m_b0 = None
+    if f_up_right and b0[0] < sps.width \
+            and _z_avail(pic, x_pb, y_pb, *b0):
+        m_b0 = _motion_at(pic, *b0)
     if m_b0 is not None and not (m_b1 and _same_motion(m_b0, m_b1)):
         cand.append(m_b0)
-    m_a0 = _neighbour_motion(pic, x_pb, y_pb, *a0)
+    m_a0 = None
+    if f_bottom_left and a0[1] < sps.height \
+            and _z_avail(pic, x_pb, y_pb, *a0):
+        m_a0 = _motion_at(pic, *a0)
     if m_a0 is not None and not (m_a1 and _same_motion(m_a0, m_a1)):
         cand.append(m_a0)
     if len(cand) < 4:
-        m_b2 = _neighbour_motion(pic, x_pb, y_pb, *b2)
+        m_b2 = _motion_at(pic, *b2) if f_up_left else None
         if m_b2 is not None \
                 and not (m_a1 and _same_motion(m_b2, m_a1)) \
                 and not (m_b1 and _same_motion(m_b2, m_b1)):
@@ -196,14 +284,25 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
     target_poc = ref_poc_list[ref_idx]
     lt_of = (lt0 or (), lt1 or ())
     cur_lt = bool(lt_of[lx][ref_idx]) if ref_idx < len(lt_of[lx]) else False
+    sps = pic.sps
     a0 = (x_pb - 1, y_pb + n_h)
     a1 = (x_pb - 1, y_pb + n_h - 1)
     b0 = (x_pb + n_w, y_pb - 1)
     b1 = (x_pb + n_w - 1, y_pb - 1)
     b2 = (x_pb - 1, y_pb - 1)
+    # availability model of the reference's ff_hevc_luma_mv_mvp_mode
+    # (hevc_mvs.c:635): A1/B1/B2 by boundary flags only (no same-CU
+    # exclusion — AMVP may read the first PU's motion); z-scan for the
+    # A0/B0 corners
+    f_left, f_up, f_up_left, f_up_right, f_bottom_left = \
+        _pu_flags(pic, x_pb, y_pb, n_w, n_h)
+    av_a0 = (f_bottom_left and a0[1] < sps.height
+             and _z_avail(pic, x_pb, y_pb, *a0))
+    av_b0 = (f_up_right and b0[0] < sps.width
+             and _z_avail(pic, x_pb, y_pb, *b0))
 
-    def motion(pos):
-        return _neighbour_motion(pic, x_pb, y_pb, *pos)
+    def motion(pos, avail):
+        return _motion_at(pic, *pos) if avail else None
 
     def same_ref(m):
         for l in (lx, 1 - lx):
@@ -228,8 +327,10 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
         return None
 
     mv_a = None
-    a_neigh = [motion(a0), motion(a1)]
-    a_block_avail = any(pic.available(x_pb, y_pb, *p) for p in (a0, a1))
+    a_neigh = [motion(a0, av_a0), motion(a1, f_left)]
+    # isScaledFlag (8.5.3.2.6): an A position is available AND not intra
+    # (reference: is_available_a0 || is_available_a1)
+    a_block_avail = any(m is not None for m in a_neigh)
     for m in a_neigh:
         if m is not None:
             got = same_ref(m)
@@ -244,7 +345,7 @@ def amvp_candidates(pic, x_pb, y_pb, n_w, n_h, lx, ref_idx, ref_poc_list,
                     mv_a = got
                     break
     mv_b = None
-    b_neigh = [motion(b0), motion(b1), motion(b2)]
+    b_neigh = [motion(b0, av_b0), motion(b1, f_up), motion(b2, f_up_left)]
     for m in b_neigh:
         if m is not None:
             got = same_ref(m)

@@ -72,6 +72,10 @@ class PictureState:
         # edge maps (TU or PU boundary) for BS derivation
         self.edge_v = np.zeros((self.h4, self.w4), bool)
         self.edge_h = np.zeros((self.h4, self.w4), bool)
+        # transform-block edges only: the cbf term of 8.7.2.4 applies at
+        # TU edges, not at PU-internal (AMP) edges
+        self.tu_edge_v = np.zeros((self.h4, self.w4), bool)
+        self.tu_edge_h = np.zeros((self.h4, self.w4), bool)
         # per-4x4 luma-cbf (nonzero residual) flag
         self.cbf_luma = np.zeros((self.h4, self.w4), bool)
         # motion fields: mv in quarter-pel, ref poc; ref_lx < 0 = unused
@@ -83,16 +87,21 @@ class PictureState:
         self.ref_poc_l1 = np.full((self.h4, self.w4), -(1 << 30), np.int64)
 
     def mark_block_edges(self, x0: int, y0: int, w: int, h: int):
-        """Record a TU/PU boundary on the left/top edges of a block."""
+        """Record a PU boundary on the left/top edges of a block."""
         x4, y4 = x0 >> 2, y0 >> 2
         if x0 > 0:
             self.edge_v[y4:y4 + (h >> 2), x4] = True
         if y0 > 0:
             self.edge_h[y4, x4:x4 + (w >> 2)] = True
 
-    # backwards-compatible alias used by the intra-only paths
     def mark_intra_tu_edges(self, x0: int, y0: int, size: int):
+        """Record a TU boundary (also marks the combined edge maps)."""
         self.mark_block_edges(x0, y0, size, size)
+        x4, y4 = x0 >> 2, y0 >> 2
+        if x0 > 0:
+            self.tu_edge_v[y4:y4 + (size >> 2), x4] = True
+        if y0 > 0:
+            self.tu_edge_h[y4, x4:x4 + (size >> 2)] = True
 
     def _bs_motion_differs(self, p, q):
         """8.7.2.4 motion-based bs=1 test between slices p/q of the 4x4
@@ -148,8 +157,11 @@ class PictureState:
                 q = np.s_[1:, :]
                 p = np.s_[:-1, :]
                 tgt = np.s_[1:, :]
+            tu_edge = self.tu_edge_v if vertical else self.tu_edge_h
             intra_pq = self.is_intra[q] | self.is_intra[p]
-            resid = self.cbf_luma[q] | self.cbf_luma[p]
+            # cbf term only at transform-block edges (8.7.2.4); motion
+            # term at any PU/TU edge
+            resid = (self.cbf_luma[q] | self.cbf_luma[p]) & tu_edge[tgt]
             one = resid | self._bs_motion_differs(p, q)
             val = np.where(intra_pq, 2, np.where(one, 1, 0))
             bs[tgt] = np.where(edge[tgt], val, 0).astype(np.int8)

@@ -532,19 +532,34 @@ class SliceDecoder:
         return False
 
     def _decode_part_mode_inter(self, log2_size):
-        from ..coding.mvs import (PART_2Nx2N, PART_2NxN, PART_Nx2N,
-                                  PART_NxN)
+        """part_mode for inter CUs (9.3.3.7 Table 9-34 binarization;
+        reference: hevc_cabac.c ff_hevc_part_mode_decode — the AMP bin
+        uses ctx 3, the size suffix is bypass)."""
+        from ..coding.mvs import (PART_2Nx2N, PART_2NxN, PART_2NxnD,
+                                  PART_2NxnU, PART_Nx2N, PART_NxN,
+                                  PART_nLx2N, PART_nRx2N)
         d, cm, sps = self.d, self.cm, self.sps
         if d.decode_bin(cm.at("part_mode", 0)):
             return PART_2Nx2N
-        if d.decode_bin(cm.at("part_mode", 1)):
-            return PART_2NxN
-        if log2_size == sps.log2_min_cb_size and log2_size > 3:
+        if log2_size == sps.log2_min_cb_size:
+            if d.decode_bin(cm.at("part_mode", 1)):
+                return PART_2NxN
+            if log2_size == 3:
+                return PART_Nx2N
             if d.decode_bin(cm.at("part_mode", 2)):
                 return PART_Nx2N
             return PART_NxN
-        # no AMP: '00' = Nx2N
-        return PART_Nx2N
+        if not sps.amp_enabled:
+            if d.decode_bin(cm.at("part_mode", 1)):
+                return PART_2NxN
+            return PART_Nx2N
+        if d.decode_bin(cm.at("part_mode", 1)):
+            if d.decode_bin(cm.at("part_mode", 3)):
+                return PART_2NxN
+            return PART_2NxnD if d.decode_bypass() else PART_2NxnU
+        if d.decode_bin(cm.at("part_mode", 3)):
+            return PART_Nx2N
+        return PART_nRx2N if d.decode_bypass() else PART_nLx2N
 
     # ---- coding unit -----------------------------------------------------
     def coding_unit(self, x0, y0, log2_size, depth):
@@ -589,6 +604,10 @@ class SliceDecoder:
                 self._inter_pb(x0, y0, size, size, cand[idx])
                 pic.skip_flag[y0 >> 2:(y0 >> 2) + gq,
                               x0 >> 2:(x0 >> 2) + gq] = True
+                # a skip CU's boundary is still a transform-grid edge
+                # for BS derivation (reference marks it via
+                # deblocking_boundary_strengths at CU size)
+                pic.mark_intra_tu_edges(x0, y0, size)
                 return
             if not d.decode_bin(cm.at("pred_mode_flag", 0)):
                 self._inter_cu(x0, y0, log2_size, depth, cu)
@@ -729,24 +748,15 @@ class SliceDecoder:
 
     def _inter_cu(self, x0, y0, log2_size, depth, cu):
         """Inter CU: partitions, PUs (merge/AMVP + MC), residual tree."""
-        from ..coding.mvs import PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_NxN
+        from ..coding.mvs import (PART_2Nx2N, PART_2NxN, PART_Nx2N,
+                                  part_blocks)
         d, cm, sps, pic = self.d, self.cm, self.sps, self.pic
         size = 1 << log2_size
         cu.pred_intra = False
         cu.intra_split = False
         cu.chroma_mode = 0
         part = self._decode_part_mode_inter(log2_size)
-        half = size >> 1
-        if part == PART_2Nx2N:
-            pbs = [(x0, y0, size, size)]
-        elif part == PART_2NxN:
-            pbs = [(x0, y0, size, half), (x0, y0 + half, size, half)]
-        elif part == PART_Nx2N:
-            pbs = [(x0, y0, half, size), (x0 + half, y0, half, size)]
-        else:
-            pbs = [(x0, y0, half, half), (x0 + half, y0, half, half),
-                   (x0, y0 + half, half, half),
-                   (x0 + half, y0 + half, half, half)]
+        pbs = part_blocks(part, x0, y0, size)
         first_merge = False
         for i, (xp, yp, w, h) in enumerate(pbs):
             merged = self._prediction_unit(xp, yp, w, h, i, part, depth)
@@ -760,6 +770,9 @@ class SliceDecoder:
                               and part != PART_2Nx2N)
             cu.max_trafo_depth = sps.max_transform_hierarchy_depth_inter
             self.transform_tree(x0, y0, x0, y0, log2_size, 0, 0, (1, 1), (1, 1), cu)
+        else:
+            # no transform tree: the CU boundary is still a TU-grid edge
+            pic.mark_intra_tu_edges(x0, y0, size)
 
     # ---- transform tree --------------------------------------------------
     def transform_tree(self, x0, y0, xb, yb, log2_size, depth, blk_idx,

@@ -113,6 +113,10 @@ class EncoderConfig:
     # CTB).  When on, the target QP varies deterministically per QG in
     # [qp-3, qp+3] and the delta is signalled via cu_qp_delta.
     cu_qp_delta_depth: int = -1
+    # asymmetric motion partitions: None = off, float = per-CU
+    # probability, "all" = every eligible inter CU.  Requires
+    # log2_ctb_size <= 5 (single CU-sized TU).
+    amp: object = None
 
 
 class _TuPlan:
@@ -166,6 +170,13 @@ class IntraEncoder:
             sao_enabled=1 if cfg.sao else 0,
             temporal_mvp_enabled=1 if cfg.tmvp else 0,
         ).derive()
+        if cfg.amp:
+            assert cfg.log2_ctb_size <= 5, \
+                "amp requires CU-sized TUs (log2_ctb_size <= 5)"
+            self.sps.amp_enabled = 1
+            # depth 1 so AMP CUs keep a single CU-sized TU (no forced
+            # interSplit) — the flag is then coded and we emit 0
+            self.sps.max_transform_hierarchy_depth_inter = 1
         if cfg.pcm:
             pbd = cfg.pcm_bit_depth or cfg.bit_depth
             self.sps.pcm_enabled = 1
@@ -1125,20 +1136,20 @@ class IntraEncoder:
                            MC.weighted_uni(preds[0], bd))
         return tuple(out)
 
-    def _motion_search(self, x0, y0, size, mvp, ref_idx=0):
+    def _motion_search(self, x0, y0, w, h, mvp, ref_idx=0):
         """Integer diamond around mvp, then one eighth/quarter-pel refine."""
         from ..ops import mc as MC
         sps = self.sps
-        src = self.src[0][y0:y0 + size, x0:x0 + size]
+        src = self.src[0][y0:y0 + h, x0:x0 + w]
         _, ref_planes = self.ref_list[ref_idx]
         ref = ref_planes[0]
         bd = sps.bit_depth_luma
         r = self.cfg.search_range
 
         def sad_int(ix, iy):
-            h, w = ref.shape
-            ys = np.clip(np.arange(size) + y0 + iy, 0, h - 1)
-            xs = np.clip(np.arange(size) + x0 + ix, 0, w - 1)
+            rh, rw = ref.shape
+            ys = np.clip(np.arange(h) + y0 + iy, 0, rh - 1)
+            xs = np.clip(np.arange(w) + x0 + ix, 0, rw - 1)
             return int(np.abs(src - ref[ys[:, None], xs[None, :]]).sum())
 
         cx, cy = mvp[0] >> 2, mvp[1] >> 2
@@ -1157,7 +1168,7 @@ class IntraEncoder:
                            (1, 1), (-1, -1), (1, -1), (-1, 1)):
                 cand = (mv[0] + dx, mv[1] + dy)
                 pred = MC.weighted_uni(MC.mc_luma(
-                    ref, x0, y0, size, size, cand[0], cand[1], bd), bd)
+                    ref, x0, y0, w, h, cand[0], cand[1], bd), bd)
                 c = int(np.abs(src - pred).sum())
                 if c < best_cost:
                     best_cost = c
@@ -1259,11 +1270,111 @@ class IntraEncoder:
             pic.ref_poc_l1[sl] = mi.poc1
         pic.mark_block_edges(x0, y0, w, h)
 
+    def _encode_part_mode_inter(self, part, log2_size):
+        """part_mode bins for inter CUs (mirror of the decoder's
+        _decode_part_mode_inter; Table 9-34)."""
+        from ..coding import mvs as MV
+        e, cm, sps = self.e, self.cm, self.sps
+        if part == MV.PART_2Nx2N:
+            e.encode_bin(cm.at("part_mode", 0), 1)
+            return
+        e.encode_bin(cm.at("part_mode", 0), 0)
+        if log2_size == sps.log2_min_cb_size:
+            if part == MV.PART_2NxN:
+                e.encode_bin(cm.at("part_mode", 1), 1)
+                return
+            e.encode_bin(cm.at("part_mode", 1), 0)
+            if log2_size == 3:
+                assert part == MV.PART_Nx2N
+                return
+            e.encode_bin(cm.at("part_mode", 2),
+                         1 if part == MV.PART_Nx2N else 0)
+            return
+        if not sps.amp_enabled:
+            e.encode_bin(cm.at("part_mode", 1),
+                         1 if part == MV.PART_2NxN else 0)
+            return
+        horiz = part in (MV.PART_2NxN, MV.PART_2NxnU, MV.PART_2NxnD)
+        e.encode_bin(cm.at("part_mode", 1), 1 if horiz else 0)
+        if horiz:
+            e.encode_bin(cm.at("part_mode", 3),
+                         1 if part == MV.PART_2NxN else 0)
+            if part != MV.PART_2NxN:
+                e.encode_bypass(1 if part == MV.PART_2NxnD else 0)
+        else:
+            e.encode_bin(cm.at("part_mode", 3),
+                         1 if part == MV.PART_Nx2N else 0)
+            if part != MV.PART_Nx2N:
+                e.encode_bypass(1 if part == MV.PART_nRx2N else 0)
+
+    def _amp_cu(self, x0, y0, log2_size, depth):
+        """Two-PU inter CU exercising 2NxN/Nx2N + the four AMP modes:
+        per-PU AMVP (L0 ref 0) with a single CU-sized TU."""
+        from ..coding import mvs as MV
+        sps, pps, e, cm, pic = self.sps, self.pps, self.e, self.cm, self.pic
+        size = 1 << log2_size
+        gq = size >> 2
+        pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
+        pic.qp_y[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = self.qp_y
+        modes = (MV.PART_2NxN, MV.PART_Nx2N, MV.PART_2NxnU, MV.PART_2NxnD,
+                 MV.PART_nLx2N, MV.PART_nRx2N)
+        part = modes[int(self.rng.integers(0, 6))]
+        pbs = MV.part_blocks(part, x0, y0, size)
+        e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 0)
+        e.encode_bin(cm.at("pred_mode_flag", 0), 0)
+        self._encode_part_mode_inter(part, log2_size)
+        ref_pocs0 = [p for p, _ in self.ref_list]
+        nref0 = len(self.ref_list)
+        bd = sps.bit_depth_luma
+        pred_y = np.zeros((size, size), np.int32)
+        wc, hc = size // sps.sub_w, size // sps.sub_h
+        pred_cb = np.zeros((hc, wc), np.int32)
+        pred_cr = np.zeros((hc, wc), np.int32)
+        for i, (xp, yp, w, h) in enumerate(pbs):
+            e.encode_bin(cm.at("merge_flag", 0), 0)
+            if self.is_b:
+                e.encode_bin(cm.at("inter_pred_idc", depth), 0)
+                e.encode_bin(cm.at("inter_pred_idc", 4), 0)  # PRED_L0
+            if nref0 > 1:
+                self._encode_ref_idx(0, nref0)
+            mvps = MV.amvp_candidates(pic, xp, yp, w, h, 0, 0, ref_pocs0,
+                                      self.poc, tc=self.tmvp_ctx,
+                                      lt0=self.ref_lt0, lt1=self.ref_lt1)
+            mv, _ = self._motion_search(xp, yp, w, h, mvps[0], 0)
+            self._encode_mvd((mv[0] - mvps[0][0], mv[1] - mvps[0][1]))
+            e.encode_bin(cm.at("mvp_lx_flag", 0), 0)
+            mi = MV.MotionInfo(mv0=tuple(mv), ref0=0, poc0=ref_pocs0[0])
+            py, pcb, pcr = self._mc_pred(xp, yp, w, h, mi)
+            pred_y[yp - y0:yp - y0 + h, xp - x0:xp - x0 + w] = py
+            xcc, ycc = (xp - x0) // sps.sub_w, (yp - y0) // sps.sub_h
+            pred_cb[ycc:ycc + h // sps.sub_h, xcc:xcc + w // sps.sub_w] = pcb
+            pred_cr[ycc:ycc + h // sps.sub_h, xcc:xcc + w // sps.sub_w] = pcr
+            self._set_motion(xp, yp, w, h, mi)
+        preds = (pred_y, pred_cb, pred_cr)
+        levels = self._inter_residual(x0, y0, log2_size, preds)
+        lv_y, lv_cb, lv_cr = levels
+        no_resid = (lv_y is None and all(v is None for v in lv_cb)
+                    and all(v is None for v in lv_cr))
+        e.encode_bin(cm.at("no_residual_data_flag", 0),
+                     0 if no_resid else 1)
+        if no_resid:
+            self._recon_inter_cu(x0, y0, log2_size, preds, (None, [], []))
+            pic.mark_intra_tu_edges(x0, y0, size)
+            return
+        self._emit_inter_tu(x0, y0, log2_size, levels)
+        self._recon_inter_cu(x0, y0, log2_size, preds, levels)
+        self.pic.mark_block_edges(x0, y0, size, size)
+
     def _coding_unit_p(self, x0, y0, log2_size, depth):
         """P/B-slice CU: choose skip / merge / AMVP(L0 or BI) / intra."""
         from ..coding import mvs as MV
         sps, e, cm, pic = self.sps, self.e, self.cm, self.pic
         size = 1 << log2_size
+        if (self.cfg.amp and log2_size > sps.log2_min_cb_size
+                and self.rng.random() < (1.0 if self.cfg.amp == "all"
+                                         else float(self.cfg.amp))):
+            self._amp_cu(x0, y0, log2_size, depth)
+            return
         gq = size >> 2
         is_b = self.is_b
         pic.ct_depth[y0 >> 2:(y0 >> 2) + gq, x0 >> 2:(x0 >> 2) + gq] = depth
@@ -1296,7 +1407,7 @@ class IntraEncoder:
                                         ref_pocs0, self.poc,
                                         tc=self.tmvp_ctx, lt0=self.ref_lt0,
                                         lt1=self.ref_lt1)
-            mv_r, cost_r = self._motion_search(x0, y0, size,
+            mv_r, cost_r = self._motion_search(x0, y0, size, size,
                                                mvp=mvps_r[0], ref_idx=ridx)
             cost_r += 2 * ridx
             if amvp_cost is None or cost_r < amvp_cost:
@@ -1354,6 +1465,7 @@ class IntraEncoder:
             self._recon_inter_cu(x0, y0, log2_size, preds,
                                  (None, [], []))
             self._set_motion(x0, y0, size, size, mi_used)
+            pic.mark_intra_tu_edges(x0, y0, size)  # CU edge = TU-grid edge
             return
         e.encode_bin(cm.at("cu_skip_flag", self._skip_ctx(x0, y0)), 0)
         e.encode_bin(cm.at("pred_mode_flag", 0), 0)
@@ -1394,10 +1506,24 @@ class IntraEncoder:
             if no_resid:
                 self._recon_inter_cu(x0, y0, log2_size, preds,
                                      (None, [], []))
+                pic.mark_intra_tu_edges(x0, y0, size)
                 return
-        # single-TU transform tree (inter, depth 0)
+        self._emit_inter_tu(x0, y0, log2_size, levels)
+        self._recon_inter_cu(x0, y0, log2_size, preds, levels)
+        self.pic.mark_block_edges(x0, y0, size, size)
+
+    def _emit_inter_tu(self, x0, y0, log2_size, levels):
+        """Single-TU inter transform tree: optional split_transform_flag,
+        chroma cbfs, cbf_luma, cu_qp_delta, residuals (mirror of decoder
+        transform_tree/transform_unit for an unsplit inter CU)."""
+        sps, e, cm = self.sps, self.e, self.cm
         lv_y, lv_cb, lv_cr = levels
         is422 = sps.chroma_format_idc == 2
+        self.pic.mark_intra_tu_edges(x0, y0, 1 << log2_size)
+        if (log2_size <= sps.log2_max_tb_size
+                and log2_size > sps.log2_min_tb_size
+                and 0 < sps.max_transform_hierarchy_depth_inter):
+            e.encode_bin(cm.at("split_transform_flag", 5 - log2_size), 0)
         any_cb = any(lv is not None for lv in lv_cb)
         any_cr = any(lv is not None for lv in lv_cr)
         e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb[0] is None else 1)
@@ -1419,8 +1545,6 @@ class IntraEncoder:
             for (bx, by, log2c), lv in zip(blocks, lvs):
                 if lv is not None:
                     encode_residual(e, cm, lv, log2c, c_idx, 0)
-        self._recon_inter_cu(x0, y0, log2_size, preds, levels)
-        self.pic.mark_block_edges(x0, y0, size, size)
 
     def _skip_ctx(self, x0, y0):
         pic = self.pic

@@ -80,6 +80,63 @@ def test_cu_qp_delta_depth0_big_deltas():
     roundtrip(cfg, w=64, h=64, pattern="noise")
 
 
+# ---------------------------------------------------------------------------
+# AMP (asymmetric motion partitions)
+# ---------------------------------------------------------------------------
+
+AMP_CASES = [
+    dict(gop="ipp"),
+    dict(gop="lowb"),                          # B slices, inter_pred_idc
+    dict(gop="ipp", deblocking=True, sao=True),  # PU-edge BS (no cbf term)
+    dict(gop="lowb", deblocking=True, sao=True, cu_qp_delta_depth=1),
+    dict(gop="ipp", tmvp=True),                # TMVP with rect PUs
+]
+
+
+@pytest.mark.parametrize("kw", AMP_CASES)
+def test_amp_roundtrip(kw):
+    cfg = EncoderConfig(width=96, height=64, qp=30, amp="all",
+                        log2_ctb_size=5, search_range=2, seed=9, **kw)
+    roundtrip(cfg, frames_n=4)
+
+
+@needs_oracle
+@pytest.mark.parametrize("kw", AMP_CASES)
+def test_amp_oracle(kw, tmp_path):
+    cfg = EncoderConfig(width=96, height=64, qp=30, amp="all",
+                        log2_ctb_size=5, search_range=2, seed=9, **kw)
+    data, frames = roundtrip(cfg, frames_n=4)
+    oracle_check(data, frames, 96, 64, tmp_path)
+
+
+def test_amp_exercises_all_modes():
+    """The random AMP mode choice must hit all four asymmetric shapes
+    over a few frames (guard against a vacuous test)."""
+    from hevc_tpu.coding import mvs as MV
+    import hevc_tpu.decoder.core as dcore
+    seen = set()
+    orig = dcore.SliceDecoder._decode_part_mode_inter
+
+    def hook(self, log2_size):
+        part = orig(self, log2_size)
+        seen.add(part)
+        return part
+
+    cfg = EncoderConfig(width=96, height=64, qp=30, amp="all",
+                        log2_ctb_size=5, search_range=2, seed=9, gop="ipp")
+    enc = IntraEncoder(cfg)
+    data = b"".join(enc.encode_frame(synth_frame("gradient", 96, 64, t))
+                    for t in range(6))
+    dcore.SliceDecoder._decode_part_mode_inter = hook
+    try:
+        frames = Decoder().decode_bytes(data)
+    finally:
+        dcore.SliceDecoder._decode_part_mode_inter = orig
+    assert all(f.md5_ok for f in frames)
+    assert {MV.PART_2NxnU, MV.PART_2NxnD, MV.PART_nLx2N,
+            MV.PART_nRx2N} <= seen
+
+
 def test_cu_qp_delta_varies_qp_map():
     """The decoded QP map must actually vary (guard against a silently
     constant-QP encode making these tests vacuous)."""
