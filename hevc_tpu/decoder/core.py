@@ -47,6 +47,25 @@ def _native_residual():
         _NATIVE_RESIDUAL = native.decode_residual if native.available() \
             else False
     return _NATIVE_RESIDUAL or None
+
+
+_NATIVE_SLICE = None
+
+
+def _native_slice():
+    """Resolve the full-native stage-A slice decoder once (or None).
+
+    Set HEVC_TPU_NATIVE=0 (all native off) or HEVC_TPU_NATIVE_SLICE=0
+    (keep the residual kernel, Python syntax layer) to disable."""
+    global _NATIVE_SLICE
+    if _NATIVE_SLICE is None:
+        import os
+
+        from .. import native
+        on = os.environ.get("HEVC_TPU_NATIVE_SLICE", "1") != "0"
+        _NATIVE_SLICE = native.decode_slice_native \
+            if (on and native.available()) else False
+    return _NATIVE_SLICE or None
 from ..coding.scans import scan_idx_for_intra
 from ..ops import reference as R
 
@@ -102,6 +121,9 @@ class BlockRecord:
     mv1: tuple = (0, 0)
     ref_idx1: int = 0
     mtx: int = -1        # scaling-list matrix id (-1 = flat 16)
+    # explicit weighted prediction (w0, o0, w1, o1, log2wd) for this
+    # record's plane; None = default weighting (7.4.7.3 pred_weight_table)
+    wp: Optional[tuple] = None
 
 
 class SliceDecoder:
@@ -377,27 +399,62 @@ class SliceDecoder:
         wc, hc = n_w // sps.sub_w, n_h // sps.sub_h
         bi = mi.uses_l0 and mi.uses_l1
         if self.plan is not None:
+            wt = self.sh.weight_table
+
+            def wp_rec(c):
+                """(w0, o0, w1, o1, log2wd) for this record's plane, with
+                offsets pre-scaled like the inline path (o << (bd - 8))."""
+                if wt is None:
+                    return None
+                bdx = bd if c == 0 else bdc
+                denom = wt.luma_log2_denom if c == 0 \
+                    else wt.chroma_log2_denom
+                oscale = bdx - 8
+
+                def of(lst_luma, lst_chroma, ridx):
+                    if c == 0:
+                        _, wgt, offv = lst_luma[ridx]
+                    else:
+                        _, ws, os_ = lst_chroma[ridx]
+                        wgt, offv = ws[c - 1], os_[c - 1]
+                    return wgt, offv << oscale
+
+                if bi:
+                    w0, o0 = of(wt.luma_l0, wt.chroma_l0, mi.ref0)
+                    w1, o1 = of(wt.luma_l1, wt.chroma_l1, mi.ref1)
+                elif mi.uses_l0:
+                    w0, o0 = of(wt.luma_l0, wt.chroma_l0, mi.ref0)
+                    w1 = o1 = 0
+                else:
+                    w0, o0 = of(wt.luma_l1, wt.chroma_l1, mi.ref1)
+                    w1 = o1 = 0
+                return (w0, o0, w1, o1, denom + 14 - bdx)
+
             if bi:
                 self.plan.append(BlockRecord(
                     plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
                     levels=None, kind="mc", bi=True, mv=mi.mv0,
-                    ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1))
+                    ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1,
+                    wp=wp_rec(0)))
                 for c in (1, 2):
                     self.plan.append(BlockRecord(
                         plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
                         levels=None, kind="mc", bi=True, mv=mi.mv0,
-                        ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1))
+                        ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1,
+                        wp=wp_rec(c)))
             else:
                 lx = 0 if mi.uses_l0 else 1
                 mv = mi.mv0 if lx == 0 else mi.mv1
                 ridx = mi.ref0 if lx == 0 else mi.ref1
                 self.plan.append(BlockRecord(
                     plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
-                    levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx))
+                    levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx,
+                    wp=wp_rec(0)))
                 for c in (1, 2):
                     self.plan.append(BlockRecord(
                         plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
-                        levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx))
+                        levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx,
+                        wp=wp_rec(c)))
         else:
             hs, vs = sps.sub_w - 1, sps.sub_h - 1
             planes_pred = []
@@ -998,12 +1055,21 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
                         r.size, r.h, r.mv[0], r.mv[1], bd)
                 p1 = fn(pic.ref_list_l1[r.ref_idx1][1][r.plane], r.x, r.y,
                         r.size, r.h, r.mv1[0], r.mv1[1], bd)
-                pred = MC.weighted_bi(p0, p1, bd)
+                if r.wp is not None:
+                    w0, o0, w1, o1, log2wd = r.wp
+                    pred = MC.weighted_bi_explicit(p0, p1, w0, o0, w1, o1,
+                                                   log2wd, bd)
+                else:
+                    pred = MC.weighted_bi(p0, p1, bd)
             else:
                 refs = pic.ref_list_l0 if r.lx == 0 else pic.ref_list_l1
-                pred = MC.weighted_uni(
-                    fn(refs[r.ref_idx][1][r.plane], r.x, r.y,
-                       r.size, r.h, r.mv[0], r.mv[1], bd), bd)
+                raw = fn(refs[r.ref_idx][1][r.plane], r.x, r.y,
+                         r.size, r.h, r.mv[0], r.mv[1], bd)
+                if r.wp is not None:
+                    w0, o0, _w1, _o1, log2wd = r.wp
+                    pred = MC.weighted_uni_explicit(raw, w0, o0, log2wd, bd)
+                else:
+                    pred = MC.weighted_uni(raw, bd)
             pic.planes[r.plane][r.y:r.y + r.h, r.x:r.x + r.size] = \
                 pred.astype(pic.planes[r.plane].dtype)
             continue
@@ -1313,14 +1379,23 @@ class Decoder:
             for off in sh.entry_point_offsets:
                 raw += off
                 seg_starts.append(raw_to_post(raw))
-        sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
-                          lay.slice_counter,
-                          plan=getattr(lay.cur_pic, "plan", None),
-                          ref_list=ref_list, cur_poc=lay.cur_poc,
-                          rbsp=nal.rbsp, segment_starts=seg_starts,
-                          ref_list_l1=ref_list_l1, tmvp=tc,
-                          ref_lt0=lt0, ref_lt1=lt1)
-        sd.decode_ctus()
+        plan = getattr(lay.cur_pic, "plan", None)
+        nat = _native_slice() if plan is not None else None
+        if nat is not None:
+            # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU
+            # syntax + MV derivation in C++, bit-exact with SliceDecoder
+            nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp, seg_starts,
+                lay.slice_counter, ref_list, ref_list_l1, lt0, lt1, tc,
+                lay.cur_poc)
+        else:
+            sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
+                              lay.slice_counter,
+                              plan=plan,
+                              ref_list=ref_list, cur_poc=lay.cur_poc,
+                              rbsp=nal.rbsp, segment_starts=seg_starts,
+                              ref_list_l1=ref_list_l1, tmvp=tc,
+                              ref_lt0=lt0, ref_lt1=lt1)
+            sd.decode_ctus()
         lay.slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
         # per-slice overrides; multi-slice per-CTB params land with tiles)
@@ -1444,9 +1519,13 @@ class Decoder:
                           chroma_format_idc=pic.sps.chroma_format_idc,
                           cb_qp_offset=p["cb_qp_offset"],
                           cr_qp_offset=p["cr_qp_offset"])
-        if getattr(pic, "sao_map", None):
+        sao_map = getattr(pic, "sao_map", None)
+        if not sao_map and getattr(pic, "has_sao", False):
+            from ..native import sao_arrays_to_map
+            sao_map = sao_arrays_to_map(pic)
+        if sao_map:
             from ..ops.sao import apply_sao_frame
-            apply_sao_frame(pic.planes, pic.sao_map,
+            apply_sao_frame(pic.planes, sao_map,
                             1 << pic.sps.log2_ctb_size,
                             pic.sps.bit_depth_luma,
                             pic.sps.sub_w, pic.sps.sub_h)

@@ -1,11 +1,21 @@
 """Native (C++) stage-A front-end: build, load, and marshal.
 
 The reference implements its entropy front-end in C with per-arch
-assembly (reference: libavcodec/cabac.c, hevc_cabac.c:2408); this module
-is our native-runtime equivalent — a C++ shared library compiled on
-first use with the baked-in toolchain and driven through ctypes.  The
-Python CABAC engine (hevc_tpu/cabac) remains the correctness oracle;
-bit-exact equivalence is asserted by tests/test_native.py.
+assembly (reference: libavcodec/cabac.c, hevc_cabac.c, hevcdec.c:2845
+hls_decode_entry); this module is our native-runtime equivalent — a C++
+shared library compiled on first use with the baked-in toolchain and
+driven through ctypes.  Two entry points:
+
+  hevc_native_decode_residual — one transform block's residual coding
+      (used by the inline/oracle path as a drop-in hot-loop kernel);
+  hevc_native_decode_slice — the FULL CTU syntax loop for one slice
+      segment chain (quadtree, CU/PU/TU syntax, MV derivation, QP state,
+      SAO, PCM, WPP/tile segments), emitting a decode-ordered BlockRecord
+      stream + residual-level pool + SAO parameter maps.
+
+The Python CABAC engine/syntax layer (hevc_tpu/cabac, decoder/core.py)
+remains the correctness oracle; bit-exact equivalence is asserted by
+tests/test_native.py and tests/test_native_stagea.py.
 
 Set HEVC_TPU_NATIVE=0 to force the pure-Python path.
 """
@@ -20,16 +30,55 @@ from functools import lru_cache
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "residual.cpp")
-_SO = os.path.join(_DIR, "_residual.so")
+_SRC = os.path.join(_DIR, "stage_a.cpp")
+_HDRS = (os.path.join(_DIR, "stage_a_engine.h"),
+         os.path.join(_DIR, "stage_a_syntax.h"))
+_SO = os.path.join(_DIR, "_stagea.so")
 
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+# record stream layout — must match stage_a.cpp REC_* enum
+REC_NCOLS = 24
+(REC_KIND, REC_PLANE, REC_X, REC_Y, REC_W, REC_H, REC_MODE, REC_QP,
+ REC_FLAGS, REC_MTX, REC_LVL, REC_MVX0, REC_MVY0, REC_REF0, REC_MVX1,
+ REC_MVY1, REC_REF1, REC_WPW0, REC_WPO0, REC_WPW1, REC_WPO1,
+ REC_LOG2WD) = range(22)
+KIND_INTRA, KIND_RESID, KIND_MC, KIND_PCM = range(4)
+F_DST, F_TS, F_TQB, F_BI, F_LX = 1, 2, 4, 8, 16
+
+
+class NativeParams(C.Structure):
+    """Mirror of stage_a.cpp `struct Params` (field order must match)."""
+    _fields_ = [(n, C.c_int32) for n in (
+        "width", "height", "ctb_w", "ctb_h", "h4", "w4",
+        "log2_ctb", "log2_min_cb", "log2_min_tb", "log2_max_tb",
+        "max_tr_depth_intra", "max_tr_depth_inter",
+        "chroma_fmt", "sub_w", "sub_h", "bd_luma", "bd_chroma",
+        "qp_bd_offset",
+        "amp_enabled", "pcm_enabled", "log2_min_pcm", "log2_max_pcm",
+        "pcm_bd_luma", "pcm_bd_chroma", "pcm_filter_disabled",
+        "sao_enabled", "have_scaling",
+        "slice_qp",
+        "cu_qp_delta_enabled", "diff_cu_qp_delta_depth",
+        "tq_bypass_enabled", "ts_enabled", "log2_max_ts", "sdh",
+        "pps_cb_qp_offset", "pps_cr_qp_offset",
+        "wpp", "tiles",
+        "slice_type", "sao_luma", "sao_chroma",
+        "max_merge", "nref0", "nref1", "mvd_l1_zero",
+        "slice_idx_val", "seg_addr",
+        "sh_cb_qp_offset", "sh_cr_qp_offset",
+        "has_tmvp", "no_backward", "col_from_l0",
+        "has_wp", "wp_log2wd_luma", "wp_log2wd_chroma",
+        "n_segs", "n_ctx",
+    )]
 
 
 def _build() -> str:
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+    srcs_mtime = max(os.path.getmtime(p) for p in (_SRC,) + _HDRS)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < srcs_mtime:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
              "-o", _SO + ".tmp"],
@@ -54,7 +103,27 @@ def _lib():
         _I32P, _I32P, _I32P,                         # sub/coef scan, pos map
         _I32P, C.POINTER(C.c_int32),                 # levels, ts_flag
     ]
-    return fn
+    fs = lib.hevc_native_decode_slice
+    fs.restype = C.c_int64
+    fs.argtypes = [
+        C.c_char_p, C.c_int64, _I64P,                # rbsp, nbytes, segs
+        C.POINTER(NativeParams),
+        _U8P, _U8P, _I32P,                           # fresh_ctx, ctx, stat
+        _I32P, _I32P, _I32P,                         # ctx_off, scans, s_off
+        _I32P, _I32P, _I32P, _I32P,                  # pps tables
+        _I8P, _U8P, _I8P, _U8P, _I8P, _I32P,         # mode..slice_idx
+        _U8P, _U8P, _U8P, _U8P, _U8P, _U8P, _U8P,    # tqb..cbf_luma
+        _I32P, _I8P, _I64P, _I32P, _I8P, _I64P,      # mv/ref/poc l0,l1
+        _I64P,                                       # z_order
+        _I64P, _U8P, _I64P, _U8P,                    # ref lists
+        _I32P, _I64P, _I32P, _I64P,                  # col motion
+        C.c_int64, C.c_int64,                        # col_poc, cur_poc
+        _I32P, _I32P,                                # wp_w, wp_o
+        _I32P, _I32P, _I32P, _I32P,                  # sao out
+        _I32P, C.c_int64, _I32P, C.c_int64,          # rec, cap, lvl, cap
+        _I64P,                                       # out_counts
+    ]
+    return lib
 
 
 def available() -> bool:
@@ -68,8 +137,34 @@ def available() -> bool:
         return False
 
 
+# fixed CtxId order of stage_a.cpp — the offsets array is built from the
+# Python layout (single source of truth: hevc_tpu.cabac.ctx CTX_OFFSET)
+_CTX_ORDER = (
+    "sao_merge_flag", "sao_type_idx", "split_cu_flag",
+    "cu_transquant_bypass_flag", "cu_skip_flag", "cu_qp_delta",
+    "pred_mode_flag", "part_mode", "prev_intra_luma_pred_flag",
+    "intra_chroma_pred_mode", "merge_flag", "merge_idx", "inter_pred_idc",
+    "ref_idx_l0", "ref_idx_l1", "abs_mvd_greater0_flag",
+    "abs_mvd_greater1_flag", "mvp_lx_flag", "no_residual_data_flag",
+    "split_transform_flag", "cbf_luma", "cbf_cbcr", "transform_skip_flag",
+    "explicit_rdpcm_flag", "explicit_rdpcm_dir_flag",
+    "last_sig_coeff_x_prefix", "last_sig_coeff_y_prefix",
+    "coded_sub_block_flag", "sig_coeff_flag",
+    "coeff_abs_level_greater1_flag", "coeff_abs_level_greater2_flag",
+    "log2_res_scale_abs", "res_scale_sign_flag",
+    "cu_chroma_qp_offset_flag", "cu_chroma_qp_offset_idx",
+)
+
+
+@lru_cache(maxsize=None)
+def _full_ctx_offsets() -> np.ndarray:
+    from ..cabac.ctx import CTX_OFFSET
+    return np.array([CTX_OFFSET[n] for n in _CTX_ORDER], np.int32)
+
+
 @lru_cache(maxsize=None)
 def _ctx_offsets() -> np.ndarray:
+    """Legacy 7-entry layout of the residual-only entry."""
     from ..cabac.ctx import CTX_OFFSET
 
     names = ("transform_skip_flag", "last_sig_coeff_x_prefix",
@@ -89,6 +184,23 @@ def _scan_tables(scan_idx: int, log2_size: int):
             np.ascontiguousarray(pos_of_xy.reshape(-1), np.int32))
 
 
+@lru_cache(maxsize=1)
+def _scan_bank():
+    """All scan tables flattened into one buffer + offsets per
+    (scan_idx, log2_size, {sub, coef, pos})."""
+    parts = []
+    offs = np.zeros(3 * 4 * 3, np.int32)
+    pos = 0
+    for scan in range(3):
+        for log2 in range(2, 6):
+            trip = _scan_tables(scan, log2)
+            for k, arr in enumerate(trip):
+                offs[(scan * 4 + (log2 - 2)) * 3 + k] = pos
+                parts.append(arr)
+                pos += arr.size
+    return np.concatenate(parts).astype(np.int32), offs
+
+
 def decode_residual(d, cm, log2_size: int, c_idx: int, scan_idx: int, *,
                     sign_data_hiding: bool = False,
                     transform_skip_allowed: bool = False,
@@ -96,7 +208,7 @@ def decode_residual(d, cm, log2_size: int, c_idx: int, scan_idx: int, *,
     """Drop-in replacement for coding.residual.decode_residual backed by
     the C++ kernel.  Marshals the CabacDecoder + ContextModel state in
     and out around the call."""
-    fn = _lib()
+    fn = _lib().hevc_native_decode_residual
     size = 1 << log2_size
     ctx = np.array(cm.states, np.uint8)
     sub_scan, coef_scan, pos_of_xy = _scan_tables(scan_idx, log2_size)
@@ -124,3 +236,274 @@ def decode_residual(d, cm, log2_size: int, c_idx: int, scan_idx: int, *,
     d._nbits = nbits.value
     cm.states[:] = ctx.tolist()
     return levels, int(ts_flag.value)
+
+
+# ---------------------------------------------------------------------------
+# Full-slice stage-A front-end
+# ---------------------------------------------------------------------------
+
+_BUF_CACHE: dict = {}
+
+
+def _buffers(w4: int, h4: int, fmt: int):
+    """Worst-case record/level buffers, cached per picture geometry.
+
+    Records: every 4x4 luma TU + worst-case chroma TUs + MC triples stay
+    under 4 rows per 4x4 luma block; levels: total coded coefficients
+    cannot exceed total samples across planes."""
+    key = (w4, h4, fmt)
+    if key not in _BUF_CACHE:
+        n44 = w4 * h4
+        cap_rec = 4 * n44 + 1024
+        cfrac = {0: 0, 1: 8, 2: 16, 3: 32}[fmt]
+        cap_lvl = 16 * n44 + (cfrac * n44 * 16) // 16 + 4096
+        _BUF_CACHE[key] = (np.empty((cap_rec, REC_NCOLS), np.int32),
+                           np.empty(cap_lvl, np.int32))
+    return _BUF_CACHE[key]
+
+
+def _pps_tables(pps):
+    tabs = getattr(pps, "_native_tabs", None)
+    if tabs is None:
+        tabs = tuple(np.ascontiguousarray(a, np.int32) for a in (
+            pps.ctb_addr_rs_to_ts, pps.ctb_addr_ts_to_rs,
+            pps.tile_id_of_ts, pps.tile_of_ctb))
+        pps._native_tabs = tabs
+    return tabs
+
+
+def _wp_tables(sh, sps):
+    """[list][plane][ref] weight/offset tables with reference-style
+    offset scaling (offset << (bd - 8)); log2wd per plane class."""
+    wt = sh.weight_table
+    w = np.zeros((2, 3, 16), np.int32)
+    o = np.zeros((2, 3, 16), np.int32)
+    if wt is None:
+        return w, o, 0, 0
+    os_l = sps.bit_depth_luma - 8
+    os_c = sps.bit_depth_chroma - 8
+    for li, (luma, chro) in enumerate(((wt.luma_l0, wt.chroma_l0),
+                                       (wt.luma_l1, wt.chroma_l1))):
+        for ridx in range(min(16, len(luma))):
+            w[li, 0, ridx] = luma[ridx][1]
+            o[li, 0, ridx] = luma[ridx][2] << os_l
+        for ridx in range(min(16, len(chro))):
+            _, ws, oss = chro[ridx]
+            for c in (1, 2):
+                w[li, c, ridx] = ws[c - 1]
+                o[li, c, ridx] = oss[c - 1] << os_c
+    log2wd_l = wt.luma_log2_denom + 14 - sps.bit_depth_luma
+    log2wd_c = wt.chroma_log2_denom + 14 - sps.bit_depth_chroma
+    return w, o, log2wd_l, log2wd_c
+
+
+def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
+    """Convert the native record stream into BlockRecords (decode order),
+    appending to `plan`.  Level arrays are views into the pool."""
+    from ..decoder.core import BlockRecord
+    rows = rec.tolist()
+    for r in rows:
+        kind = r[REC_KIND]
+        if kind == KIND_MC:
+            plan.append(BlockRecord(
+                plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=r[REC_W],
+                h=r[REC_H], mode=0, qp=0, levels=None, kind="mc",
+                bi=bool(r[REC_FLAGS] & F_BI),
+                lx=1 if (r[REC_FLAGS] & F_LX) else 0,
+                mv=(r[REC_MVX0], r[REC_MVY0]), ref_idx=r[REC_REF0],
+                mv1=(r[REC_MVX1], r[REC_MVY1]), ref_idx1=r[REC_REF1],
+                wp=((r[REC_WPW0], r[REC_WPO0], r[REC_WPW1], r[REC_WPO1],
+                     r[REC_LOG2WD]) if r[REC_LOG2WD] >= 0 else None)))
+        elif kind == KIND_PCM:
+            n = r[REC_W] * r[REC_H]
+            blk = lvl[r[REC_LVL]:r[REC_LVL] + n].reshape(r[REC_H], r[REC_W])
+            plan.append(BlockRecord(
+                plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=r[REC_W],
+                h=r[REC_H], mode=0, qp=0, levels=blk, kind="pcm"))
+        else:
+            size = r[REC_W]
+            loff = r[REC_LVL]
+            levels = None
+            if loff >= 0:
+                levels = lvl[loff:loff + size * size].reshape(size, size)
+            f = r[REC_FLAGS]
+            plan.append(BlockRecord(
+                plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=size,
+                mode=r[REC_MODE], qp=r[REC_QP], levels=levels,
+                dst=bool(f & F_DST), ts=bool(f & F_TS), tqb=bool(f & F_TQB),
+                kind="intra" if kind == KIND_INTRA else "resid",
+                mtx=r[REC_MTX]))
+
+
+def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
+                        seg_starts, slice_idx: int, ref_list, ref_list_l1,
+                        lt0, lt1, tmvp, cur_poc: int) -> int:
+    """Full-native stage A for one slice segment chain.
+
+    Appends BlockRecords to pic.plan, fills pic.sao_arrays, and updates
+    the per-4x4 picture maps in place.  Returns the last decoded CTB
+    address (raster scan)."""
+    from ..cabac.ctx import TOTAL_CONTEXTS, init_context_states
+
+    lib = _lib()
+    P = NativeParams()
+    slice_qp = pps.init_qp + sh.qp_delta
+    P.width, P.height = sps.width, sps.height
+    P.ctb_w, P.ctb_h = sps.ctb_w, sps.ctb_h
+    P.h4, P.w4 = pic.h4, pic.w4
+    P.log2_ctb = sps.log2_ctb_size
+    P.log2_min_cb = sps.log2_min_cb_size
+    P.log2_min_tb = sps.log2_min_tb_size
+    P.log2_max_tb = sps.log2_max_tb_size
+    P.max_tr_depth_intra = sps.max_transform_hierarchy_depth_intra
+    P.max_tr_depth_inter = sps.max_transform_hierarchy_depth_inter
+    P.chroma_fmt = sps.chroma_format_idc
+    P.sub_w, P.sub_h = sps.sub_w, sps.sub_h
+    P.bd_luma, P.bd_chroma = sps.bit_depth_luma, sps.bit_depth_chroma
+    P.qp_bd_offset = sps.qp_bd_offset
+    P.amp_enabled = int(sps.amp_enabled)
+    P.pcm_enabled = int(sps.pcm_enabled)
+    if sps.pcm_enabled:
+        P.log2_min_pcm = sps.log2_min_pcm_cb_size
+        P.log2_max_pcm = sps.log2_max_pcm_cb_size
+        P.pcm_bd_luma = sps.pcm_bit_depth_luma
+        P.pcm_bd_chroma = sps.pcm_bit_depth_chroma
+        P.pcm_filter_disabled = int(sps.pcm_loop_filter_disabled)
+    P.sao_enabled = int(sps.sao_enabled)
+    P.slice_qp = slice_qp
+    P.cu_qp_delta_enabled = int(pps.cu_qp_delta_enabled)
+    P.diff_cu_qp_delta_depth = pps.diff_cu_qp_delta_depth
+    P.tq_bypass_enabled = int(pps.transquant_bypass_enabled)
+    P.ts_enabled = int(pps.transform_skip_enabled)
+    P.log2_max_ts = pps.log2_max_transform_skip_block_size
+    P.sdh = int(pps.sign_data_hiding)
+    P.pps_cb_qp_offset = pps.cb_qp_offset
+    P.pps_cr_qp_offset = pps.cr_qp_offset
+    P.wpp = int(pps.entropy_coding_sync_enabled)
+    P.tiles = int(pps.tiles_enabled)
+    P.slice_type = sh.slice_type
+    P.sao_luma, P.sao_chroma = int(sh.sao_luma), int(sh.sao_chroma)
+    P.max_merge = sh.max_num_merge_cand()
+    P.nref0 = sh.num_ref_idx_l0_active
+    P.nref1 = sh.num_ref_idx_l1_active
+    P.mvd_l1_zero = int(sh.mvd_l1_zero)
+    P.slice_idx_val = slice_idx
+    P.seg_addr = sh.segment_address
+    P.sh_cb_qp_offset = sh.cb_qp_offset
+    P.sh_cr_qp_offset = sh.cr_qp_offset
+    P.n_segs = len(seg_starts)
+    P.n_ctx = TOTAL_CONTEXTS
+
+    # active scaling lists (mirror of SliceDecoder.__init__)
+    scaling = None
+    if sps.scaling_list_enabled:
+        from ..coding.scaling import ScalingListData
+        if pps.scaling_list_data_present:
+            scaling = pps.scaling_list
+        else:
+            scaling = sps.scaling_list or ScalingListData()
+    pic.scaling = scaling
+    P.have_scaling = int(scaling is not None)
+
+    # TMVP collocated arrays
+    zero32 = np.zeros(2, np.int32)
+    zero64 = np.zeros(1, np.int64)
+    P.has_tmvp = int(tmvp is not None)
+    if tmvp is not None:
+        col = tmvp.col
+        col_mv0 = np.ascontiguousarray(col["mv0"].reshape(-1), np.int32)
+        col_poc0 = np.ascontiguousarray(col["poc0"].reshape(-1), np.int64)
+        col_mv1 = np.ascontiguousarray(col["mv1"].reshape(-1), np.int32)
+        col_poc1 = np.ascontiguousarray(col["poc1"].reshape(-1), np.int64)
+        col_poc = int(col["poc"])
+        P.no_backward = int(tmvp.no_backward)
+        P.col_from_l0 = int(tmvp.col_from_l0)
+    else:
+        col_mv0 = col_mv1 = zero32
+        col_poc0 = col_poc1 = zero64
+        col_poc = 0
+
+    # reference lists: poc + long-term flags
+    def _list(refs, lts):
+        n = max(1, len(refs))
+        pocs = np.zeros(n, np.int64)
+        lt = np.zeros(n, np.uint8)
+        for i, (poc, _pl) in enumerate(refs):
+            pocs[i] = poc
+        for i, v in enumerate(lts or ()):
+            lt[i] = int(bool(v))
+        return pocs, lt
+
+    pocs0, lts0 = _list(ref_list, lt0)
+    pocs1, lts1 = _list(ref_list_l1, lt1)
+
+    wp_w, wp_o, log2wd_l, log2wd_c = _wp_tables(sh, sps)
+    P.has_wp = int(sh.weight_table is not None)
+    P.wp_log2wd_luma = log2wd_l
+    P.wp_log2wd_chroma = log2wd_c
+
+    # SAO parameter maps, shared across the picture's slices
+    if getattr(pic, "sao_arrays", None) is None:
+        ct = (3, sps.ctb_h, sps.ctb_w)
+        pic.sao_arrays = (np.zeros(ct, np.int32), np.zeros(ct, np.int32),
+                          np.zeros(ct + (4,), np.int32),
+                          np.zeros(ct, np.int32))
+    sao_t, sao_b, sao_o, sao_e = pic.sao_arrays
+    if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+        pic.has_sao = True
+
+    fresh = np.array(init_context_states(init_type, slice_qp), np.uint8)
+    ctx = fresh.copy()
+    stat = np.zeros(4, np.int32)
+    scans, scan_off = _scan_bank()
+    tabs = _pps_tables(pps)
+    rec, lvl = _buffers(pic.w4, pic.h4, sps.chroma_format_idc)
+    out_counts = np.zeros(4, np.int64)
+    segs = np.ascontiguousarray(seg_starts, np.int64)
+
+    rc = lib.hevc_native_decode_slice(
+        rbsp, len(rbsp), segs, C.byref(P),
+        fresh, ctx, stat, _full_ctx_offsets(), scans, scan_off,
+        tabs[0], tabs[1], tabs[2], tabs[3],
+        pic.intra_mode_y, pic.is_intra.view(np.uint8), pic.ct_depth,
+        pic.skip_flag.view(np.uint8), pic.qp_y, pic.slice_idx,
+        pic.tq_bypass.view(np.uint8), pic.no_filter.view(np.uint8),
+        pic.edge_v.view(np.uint8), pic.edge_h.view(np.uint8),
+        pic.tu_edge_v.view(np.uint8), pic.tu_edge_h.view(np.uint8),
+        pic.cbf_luma.view(np.uint8),
+        pic.mv_l0.reshape(-1), pic.ref_l0, pic.ref_poc_l0.reshape(-1),
+        pic.mv_l1.reshape(-1), pic.ref_l1, pic.ref_poc_l1.reshape(-1),
+        pic.z_order.reshape(-1),
+        pocs0, lts0, pocs1, lts1,
+        col_mv0, col_poc0, col_mv1, col_poc1, col_poc, cur_poc,
+        wp_w.reshape(-1), wp_o.reshape(-1),
+        sao_t.reshape(-1), sao_b.reshape(-1), sao_o.reshape(-1),
+        sao_e.reshape(-1),
+        rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0], out_counts)
+    if rc != 0:
+        raise RuntimeError(f"native slice decode failed (rc={rc})")
+    n_rec, lvl_used, last_rs = (int(out_counts[0]), int(out_counts[1]),
+                                int(out_counts[2]))
+    # copy out the used slices so the cached buffers can be reused
+    rec_out = rec[:n_rec].copy()
+    lvl_out = lvl[:lvl_used].copy()
+    records_to_plan(rec_out, lvl_out, pic.plan)
+    return last_rs
+
+
+def sao_arrays_to_map(pic) -> dict:
+    """Convert native SAO parameter arrays into the Python sao_map shape
+    (dict of (xc, yc) -> SaoParams) for the NumPy filter path."""
+    from ..ops.sao import SaoParams
+    t, b, o, e = pic.sao_arrays
+    out = {}
+    ys, xs = np.nonzero(t.any(axis=0))
+    for yc, xc in zip(ys.tolist(), xs.tolist()):
+        prm = SaoParams()
+        for c in range(3):
+            prm.type_idx[c] = int(t[c, yc, xc])
+            prm.band_position[c] = int(b[c, yc, xc])
+            prm.offsets[c] = o[c, yc, xc].tolist()
+            prm.eo_class[c] = int(e[c, yc, xc])
+        out[(xc, yc)] = prm
+    return out

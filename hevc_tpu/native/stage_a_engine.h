@@ -1,30 +1,25 @@
-// Native (C++) CABAC residual-coding front-end — the stage-A hot loop.
+// Native stage-A engine: CABAC arithmetic decoder + residual coding core.
 //
-// This is the TPU framework's analogue of the reference's hottest
-// sequential kernel, ff_hevc_hls_coefficients_coding (reference:
-// libavcodec/hevc_cabac.c:2408) plus the arithmetic engine it drives
-// (libavcodec/cabac.c:177, cabac_functions.h:107).  It is a direct
+// This is the TPU framework's analogue of the reference's C entropy
+// engine (reference: libavcodec/cabac.c:177, cabac_functions.h:107,
+// hevc_cabac.c:2408 ff_hevc_hls_coefficients_coding).  It is a direct
 // re-expression of this repo's own spec-derived Python implementation
 // (hevc_tpu/cabac/engine.py, hevc_tpu/coding/residual.py) — H.265
 // clauses 9.3.4.3 (arithmetic decoding), 7.3.8.11 (residual_coding),
-// 9.3.4.2.3-9.3.4.2.6 (context derivations), 9.3.3.13
-// (coeff_abs_level_remaining) — NOT a port of the ffmpeg engine.
+// 9.3.4.2.3-9.3.4.2.6 (context derivations) — NOT a port of ffmpeg.
 //
-// Contract: bit-exact with the Python path.  The Python wrapper
-// (hevc_tpu/native/__init__.py) marshals the live CabacDecoder state and
-// the ContextModel byte array in and out around each transform-block
-// call; scan tables and context-offset layout are passed in so the
-// single source of truth for both stays in Python.
-//
-// Build: g++ -O3 -shared -fPIC residual.cpp -o _residual.so
+// Contract: bit-exact with the Python path (tests/test_native.py,
+// tests/test_native_stagea.py).
+#ifndef HEVC_TPU_STAGE_A_ENGINE_H
+#define HEVC_TPU_STAGE_A_ENGINE_H
 
 #include <cstdint>
 #include <cstring>
 
-namespace {
+namespace hevc_native {
 
 // Table 9-46: rangeTabLps[pStateIdx][qRangeIdx] (spec constant)
-const uint8_t RANGE_TAB_LPS[64][4] = {
+static const uint8_t RANGE_TAB_LPS[64][4] = {
     {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
     {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
     {105, 128, 152, 175}, {100, 122, 144, 166}, {95, 116, 137, 158},
@@ -50,7 +45,7 @@ const uint8_t RANGE_TAB_LPS[64][4] = {
 };
 
 // Table 9-47 (spec constant)
-const uint8_t TRANS_IDX_LPS[64] = {
+static const uint8_t TRANS_IDX_LPS[64] = {
     0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
     16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24, 24, 25, 26, 26, 27,
     27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35,
@@ -58,8 +53,8 @@ const uint8_t TRANS_IDX_LPS[64] = {
 };
 
 // 9.3.4.2.5: ctxIdxMap for 4x4 blocks
-const uint8_t CTX_IDX_MAP_4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
-                                     6, 6, 8, 8, 7, 7, 8, 8};
+static const uint8_t CTX_IDX_MAP_4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
+                                            6, 6, 8, 8, 7, 7, 8, 8};
 
 // Live arithmetic-decoder state, mirroring hevc_tpu.cabac.engine
 // CabacDecoder (data/bytepos/range/offset/_bitbuf/_nbits).
@@ -71,71 +66,109 @@ struct Cabac {
     int32_t offset;
     int32_t bitbuf;
     int32_t nbits;
+
+    inline int next_byte() {
+        int b = (bytepos < nbytes) ? data[bytepos] : 0;
+        bytepos++;
+        return b;
+    }
+
+    // 9.3.2.2 initialization (mirror of CabacDecoder.init)
+    inline void init_at(int64_t byte_offset) {
+        bytepos = byte_offset;
+        range = 510;
+        int b0 = next_byte();
+        int b1 = next_byte();
+        bitbuf = (b0 << 8) | b1;
+        offset = bitbuf >> 7;
+        bitbuf &= 0x7F;
+        nbits = 7;
+    }
+
+    inline int read_bit() {
+        if (nbits == 0) {
+            bitbuf = next_byte();
+            nbits = 8;
+        }
+        nbits--;
+        return (bitbuf >> nbits) & 1;
+    }
+
+    inline int decode_bin(uint8_t* ctx) {
+        int s = *ctx;
+        int p = s >> 1;
+        int mps = s & 1;
+        int rlps = RANGE_TAB_LPS[p][(range >> 6) & 3];
+        range -= rlps;
+        int bit;
+        if (offset >= range) {
+            bit = 1 - mps;
+            offset -= range;
+            range = rlps;
+            if (p == 0)
+                mps = 1 - mps;
+            *ctx = (uint8_t)((TRANS_IDX_LPS[p] << 1) | mps);
+        } else {
+            bit = mps;
+            int nxt = p < 62 ? p + 1 : p;  // transIdxMps: min(p+1, 62)
+            if (p == 63)
+                nxt = 63;
+            *ctx = (uint8_t)((nxt << 1) | mps);
+        }
+        while (range < 256) {
+            range <<= 1;
+            offset = (offset << 1) | read_bit();
+        }
+        return bit;
+    }
+
+    inline int decode_bypass() {
+        offset = (offset << 1) | read_bit();
+        if (offset >= range) {
+            offset -= range;
+            return 1;
+        }
+        return 0;
+    }
+
+    inline int decode_bypass_bits(int n) {
+        int v = 0;
+        for (int i = 0; i < n; i++)
+            v = (v << 1) | decode_bypass();
+        return v;
+    }
+
+    inline int decode_terminate() {
+        range -= 2;
+        if (offset >= range)
+            return 1;
+        while (range < 256) {
+            range <<= 1;
+            offset = (offset << 1) | read_bit();
+        }
+        return 0;
+    }
+
+    // after pcm_flag's terminate: flush + byte-align; returns payload
+    // start (mirror of CabacDecoder.begin_pcm)
+    inline int64_t begin_pcm() {
+        int64_t pos = (8 * bytepos - nbits + 7) >> 3;
+        bitbuf = 0;
+        nbits = 0;
+        bytepos = pos;
+        return pos;
+    }
 };
-
-static inline int read_bit(Cabac* c) {
-    if (c->nbits == 0) {
-        c->bitbuf = (c->bytepos < c->nbytes) ? c->data[c->bytepos] : 0;
-        c->bytepos++;
-        c->nbits = 8;
-    }
-    c->nbits--;
-    return (c->bitbuf >> c->nbits) & 1;
-}
-
-static inline int decode_bin(Cabac* c, uint8_t* ctx) {
-    int s = *ctx;
-    int p = s >> 1;
-    int mps = s & 1;
-    int rlps = RANGE_TAB_LPS[p][(c->range >> 6) & 3];
-    c->range -= rlps;
-    int bit;
-    if (c->offset >= c->range) {
-        bit = 1 - mps;
-        c->offset -= c->range;
-        c->range = rlps;
-        if (p == 0)
-            mps = 1 - mps;
-        *ctx = (uint8_t)((TRANS_IDX_LPS[p] << 1) | mps);
-    } else {
-        bit = mps;
-        int nxt = p < 62 ? p + 1 : p;  // transIdxMps: min(p+1, 62), 63 fixed
-        if (p == 63)
-            nxt = 63;
-        *ctx = (uint8_t)((nxt << 1) | mps);
-    }
-    while (c->range < 256) {
-        c->range <<= 1;
-        c->offset = (c->offset << 1) | read_bit(c);
-    }
-    return bit;
-}
-
-static inline int decode_bypass(Cabac* c) {
-    c->offset = (c->offset << 1) | read_bit(c);
-    if (c->offset >= c->range) {
-        c->offset -= c->range;
-        return 1;
-    }
-    return 0;
-}
-
-static inline int decode_bypass_bits(Cabac* c, int n) {
-    int v = 0;
-    for (int i = 0; i < n; i++)
-        v = (v << 1) | decode_bypass(c);
-    return v;
-}
 
 // coeff_abs_level_remaining (9.3.3.13): TR prefix + EGk escape
 static inline int decode_remaining(Cabac* c, int rice) {
     int prefix = 0;
-    while (prefix < 24 && decode_bypass(c))
+    while (prefix < 24 && c->decode_bypass())
         prefix++;
     if (prefix < 3)
-        return (prefix << rice) + decode_bypass_bits(c, rice);
+        return (prefix << rice) + c->decode_bypass_bits(rice);
     int nbits = prefix - 3 + rice;
-    return (((1 << (prefix - 3)) + 2) << rice) + decode_bypass_bits(c, nbits);
+    return (((1 << (prefix - 3)) + 2) << rice) + c->decode_bypass_bits(nbits);
 }
 
 // 9.3.4.2.5 sig_coeff_flag context (mirror of residual.py _sig_ctx)
@@ -176,35 +209,39 @@ static inline int sig_ctx(int log2_size, int c_idx, int xc, int yc,
     return s + (c_idx ? 27 : 0);
 }
 
-}  // namespace
+// Context-offset layout indices, matching the fixed order the Python
+// wrapper emits (hevc_tpu.cabac.ctx _LAYOUT order — single source of
+// truth stays in Python).
+enum CtxId {
+    SAO_MERGE_FLAG = 0, SAO_TYPE_IDX, SPLIT_CU_FLAG,
+    CU_TRANSQUANT_BYPASS_FLAG, CU_SKIP_FLAG, CU_QP_DELTA, PRED_MODE_FLAG,
+    PART_MODE, PREV_INTRA_LUMA_PRED_FLAG, INTRA_CHROMA_PRED_MODE,
+    MERGE_FLAG, MERGE_IDX, INTER_PRED_IDC, REF_IDX_L0, REF_IDX_L1,
+    ABS_MVD_GREATER0_FLAG, ABS_MVD_GREATER1_FLAG, MVP_LX_FLAG,
+    NO_RESIDUAL_DATA_FLAG, SPLIT_TRANSFORM_FLAG, CBF_LUMA, CBF_CBCR,
+    TRANSFORM_SKIP_FLAG, EXPLICIT_RDPCM_FLAG, EXPLICIT_RDPCM_DIR_FLAG,
+    LAST_SIG_X, LAST_SIG_Y, CODED_SUB_BLOCK_FLAG, SIG_COEFF_FLAG,
+    GREATER1, GREATER2, LOG2_RES_SCALE_ABS, RES_SCALE_SIGN,
+    CU_CHROMA_QP_OFFSET_FLAG, CU_CHROMA_QP_OFFSET_IDX, N_CTX_IDS
+};
 
-// Context-offset layout passed from Python (single source of truth is
-// hevc_tpu.cabac.ctx CTX_OFFSET):
-//   off[0] transform_skip_flag      off[1] last_sig_coeff_x_prefix
-//   off[2] last_sig_coeff_y_prefix  off[3] coded_sub_block_flag
-//   off[4] sig_coeff_flag           off[5] coeff_abs_level_greater1_flag
-//   off[6] coeff_abs_level_greater2_flag
-extern "C" int hevc_native_decode_residual(
-    const uint8_t* data, int64_t nbytes,
-    int64_t* io_bytepos, int32_t* io_range, int32_t* io_offset,
-    int32_t* io_bitbuf, int32_t* io_nbits,
-    uint8_t* ctx, const int32_t* off,
+// residual_coding (7.3.8.11) — decodes one TB's levels into `levels`
+// (size*size int32, zeroed here).  `off` maps CtxId -> ctx array base.
+// Scan tables are passed in (single source of truth: coding/scans.py).
+// Mirrors coding/residual.py decode_residual exactly.
+static inline void decode_residual_core(
+    Cabac* c, uint8_t* ctx, const int32_t* off,
     int32_t log2_size, int32_t c_idx, int32_t scan_idx,
     int32_t sign_data_hiding, int32_t ts_allowed, int32_t tq_bypass,
-    const int32_t* sub_scan,   // [nsb*nsb][2] (xS, yS)
-    const int32_t* coef_scan,  // [16][2] (xP, yP)
-    const int32_t* pos_of_xy,  // [size*size] global scan position
-    int32_t* levels,           // out [size*size], caller-zeroed or not
-    int32_t* ts_flag_out) {
-    Cabac cb = {data, *io_bytepos, nbytes, *io_range, *io_offset,
-                *io_bitbuf, *io_nbits};
-    Cabac* c = &cb;
+    const int32_t* sub_scan, const int32_t* coef_scan,
+    const int32_t* pos_of_xy, int32_t* levels, int32_t* ts_flag_out) {
     const int size = 1 << log2_size;
     memset(levels, 0, sizeof(int32_t) * size * size);
 
     int ts_flag = 0;
     if (ts_allowed && !tq_bypass)
-        ts_flag = decode_bin(c, ctx + off[0] + (c_idx ? 1 : 0));
+        ts_flag = c->decode_bin(
+            ctx + off[TRANSFORM_SKIP_FLAG] + (c_idx ? 1 : 0));
     *ts_flag_out = ts_flag;
 
     // ---- last significant coefficient position ----
@@ -218,21 +255,23 @@ extern "C" int hevc_native_decode_residual(
     }
     int cmax = (log2_size << 1) - 1;
     int px = 0;
-    while (px < cmax && decode_bin(c, ctx + off[1] + coff + (px >> cshift)))
+    while (px < cmax
+           && c->decode_bin(ctx + off[LAST_SIG_X] + coff + (px >> cshift)))
         px++;
     int py = 0;
-    while (py < cmax && decode_bin(c, ctx + off[2] + coff + (py >> cshift)))
+    while (py < cmax
+           && c->decode_bin(ctx + off[LAST_SIG_Y] + coff + (py >> cshift)))
         py++;
     int last_x, last_y;
     if (px > 3) {
         int nb = (px >> 1) - 1;
-        last_x = ((2 + (px & 1)) << nb) + decode_bypass_bits(c, nb);
+        last_x = ((2 + (px & 1)) << nb) + c->decode_bypass_bits(nb);
     } else {
         last_x = px;
     }
     if (py > 3) {
         int nb = (py >> 1) - 1;
-        last_y = ((2 + (py & 1)) << nb) + decode_bypass_bits(c, nb);
+        last_y = ((2 + (py & 1)) << nb) + c->decode_bypass_bits(nb);
     } else {
         last_y = py;
     }
@@ -258,7 +297,7 @@ extern "C" int hevc_native_decode_residual(
             int right = (xs + 1 < nsb) ? csbf[ys * nsb + xs + 1] : 0;
             int below = (ys + 1 < nsb) ? csbf[(ys + 1) * nsb + xs] : 0;
             int cx = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
-            sbf = decode_bin(c, ctx + off[3] + cx);
+            sbf = c->decode_bin(ctx + off[CODED_SUB_BLOCK_FLAG] + cx);
             infer_dc = 1;
         } else {
             sbf = 1;
@@ -280,7 +319,7 @@ extern "C" int hevc_native_decode_residual(
             int xp = coef_scan[2 * n], yp = coef_scan[2 * n + 1];
             int cx = sig_ctx(log2_size, c_idx, (xs << 2) + xp,
                              (ys << 2) + yp, scan_idx, csbf, nsb);
-            if (decode_bin(c, ctx + off[4] + cx)) {
+            if (c->decode_bin(ctx + off[SIG_COEFF_FLAG] + cx)) {
                 sig_pos[nsig++] = n;
                 infer_dc = 0;
             }
@@ -291,7 +330,7 @@ extern "C" int hevc_native_decode_residual(
             } else {
                 int cx = sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
                                  scan_idx, csbf, nsb);
-                if (decode_bin(c, ctx + off[4] + cx))
+                if (c->decode_bin(ctx + off[SIG_COEFF_FLAG] + cx))
                     sig_pos[nsig++] = 0;
             }
         }
@@ -306,7 +345,7 @@ extern "C" int hevc_native_decode_residual(
         int n_gt1 = nsig < 8 ? nsig : 8;
         for (int m = 0; m < n_gt1; m++) {
             int base = (c_idx ? 16 : 0) + 4 * ctx_set + c1;
-            int f = decode_bin(c, ctx + off[5] + base);
+            int f = c->decode_bin(ctx + off[GREATER1] + base);
             gt1[m] = f;
             if (f) {
                 if (gt2_target < 0)
@@ -318,16 +357,17 @@ extern "C" int hevc_native_decode_residual(
         }
         int gt2 = 0;
         if (gt2_target >= 0)
-            gt2 = decode_bin(c, ctx + off[6] + (c_idx ? 4 : 0) + ctx_set);
+            gt2 = c->decode_bin(ctx + off[GREATER2] + (c_idx ? 4 : 0)
+                                + ctx_set);
 
         // signs (bypass; possibly one hidden)
         int first_nz = sig_pos[nsig - 1], last_nz = sig_pos[0];
-        int hidden = (sign_data_hiding && !tq_bypass &&
-                      (last_nz - first_nz) >= 4);
+        int hidden = (sign_data_hiding && !tq_bypass
+                      && (last_nz - first_nz) >= 4);
         int nsigns = hidden ? nsig - 1 : nsig;
         int signs[16];
         for (int m = 0; m < nsigns; m++)
-            signs[m] = decode_bypass(c);
+            signs[m] = c->decode_bypass();
 
         // remaining levels
         int rice = 0;
@@ -359,14 +399,12 @@ extern "C" int hevc_native_decode_residual(
                 sgn = (sum_abs & 1) ? -1 : 1;
             else
                 sgn = signs[m] ? -1 : 1;
-            levels[((ys << 2) + yp) * size + (xs << 2) + xp] = sgn * lvls[m];
+            levels[((ys << 2) + yp) * size + (xs << 2) + xp]
+                = sgn * lvls[m];
         }
     }
-
-    *io_bytepos = c->bytepos;
-    *io_range = c->range;
-    *io_offset = c->offset;
-    *io_bitbuf = c->bitbuf;
-    *io_nbits = c->nbits;
-    return 0;
 }
+
+}  // namespace hevc_native
+
+#endif  // HEVC_TPU_STAGE_A_ENGINE_H

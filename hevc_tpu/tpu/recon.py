@@ -217,6 +217,8 @@ def pack_sao_params(pic):
 
     Returns (type, band_pos, offs4, eo_class) — offs4 carries the 4
     signed offsets for either band (k=0..3) or edge (categories 1..4)."""
+    if getattr(pic, "sao_arrays", None) is not None:
+        return pic.sao_arrays  # native stage A fills these directly
     sps = pic.sps
     cty, ctx = sps.ctb_h, sps.ctb_w
     sao_map = getattr(pic, "sao_map", None) or {}
@@ -244,7 +246,8 @@ def finish_frame_jax(pic, plan) -> None:
     if do_deblock:
         pic.compute_bs()
     sao_t, sao_b, sao_e, sao_c = pack_sao_params(pic)
-    do_sao = bool(getattr(pic, "sao_map", None))
+    do_sao = bool(getattr(pic, "sao_map", None)) \
+        or bool(getattr(pic, "has_sao", False))
     regions = tuple(pf.region[p] for p in range(3))
     y, cb, cr = decode_frame_device(
         jnp.asarray(pf.canvas),
@@ -275,3 +278,5 @@ def finish_frame_jax(pic, plan) -> None:
     pic.deblock_params = None
     if hasattr(pic, "sao_map"):
         pic.sao_map = {}
+    pic.has_sao = False
+    pic.sao_arrays = None
