@@ -12,6 +12,7 @@ inter and loop filters land in subsequent milestones.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -1316,6 +1317,11 @@ class Decoder:
             lay.cur_pts = self.next_pts
             if self.recon_backend != "inline":
                 lay.cur_pic.plan = []
+                if self.recon_backend == "jax" and _native_slice() \
+                        and os.environ.get("HEVC_TPU_NATIVE_PACK",
+                                           "1") != "0":
+                    # raw record chunks feed the native packer directly
+                    lay.cur_pic.native_chunks = []
             lay.slice_counter = 0
             if nalmod.is_idr_nal(nal.type):
                 self._drain_output(lay)  # prior pictures precede the IDR

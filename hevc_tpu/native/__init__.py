@@ -32,7 +32,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "stage_a.cpp")
 _HDRS = (os.path.join(_DIR, "stage_a_engine.h"),
-         os.path.join(_DIR, "stage_a_syntax.h"))
+         os.path.join(_DIR, "stage_a_syntax.h"),
+         os.path.join(_DIR, "stage_a_pack.h"))
 _SO = os.path.join(_DIR, "_stagea.so")
 
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -487,7 +488,12 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
     # copy out the used slices so the cached buffers can be reused
     rec_out = rec[:n_rec].copy()
     lvl_out = lvl[:lvl_used].copy()
-    records_to_plan(rec_out, lvl_out, pic.plan)
+    chunks = getattr(pic, "native_chunks", None)
+    if chunks is not None:
+        # fast path: raw record chunks straight into the native packer
+        chunks.append((rec_out, lvl_out))
+    else:
+        records_to_plan(rec_out, lvl_out, pic.plan)
     return last_rs
 
 
@@ -507,3 +513,217 @@ def sao_arrays_to_map(pic) -> dict:
             prm.eo_class[c] = int(e[c, yc, xc])
         out[(xc, yc)] = prm
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native packer: record stream -> PackedFrame arrays
+# ---------------------------------------------------------------------------
+
+class PackParams(C.Structure):
+    """Mirror of stage_a_pack.h `struct PackP` (field order must match)."""
+    _fields_ = [(n, C.c_int32) for n in (
+        "width", "height", "sub_w", "sub_h", "h4", "w4",
+        "log2_ctb", "ctb_w", "ctb_h",
+        "chroma444", "smoothing_disabled", "strong_smoothing",
+        "nrefs", "r0", "pad_ref",
+    )] + [("reg", C.c_int32 * 12)]
+
+
+@lru_cache(maxsize=1)
+def _pack_fn():
+    lib = _lib()
+    fn = lib.hevc_native_pack_records
+    fn.restype = C.c_int64
+    fn.argtypes = [
+        _I32P, C.c_int64, C.POINTER(PackParams),
+        _I64P, _I32P, _I32P,                  # z_order, slice_idx, tiles
+        _I32P, _U8P, _I32P, _I32P, _I32P, _I32P,  # imeta..pcmrow
+        _I64P,                                # out_counts
+    ]
+    return fn
+
+
+def _concat_chunks(chunks):
+    """Concatenate per-slice (rec, lvl) chunks, rebasing level offsets."""
+    if len(chunks) == 1:
+        return chunks[0]
+    recs, lvls = [], []
+    base = 0
+    for rec, lvl in chunks:
+        if base:
+            rec = rec.copy()
+            mask = rec[:, REC_LVL] >= 0
+            rec[mask, REC_LVL] += base
+        recs.append(rec)
+        lvls.append(lvl)
+        base += lvl.shape[0]
+    return np.concatenate(recs), np.concatenate(lvls)
+
+
+def _scale_bank(pic):
+    """Per-class scaling-matrix banks (slot 0 = flat 16), cached on the
+    active ScalingListData."""
+    scaling = getattr(pic, "scaling", None)
+    if scaling is not None:
+        bank = getattr(scaling, "_native_bank", None)
+        if bank is not None:
+            return bank
+    bank = []
+    for c in range(4):
+        s_sz = 4 << c
+        b = np.full((7, s_sz, s_sz), 16, np.int32)
+        if scaling is not None:
+            for mid in range(6):
+                b[mid + 1] = scaling.factor(c + 2, mid)[0]
+        bank.append(b)
+    bank = tuple(bank)
+    if scaling is not None:
+        scaling._native_bank = bank
+    return bank
+
+
+def pack_frame_native(pic):
+    """PackedFrame from the native record stream (pic.native_chunks) —
+    bit-identical to tpu.pack.pack_frame on the equivalent BlockRecord
+    plan (tests/test_native_pack.py)."""
+    from ..tpu.pack import (DUMP, PAD_REF, PackedFrame, _pow2_at_least,
+                            _round_up, region_offsets)
+    sps = pic.sps
+    reg, chh, cww = region_offsets(sps)
+    rec, lvl = _concat_chunks(pic.native_chunks)
+    n_rec = rec.shape[0]
+    refs0 = getattr(pic, "ref_list_l0", []) or []
+    refs1 = getattr(pic, "ref_list_l1", []) or []
+    refs = list(refs0) + list(refs1)
+
+    P = PackParams()
+    P.width, P.height = sps.width, sps.height
+    P.sub_w, P.sub_h = sps.sub_w, sps.sub_h
+    P.h4, P.w4 = pic.h4, pic.w4
+    P.log2_ctb = sps.log2_ctb_size
+    P.ctb_w, P.ctb_h = sps.ctb_w, sps.ctb_h
+    P.chroma444 = int(sps.chroma_format_idc == 3)
+    P.smoothing_disabled = int(sps.intra_smoothing_disabled)
+    P.strong_smoothing = int(sps.strong_intra_smoothing)
+    P.nrefs, P.r0 = len(refs), len(refs0)
+    P.pad_ref = PAD_REF
+    for p in range(3):
+        for k in range(4):
+            P.reg[p * 4 + k] = reg[p][k]
+
+    imeta = np.empty((max(1, n_rec), 11), np.int32)
+    iavail = np.zeros((max(1, n_rec), 128), np.uint8)
+    lmeta = np.empty((max(1, n_rec), 7), np.int32)
+    mcrow = np.empty((max(1, n_rec), 21), np.int32)
+    residr = np.empty((max(1, n_rec), 4), np.int32)
+    pcmrow = np.empty((max(1, n_rec), 6), np.int32)
+    counts = np.zeros(8, np.int64)
+    tabs = _pps_tables(pic.pps)
+    rc = _pack_fn()(
+        np.ascontiguousarray(rec).reshape(-1), n_rec, C.byref(P),
+        pic.z_order.reshape(-1), pic.slice_idx.reshape(-1), tabs[3],
+        imeta.reshape(-1), iavail.reshape(-1), lmeta.reshape(-1),
+        mcrow.reshape(-1), residr.reshape(-1), pcmrow.reshape(-1), counts)
+    if rc != 0:
+        raise RuntimeError(f"native pack failed (rc={rc})")
+    ni, nl, nm, nr, npcm, n_chunks_raw = (int(v) for v in counts[:6])
+
+    canvas = np.zeros((chh, cww), np.int32)
+    for plane, cy, cx, w, h, off in pcmrow[:npcm].tolist():
+        canvas[cy:cy + h, cx:cx + w] = lvl[off:off + w * h].reshape(h, w)
+
+    # per-class per-chunk scatter of prediction metadata
+    n_chunks = _round_up(max(1, n_chunks_raw), 16)
+    im = imeta[:ni]
+    iv = iavail[:ni]
+    cls_i = im[:, 0]
+    scal, avail = [], []
+    for c in range(4):
+        sel = np.nonzero(cls_i == c)[0]
+        cnt = int(im[sel, 2].max()) + 1 if sel.size else 0
+        B = _pow2_at_least(cnt) if cnt else 0
+        a = np.zeros((n_chunks, B, 8), np.int32)
+        a[:, :, 0] = DUMP
+        a[:, :, 1] = DUMP
+        a[:, :, 2] = 1
+        v = np.zeros((n_chunks, B, 128), bool)
+        if sel.size:
+            a[im[sel, 1], im[sel, 2]] = im[sel, 3:11]
+            v[im[sel, 1], im[sel, 2]] = iv[sel].astype(bool)
+        scal.append(a)
+        avail.append(v)
+
+    # per-class residual pools (slot order == emission order)
+    lm = lmeta[:nl]
+    levels, rmetas = [], []
+    for c, s in enumerate((4, 8, 16, 32)):
+        sel = np.nonzero(lm[:, 0] == c)[0]
+        nlv = _round_up(len(sel) + 1, 16)
+        arr = np.zeros((nlv, s, s), np.int32)
+        rm = np.zeros((nlv, 5), np.int32)
+        if sel.size:
+            offs = lm[sel, 1].astype(np.int64)
+            arr[:len(sel)] = lvl[offs[:, None]
+                                 + np.arange(s * s)[None, :]].reshape(
+                                     -1, s, s)
+            rm[:len(sel)] = lm[sel, 2:7]
+        levels.append(arr)
+        rmetas.append(rm)
+
+    # MC groups keyed (is_chroma, bi, w, h, wp), stable within groups
+    mcr = mcrow[:nm]
+    mc_groups = []
+    if nm:
+        wp_col = (mcr[:, 20] >= 0).astype(np.int32)
+        order = np.lexsort((wp_col, mcr[:, 3], mcr[:, 2], mcr[:, 1],
+                            mcr[:, 0]))
+        srt = mcr[order]
+        keys = np.column_stack([srt[:, :4], wp_col[order]])
+        bounds = [0] + (np.nonzero(np.any(np.diff(keys, axis=0) != 0,
+                                          axis=1))[0] + 1).tolist() \
+            + [nm]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            is_ch, bi, w, h, wp = (int(v) for v in keys[a])
+            cols = list(range(4, 14)) + [14, 15] if bi \
+                else [4, 5, 6, 7, 8, 14, 15]
+            if wp:
+                cols += [16, 17, 18, 19, 20]
+            mc_groups.append((bool(is_ch), bool(bi), w, h, bool(wp),
+                              np.ascontiguousarray(srt[a:b][:, cols])))
+    mc_groups = tuple(mc_groups)
+
+    rr = residr[:nr]
+    resid_groups = tuple(
+        np.ascontiguousarray(rr[rr[:, 0] == c][:, 1:4])
+        if (rr[:, 0] == c).any() else np.zeros((0, 3), np.int32)
+        for c in range(4))
+
+    if refs:
+        pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
+        refs_l = np.stack([np.pad(pl[0], pad, mode="edge")
+                           for _, pl in refs]).astype(np.int32)
+        refs_c = np.stack(
+            [np.pad(pl[1], pad, mode="edge") for _, pl in refs]
+            + [np.pad(pl[2], pad, mode="edge") for _, pl in refs]
+        ).astype(np.int32)
+        for is_ch, bi, w, h, _wp, fields in mc_groups:
+            hp, wp_ = (refs_c.shape[1:] if is_ch else refs_l.shape[1:])
+            ext = (3 if is_ch else 7)
+            assert ((fields[:, 1] + h + ext <= hp).all()
+                    and (fields[:, 2] + w + ext <= wp_).all()), \
+                "MV exceeds PAD_REF"
+            if bi:
+                assert ((fields[:, 6] + h + ext <= hp).all()
+                        and (fields[:, 7] + w + ext <= wp_).all()), \
+                    "MV exceeds PAD_REF"
+    else:
+        refs_l = np.zeros((1, 8, 8), np.int32)
+        refs_c = np.zeros((1, 8, 8), np.int32)
+
+    return PackedFrame(canvas=canvas, scal=tuple(scal), avail=tuple(avail),
+                       levels=tuple(levels), rmeta=tuple(rmetas),
+                       n_chunks=n_chunks, region=reg,
+                       bit_depth=sps.bit_depth_luma,
+                       mc_groups=mc_groups, resid_groups=resid_groups,
+                       refs_l=refs_l, refs_c=refs_c,
+                       scale_bank=_scale_bank(pic))

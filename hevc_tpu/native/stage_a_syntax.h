@@ -1110,4 +1110,6 @@ extern "C" int hevc_native_decode_residual(
     return 0;
 }
 
+#include "stage_a_pack.h"
+
 #endif  // HEVC_TPU_STAGE_A_SYNTAX_H

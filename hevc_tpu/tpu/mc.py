@@ -42,15 +42,19 @@ def _interp_raw(win, th, tv, w, h, ntaps, bd):
     return out >> 6
 
 
-def make_mc_group_fn(is_chroma: bool, bi: bool, w: int, h: int, bd: int):
-    """Build the vmapped MC for one (kind, bi, w, h) group.
+def make_mc_group_fn(is_chroma: bool, bi: bool, w: int, h: int, bd: int,
+                     wp: bool = False):
+    """Build the vmapped MC for one (kind, bi, w, h, wp) group.
 
     Uni fields (int32 [N,7]): ref_sel, base_y, base_x, frac_x, frac_y,
     cy, cx.  Bi fields ([N,12]): two (sel, by, bx, fx, fy) sets + cy, cx.
-    Base coords are padded-ref window origins."""
+    Explicit-WP groups (wp=True) append (w0, o0, w1, o1, log2wd) per row
+    (8.5.4.3.3; offsets pre-scaled by << (bd - 8)).  Base coords are
+    padded-ref window origins."""
     ntaps = 4 if is_chroma else 8
     taps = jnp.asarray(EPEL_TAPS if is_chroma else QPEL_TAPS)
     maxv = (1 << bd) - 1
+    base = 10 if bi else 5  # first col after the prediction fields
 
     def raw(refs, sel, by, bx, fx, fy):
         win = jax.lax.dynamic_slice(
@@ -61,12 +65,26 @@ def make_mc_group_fn(is_chroma: bool, bi: bool, w: int, h: int, bd: int):
         def one(refs, f):
             p0 = raw(refs, f[0], f[1], f[2], f[3], f[4])
             p1 = raw(refs, f[5], f[6], f[7], f[8], f[9])
+            if wp:
+                w0, o0 = f[base + 2], f[base + 3]
+                w1, o1 = f[base + 4], f[base + 5]
+                lwd = f[base + 6]
+                return jnp.clip(
+                    (p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << lwd))
+                    >> (lwd + 1), 0, maxv)
             shift = 15 - bd
             return jnp.clip((p0 + p1 + (1 << (shift - 1))) >> shift,
                             0, maxv)
     else:
         def one(refs, f):
             p = raw(refs, f[0], f[1], f[2], f[3], f[4])
+            if wp:
+                w0, o0, lwd = f[base + 2], f[base + 3], f[base + 6]
+                v = jnp.where(lwd >= 1,
+                              ((p * w0 + (1 << jnp.maximum(lwd - 1, 0)))
+                               >> lwd) + o0,
+                              p * w0 + o0)
+                return jnp.clip(v, 0, maxv)
             shift = 14 - bd
             return jnp.clip((p + (1 << (shift - 1))) >> shift, 0, maxv)
 
@@ -75,12 +93,13 @@ def make_mc_group_fn(is_chroma: bool, bi: bool, w: int, h: int, bd: int):
 
 def mc_phase(canvas, refs_l, refs_c, groups, bd):
     """Apply all MC predictions.  groups: tuple of
-    (is_chroma, bi, w, h, fields)."""
-    for is_chroma, bi, w, h, fields in groups:
+    (is_chroma, bi, w, h, wp, fields)."""
+    for is_chroma, bi, w, h, wp, fields in groups:
         refs = refs_c if is_chroma else refs_l
-        fn = make_mc_group_fn(is_chroma, bi, w, h, bd)
-        blk = fn(refs, fields[:, :-2])
-        cy, cx = fields[:, -2], fields[:, -1]
+        fn = make_mc_group_fn(is_chroma, bi, w, h, bd, wp)
+        blk = fn(refs, fields)
+        base = 10 if bi else 5
+        cy, cx = fields[:, base], fields[:, base + 1]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
         canvas = canvas.at[cy[:, None, None] + ii,

@@ -54,7 +54,10 @@ class PackedFrame:
     region: dict                  # plane -> (oy, ox, h, w)
     bit_depth: int
     # inter phases
-    mc_groups: tuple = ()         # ((is_chroma, w, h, fields[N,7]), ...)
+    mc_groups: tuple = ()         # ((is_chroma, bi, w, h, wp, fields), ...)
+                                  # fields int32 [N, 7|12 (+5 when wp)]:
+                                  # pred cols, cy, cx[, w0, o0, w1, o1,
+                                  # log2wd]
     resid_groups: tuple = ()      # per class int32 [N, 3] = (cy, cx, slot)
     refs_l: np.ndarray = None     # int32 [R, Hp, Wp] padded luma refs
     refs_c: np.ndarray = None     # int32 [2R, hp, wp] padded cb+cr refs
@@ -218,7 +221,8 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
     mc_grp = {}
     for r in mc_records:
         is_ch = r.plane > 0
-        key = (is_ch, bool(r.bi), r.size, r.h)
+        has_wp = r.wp is not None
+        key = (is_ch, bool(r.bi), r.size, r.h, has_wp)
         oy, ox, _, _ = reg[r.plane]
         if r.bi:
             row = (_mc_entry(r, r.plane, r.mv, r.ref_idx, 0)
@@ -227,10 +231,11 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
         else:
             row = (_mc_entry(r, r.plane, r.mv, r.ref_idx, r.lx)
                    + (oy + r.y, ox + r.x))
+        if has_wp:
+            row = row + tuple(r.wp)
         mc_grp.setdefault(key, []).append(row)
     mc_groups = tuple(
-        (k[0], k[1], k[2], k[3], np.asarray(v, np.int32))
-        for k, v in sorted(mc_grp.items()))
+        k + (np.asarray(v, np.int32),) for k, v in sorted(mc_grp.items()))
     resid_grp = [[] for _ in range(4)]
     for r in resid_records:
         c = classes[r.size]
@@ -247,7 +252,7 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
             [np.pad(pl[1], pad, mode="edge") for _, pl in refs]
             + [np.pad(pl[2], pad, mode="edge") for _, pl in refs]
         ).astype(np.int32)
-        for is_ch, bi, w, h, fields in mc_groups:
+        for is_ch, bi, w, h, _wp, fields in mc_groups:
             hp, wp = (refs_c.shape[1:] if is_ch else refs_l.shape[1:])
             ext = (3 if is_ch else 7)
             assert ((fields[:, 1] + h + ext <= hp).all()

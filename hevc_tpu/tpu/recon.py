@@ -56,8 +56,9 @@ def reconstruct_device(canvas, scal, avail, levels, rmeta,
 
 
 def _mc_args(pf: PackedFrame):
-    mc_shapes = tuple((ic, bi, w, h) for ic, bi, w, h, _ in pf.mc_groups)
-    mc_fields = tuple(jnp.asarray(f) for _, _, _, _, f in pf.mc_groups)
+    mc_shapes = tuple((ic, bi, w, h, wp)
+                      for ic, bi, w, h, wp, _ in pf.mc_groups)
+    mc_fields = tuple(jnp.asarray(f) for *_k, f in pf.mc_groups)
     resid_fields = tuple(jnp.asarray(g) for g in pf.resid_groups) \
         if pf.resid_groups else tuple(
             jnp.zeros((0, 3), jnp.int32) for _ in range(4))
@@ -85,7 +86,9 @@ def _pallas_args(pf: PackedFrame):
     """Host-side prep for the Pallas inter path: transposed/aligned
     field slabs (+ static block counts)."""
     from . import mc_pallas as MP
-    pg = MP.prepare_mc_fields(pf.mc_groups)
+    pg = MP.prepare_mc_fields(
+        tuple((ic, bi, w, h, f) for ic, bi, w, h, _wp, f
+              in pf.mc_groups))
     mc_ft = tuple(ft.arr for *_m, ft in pg)
     mc_meta = tuple((ic, bi, w, h, ft.n) for ic, bi, w, h, ft in pg)
     rf = MP.prepare_resid_fields(pf.resid_groups)
@@ -95,10 +98,14 @@ def _pallas_args(pf: PackedFrame):
 
 
 def _pallas_kwargs(pf: PackedFrame):
-    """kwargs bundle for decode_frame_device's Pallas inter path."""
+    """kwargs bundle for decode_frame_device's Pallas inter path.
+
+    Explicit-WP groups fall back to the XLA MC path (the Pallas kernels
+    do not weight yet)."""
     use_pallas = use_pallas_default() and bool(pf.mc_groups or
                                               any(g.shape[0]
-                                                  for g in pf.resid_groups))
+                                                  for g in pf.resid_groups)) \
+        and not any(wp for *_k, wp, _f in pf.mc_groups)
     if not use_pallas:
         return dict(use_pallas=False)
     mc_ft, mc_meta, resid_ft, resid_ns = _pallas_args(pf)
@@ -112,8 +119,9 @@ def _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
     """MC + inter-residual phases, Pallas or XLA flavour."""
     from .mc import mc_phase, resid_phase
     if not use_pallas:
-        groups = tuple((ic, bi, w, h, f)
-                       for (ic, bi, w, h), f in zip(mc_shapes, mc_fields))
+        groups = tuple((ic, bi, w, h, wp, f)
+                       for (ic, bi, w, h, wp), f in zip(mc_shapes,
+                                                        mc_fields))
         canvas = mc_phase(canvas, refs_l, refs_c, groups, bit_depth)
         return resid_phase(canvas, resid_fields, resids, bit_depth)
     from . import mc_pallas as MP
@@ -137,7 +145,8 @@ def run_packed(pf: PackedFrame):
     mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
     use_pallas = use_pallas_default() and bool(pf.mc_groups or
                                               any(g.shape[0]
-                                                  for g in pf.resid_groups))
+                                                  for g in pf.resid_groups)) \
+        and not any(wp for *_k, wp, _f in pf.mc_groups)
     mc_ft, mc_meta, resid_ft, resid_ns = (
         _pallas_args(pf) if use_pallas else ((), (), (), ()))
     canvas = reconstruct_device(
@@ -240,7 +249,11 @@ def pack_sao_params(pic):
 def finish_frame_jax(pic, plan) -> None:
     """Full device stage B (recon + filters) into pic.planes."""
     sps = pic.sps
-    pf = pack_frame(pic, plan)
+    if getattr(pic, "native_chunks", None) is not None:
+        from ..native import pack_frame_native
+        pf = pack_frame_native(pic)
+    else:
+        pf = pack_frame(pic, plan)
     dbp = getattr(pic, "deblock_params", None)
     do_deblock = dbp is not None
     if do_deblock:
