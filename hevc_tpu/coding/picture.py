@@ -142,6 +142,15 @@ class PictureState:
         return diff | np.where(both_bi, bi, uni)
 
     def compute_bs(self):
+        """Boundary strengths (8.7.2.4) — native C++ when available,
+        NumPy otherwise (compute_bs_numpy stays as the oracle)."""
+        from .. import native
+        if native.available():
+            native.compute_bs_native(self)
+            return self.bs_v, self.bs_h
+        return self.compute_bs_numpy()
+
+    def compute_bs_numpy(self):
         """Boundary strengths (8.7.2.4) from the per-4x4 maps.
 
         bs=2 if either side intra; else 1 if either side has residual or

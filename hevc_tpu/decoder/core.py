@@ -1327,6 +1327,8 @@ class Decoder:
                 self._drain_output(lay)  # prior pictures precede the IDR
                 lay.cur_poc = 0
                 lay.dpb.clear()
+                if getattr(lay, "dpb_dev", None):
+                    lay.dpb_dev.clear()
             else:
                 lay.cur_poc = poc
             if lid > 0 and sh.active_num_ilr > 0:
@@ -1338,6 +1340,12 @@ class Decoder:
         if sh.slice_type != SLICE_I:
             ref_list, ref_list_l1, lt0, lt1 = \
                 self._build_ref_lists(lay, sps, sh, nal.type)
+        if getattr(lay.cur_pic, "native_chunks", None) is not None:
+            # device DPB handles for the pipeline (None = concealed/IL
+            # entry, uploaded on demand)
+            dd = getattr(lay, "dpb_dev", None) or {}
+            lay.cur_pic.ref_dev_l0 = [dd.get(p) for p, _ in ref_list]
+            lay.cur_pic.ref_dev_l1 = [dd.get(p) for p, _ in ref_list_l1]
         assert r.byte_aligned()
         d = CabacDecoder(nal.rbsp, r.pos >> 3)
         if sh.slice_type == SLICE_I:
@@ -1508,9 +1516,18 @@ class Decoder:
         plan = getattr(pic, "plan", None)
         if plan is not None:
             if self.recon_backend == "jax":
-                # full device stage B: recon + deblock + SAO in one jit
-                from ..tpu.recon import finish_frame_jax
-                finish_frame_jax(pic, plan)
+                if getattr(pic, "native_chunks", None) is not None \
+                        and os.environ.get("HEVC_TPU_PIPELINE",
+                                           "1") != "0":
+                    # device-resident pipeline: refs stay in HBM, one
+                    # metadata upload, tiled MC with static shapes
+                    from ..tpu.pipeline import finish_frame_pipeline
+                    finish_frame_pipeline(pic, lay, lay.cur_poc)
+                else:
+                    # full device stage B: recon + deblock + SAO in one
+                    # jit (per-frame host marshalling)
+                    from ..tpu.recon import finish_frame_jax
+                    finish_frame_jax(pic, plan)
             else:
                 execute_plan_numpy(pic, plan)
         if getattr(pic, "deblock_params", None) is not None:
@@ -1547,6 +1564,8 @@ class Decoder:
             old = min(lay.dpb)
             del lay.dpb[old]
             lay.dpb_motion.pop(old, None)
+            if getattr(lay, "dpb_dev", None):
+                lay.dpb_dev.pop(old, None)
         frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
                              poc=lay.cur_poc, layer=lay.layer_id,
                              bit_depth=pic.sps.bit_depth_luma,

@@ -525,7 +525,7 @@ class PackParams(C.Structure):
         "width", "height", "sub_w", "sub_h", "h4", "w4",
         "log2_ctb", "ctb_w", "ctb_h",
         "chroma444", "smoothing_disabled", "strong_smoothing",
-        "nrefs", "r0", "pad_ref",
+        "nrefs", "r0", "pad_ref", "tile_mc",
     )] + [("reg", C.c_int32 * 12)]
 
 
@@ -607,6 +607,7 @@ def pack_frame_native(pic):
     P.strong_smoothing = int(sps.strong_intra_smoothing)
     P.nrefs, P.r0 = len(refs), len(refs0)
     P.pad_ref = PAD_REF
+    P.tile_mc = 0  # untiled rows: mirrors pack_frame's per-PU grouping
     for p in range(3):
         for k in range(4):
             P.reg[p * 4 + k] = reg[p][k]
@@ -727,3 +728,26 @@ def pack_frame_native(pic):
                        mc_groups=mc_groups, resid_groups=resid_groups,
                        refs_l=refs_l, refs_c=refs_c,
                        scale_bank=_scale_bank(pic))
+
+
+@lru_cache(maxsize=1)
+def _bs_fn():
+    lib = _lib()
+    fn = lib.hevc_native_compute_bs
+    fn.restype = None
+    fn.argtypes = [C.c_int32, C.c_int32,
+                   _U8P, _U8P, _U8P, _U8P, _U8P, _U8P,
+                   _I32P, _I64P, _I32P, _I64P, _I8P, _I8P]
+    return fn
+
+
+def compute_bs_native(pic) -> None:
+    """Fill pic.bs_v/bs_h from the per-4x4 maps (C++ path; bit-identical
+    to PictureState.compute_bs_numpy)."""
+    _bs_fn()(pic.h4, pic.w4,
+             pic.is_intra.view(np.uint8), pic.cbf_luma.view(np.uint8),
+             pic.edge_v.view(np.uint8), pic.edge_h.view(np.uint8),
+             pic.tu_edge_v.view(np.uint8), pic.tu_edge_h.view(np.uint8),
+             pic.mv_l0.reshape(-1), pic.ref_poc_l0.reshape(-1),
+             pic.mv_l1.reshape(-1), pic.ref_poc_l1.reshape(-1),
+             pic.bs_v.reshape(-1), pic.bs_h.reshape(-1))

@@ -20,6 +20,11 @@ struct PackP {
     int32_t log2_ctb, ctb_w, ctb_h;
     int32_t chroma444, smoothing_disabled, strong_smoothing;
     int32_t nrefs, r0, pad_ref;
+    // 1 = canonicalize MC into fixed 4x4 luma / 2x2 chroma tiles so the
+    // device MC groups have frame-independent static shapes (the TPU
+    // analogue of the reference's fixed [10][2][2] kernel grid,
+    // hevcdsp.h:98) — every tile of a PU shares its MV/refs/weights
+    int32_t tile_mc;
     // region offsets (pack.py region_offsets): per plane (oy, ox, rh, rw)
     int32_t reg[3][4];
 };
@@ -119,52 +124,62 @@ extern "C" int64_t hevc_native_pack_records(
                 for (int i = x; i < x + w; i++)
                     if (m[j * mw + i] < 0)
                         m[j * mw + i] = 0;
-            int32_t* o = mcrow + nm * 21;
-            nm++;
             int is_ch = plane > 0 ? 1 : 0;
             int bi = (r[REC_FLAGS] & F_BI) ? 1 : 0;
             int lx = (r[REC_FLAGS] & F_LX) ? 1 : 0;
-            o[0] = is_ch;
-            o[1] = bi;
-            o[2] = w;
-            o[3] = h;
-            auto entry = [&](int mvx, int mvy, int ridx, int l,
-                             int32_t* e) {
-                if (is_ch) {
-                    int hs = P.sub_w - 1, vs = P.sub_h - 1;
-                    int ox, fx, oy, fy;
-                    pack_chroma_mv(mvx, hs, &ox, &fx);
-                    pack_chroma_mv(mvy, vs, &oy, &fy);
-                    e[1] = P.pad_ref + y + oy - 1;
-                    e[2] = P.pad_ref + x + ox - 1;
-                    e[3] = fx;
-                    e[4] = fy;
-                    e[0] = (plane - 1) * P.nrefs + ridx + (l ? P.r0 : 0);
-                } else {
-                    e[3] = mvx & 3;
-                    e[4] = mvy & 3;
-                    e[2] = P.pad_ref + x + (mvx >> 2) - 3;
-                    e[1] = P.pad_ref + y + (mvy >> 2) - 3;
-                    e[0] = ridx + (l ? P.r0 : 0);
+            int tw = P.tile_mc ? (is_ch ? 2 : 4) : w;
+            int th = P.tile_mc ? (is_ch ? 2 : 4) : h;
+            for (int ty = 0; ty < h; ty += th)
+                for (int tx_ = 0; tx_ < w; tx_ += tw) {
+                    int bx_ = x + tx_, by_ = y + ty;
+                    int32_t* o = mcrow + nm * 21;
+                    nm++;
+                    o[0] = is_ch;
+                    o[1] = bi;
+                    o[2] = tw;
+                    o[3] = th;
+                    auto entry = [&](int mvx, int mvy, int ridx, int l,
+                                     int32_t* e) {
+                        if (is_ch) {
+                            int hs = P.sub_w - 1, vs = P.sub_h - 1;
+                            int ox, fx, oy, fy;
+                            pack_chroma_mv(mvx, hs, &ox, &fx);
+                            pack_chroma_mv(mvy, vs, &oy, &fy);
+                            e[1] = P.pad_ref + by_ + oy - 1;
+                            e[2] = P.pad_ref + bx_ + ox - 1;
+                            e[3] = fx;
+                            e[4] = fy;
+                            e[0] = (plane - 1) * P.nrefs + ridx
+                                   + (l ? P.r0 : 0);
+                        } else {
+                            e[3] = mvx & 3;
+                            e[4] = mvy & 3;
+                            e[2] = P.pad_ref + bx_ + (mvx >> 2) - 3;
+                            e[1] = P.pad_ref + by_ + (mvy >> 2) - 3;
+                            e[0] = ridx + (l ? P.r0 : 0);
+                        }
+                        if (e[1] < 0 || e[2] < 0)
+                            err = -5;  // MV exceeds PAD_REF
+                    };
+                    if (bi) {
+                        entry(r[REC_MVX0], r[REC_MVY0], r[REC_REF0], 0,
+                              o + 4);
+                        entry(r[REC_MVX1], r[REC_MVY1], r[REC_REF1], 1,
+                              o + 9);
+                    } else {
+                        entry(r[REC_MVX0], r[REC_MVY0], r[REC_REF0], lx,
+                              o + 4);
+                        for (int k = 9; k < 14; k++)
+                            o[k] = 0;
+                    }
+                    o[14] = rg[0] + by_;
+                    o[15] = rg[1] + bx_;
+                    o[16] = r[REC_WPW0];
+                    o[17] = r[REC_WPO0];
+                    o[18] = r[REC_WPW1];
+                    o[19] = r[REC_WPO1];
+                    o[20] = r[REC_LOG2WD];
                 }
-                if (e[1] < 0 || e[2] < 0)
-                    err = -5;  // MV exceeds PAD_REF
-            };
-            if (bi) {
-                entry(r[REC_MVX0], r[REC_MVY0], r[REC_REF0], 0, o + 4);
-                entry(r[REC_MVX1], r[REC_MVY1], r[REC_REF1], 1, o + 9);
-            } else {
-                entry(r[REC_MVX0], r[REC_MVY0], r[REC_REF0], lx, o + 4);
-                for (int k = 9; k < 14; k++)
-                    o[k] = 0;
-            }
-            o[14] = rg[0] + y;
-            o[15] = rg[1] + x;
-            o[16] = r[REC_WPW0];
-            o[17] = r[REC_WPO0];
-            o[18] = r[REC_WPW1];
-            o[19] = r[REC_WPO1];
-            o[20] = r[REC_LOG2WD];
             continue;
         }
         if (kind == KIND_PCM) {
@@ -285,6 +300,85 @@ extern "C" int64_t hevc_native_pack_records(
     out_counts[4] = np_;
     out_counts[5] = max_chunk + 1;  // number of chunks (raw)
     return err;
+}
+
+// Deblocking boundary strengths (8.7.2.4) from the per-4x4 maps —
+// scalar mirror of coding/picture.py compute_bs (the numpy version
+// stays as the oracle; equality in tests/test_native_pack.py).
+extern "C" void hevc_native_compute_bs(
+    int32_t h4, int32_t w4, const uint8_t* is_intra,
+    const uint8_t* cbf_luma, const uint8_t* edge_v, const uint8_t* edge_h,
+    const uint8_t* tu_edge_v, const uint8_t* tu_edge_h,
+    const int32_t* mv_l0, const int64_t* ref_poc_l0, const int32_t* mv_l1,
+    const int64_t* ref_poc_l1, int8_t* bs_v, int8_t* bs_h) {
+    const int64_t BIG = -((int64_t)1 << 30);
+    auto ge4 = [&](const int32_t* a, const int32_t* b) {
+        int dx = a[0] - b[0], dy = a[1] - b[1];
+        if (dx < 0) dx = -dx;
+        if (dy < 0) dy = -dy;
+        return (dx >= 4 || dy >= 4);
+    };
+    auto motion_differs = [&](int p, int q) {
+        bool p0 = ref_poc_l0[p] != BIG, p1 = ref_poc_l1[p] != BIG;
+        bool q0 = ref_poc_l0[q] != BIG, q1 = ref_poc_l1[q] != BIG;
+        int np_ = (int)p0 + (int)p1, nq = (int)q0 + (int)q1;
+        if (np_ != nq)
+            return true;
+        if (np_ == 2 && nq == 2) {
+            int64_t pl0 = ref_poc_l0[p], pl1 = ref_poc_l1[p];
+            int64_t ql0 = ref_poc_l0[q], ql1 = ref_poc_l1[q];
+            bool same_pair = (pl0 == ql0 && pl1 == ql1)
+                             || (pl0 == ql1 && pl1 == ql0);
+            if (!same_pair)
+                return true;
+            bool straight = ge4(mv_l0 + 2 * p, mv_l0 + 2 * q)
+                            || ge4(mv_l1 + 2 * p, mv_l1 + 2 * q);
+            bool crossed = ge4(mv_l0 + 2 * p, mv_l1 + 2 * q)
+                           || ge4(mv_l1 + 2 * p, mv_l0 + 2 * q);
+            if (pl0 == pl1)
+                return straight && crossed;
+            return (pl0 == ql0) ? straight : crossed;
+        }
+        const int32_t* pm = p0 ? mv_l0 + 2 * p : mv_l1 + 2 * p;
+        const int32_t* qm = q0 ? mv_l0 + 2 * q : mv_l1 + 2 * q;
+        int64_t pp = p0 ? ref_poc_l0[p] : ref_poc_l1[p];
+        int64_t qp_ = q0 ? ref_poc_l0[q] : ref_poc_l1[q];
+        return (pp != qp_) || ge4(pm, qm);
+    };
+    memset(bs_v, 0, (size_t)h4 * w4);
+    memset(bs_h, 0, (size_t)h4 * w4);
+    for (int y = 0; y < h4; y++)
+        for (int x = 1; x < w4; x++) {
+            int t = y * w4 + x;
+            if (!edge_v[t])
+                continue;
+            int p = t - 1, q = t;
+            int v;
+            if (is_intra[p] || is_intra[q])
+                v = 2;
+            else if (((cbf_luma[p] || cbf_luma[q]) && tu_edge_v[t])
+                     || motion_differs(p, q))
+                v = 1;
+            else
+                v = 0;
+            bs_v[t] = (int8_t)v;
+        }
+    for (int y = 1; y < h4; y++)
+        for (int x = 0; x < w4; x++) {
+            int t = y * w4 + x;
+            if (!edge_h[t])
+                continue;
+            int p = t - w4, q = t;
+            int v;
+            if (is_intra[p] || is_intra[q])
+                v = 2;
+            else if (((cbf_luma[p] || cbf_luma[q]) && tu_edge_h[t])
+                     || motion_differs(p, q))
+                v = 1;
+            else
+                v = 0;
+            bs_h[t] = (int8_t)v;
+        }
 }
 
 #endif  // HEVC_TPU_STAGE_A_PACK_H

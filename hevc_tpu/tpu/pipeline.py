@@ -1,0 +1,488 @@
+"""Device-resident decode pipeline — the production jax-backend path.
+
+Design (TPU-first, replacing per-frame host round-trips):
+  * reference frames live in HBM: each decoded frame's planes are
+    replication-padded ON DEVICE and kept in the layer's device DPB, so
+    MC never re-uploads references (the host DPB keeps small
+    output-dtype copies for md5/output/concealment);
+  * the reconstruction canvas starts as a cached device-resident zeros
+    array (uploaded once per geometry) — only PCM frames upload one;
+  * MC is canonicalized to fixed 4x4 luma / 2x2 chroma tiles by the
+    native packer, so the device program's shapes are frame-independent
+    (the analogue of the reference's fixed kernel grid, hevcdsp.h:98);
+    row counts are bucketed to powers of two with droppable padding;
+  * all per-frame metadata (prediction scalars, residual meta, MC/resid
+    rows, SAO maps, QP/BS maps) travels in ONE int32 buffer, sliced
+    inside the jit by a static layout spec — one host->device transfer
+    instead of dozens of tunnel round-trips;
+  * residual levels upload as int16 (Main/Main10 coefficients are
+    16-bit) and outputs download as uint8/uint16.
+
+Bit-exactness: this path reuses the same device kernels
+(reconstruct_wavefront, resid/deblock/SAO) and the native packer's
+row semantics; equality vs the inline NumPy oracle is asserted by
+tests/test_pipeline.py across the stream matrix.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pack import DUMP, PAD_REF, region_offsets
+from .recon import _residuals
+from .transforms import residual_batch  # noqa: F401  (re-export surface)
+
+# fixed MC tile dims (native packer PackP.tile_mc)
+TILE_L = 4
+TILE_C = 2
+
+
+def _pow2_at_least(x):
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# device program
+# ---------------------------------------------------------------------------
+
+def _mc_tile_phase(canvas, refs_l, refs_c, groups, bd):
+    """Tiled MC: groups = tuple of (is_ch, bi, wp, rows[N, 17]) with
+    row layout (sel, by, bx, fx, fy, sel1, by1, bx1, fx1, fy1, cy, cx,
+    w0, o0, w1, o1, log2wd)."""
+    from .mc import EPEL_TAPS, QPEL_TAPS, _interp_raw
+    maxv = (1 << bd) - 1
+    for is_ch, bi, wp, rows in groups:
+        refs = refs_c if is_ch else refs_l
+        ntaps = 4 if is_ch else 8
+        w = h = TILE_C if is_ch else TILE_L
+        taps = jnp.asarray(EPEL_TAPS if is_ch else QPEL_TAPS)
+
+        def raw(f, o):
+            win = jax.lax.dynamic_slice(
+                refs, (f[o], f[o + 1], f[o + 2]),
+                (1, h + ntaps - 1, w + ntaps - 1))[0]
+            return _interp_raw(win, taps[f[o + 3]], taps[f[o + 4]],
+                               w, h, ntaps, bd)
+
+        if bi:
+            def one(f):
+                p0 = raw(f, 0)
+                p1 = raw(f, 5)
+                if wp:
+                    w0, o0, w1, o1, lwd = (f[12], f[13], f[14], f[15],
+                                           f[16])
+                    return jnp.clip(
+                        (p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << lwd))
+                        >> (lwd + 1), 0, maxv)
+                shift = 15 - bd
+                return jnp.clip((p0 + p1 + (1 << (shift - 1))) >> shift,
+                                0, maxv)
+        else:
+            def one(f):
+                p = raw(f, 0)
+                if wp:
+                    w0, o0, lwd = f[12], f[13], f[16]
+                    v = jnp.where(
+                        lwd >= 1,
+                        ((p * w0 + (1 << jnp.maximum(lwd - 1, 0))) >> lwd)
+                        + o0,
+                        p * w0 + o0)
+                    return jnp.clip(v, 0, maxv)
+                shift = 14 - bd
+                return jnp.clip((p + (1 << (shift - 1))) >> shift, 0, maxv)
+
+        blk = jax.vmap(one)(rows)
+        cy, cx = rows[:, 10], rows[:, 11]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+        canvas = canvas.at[cy[:, None, None] + ii,
+                           cx[:, None, None] + jj].set(blk, mode="drop")
+    return canvas
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
+                    refs_y, refs_cb, refs_cr, spec):
+    """One frame's full stage B from the packed metadata buffer.
+
+    spec (static): dict-as-tuple — see _make_spec.  Returns
+    (out_y, out_cb, out_cr [output dtype], pad_y, pad_cb, pad_cr
+    [int32, PAD_REF replication-padded])."""
+    from .filters import deblock_jax, sao_plane_jax
+    from .intra import reconstruct_wavefront
+    S = dict(spec)
+    bd = S["bd"]
+    n_chunks = S["n_chunks"]
+    h4, w4 = S["h4"], S["w4"]
+    cth, ctw = S["ctb_h"], S["ctb_w"]
+
+    pos = 0
+
+    def take(n, shape):
+        nonlocal pos
+        out = jax.lax.dynamic_slice(meta, (pos,), (max(n, 1),))
+        pos += n
+        return out[:n].reshape(shape) if n else jnp.zeros(shape, jnp.int32)
+
+    scal = []
+    for c in range(4):
+        B = S["B"][c]
+        scal.append(take(n_chunks * B * 8, (n_chunks, B, 8)))
+    rmeta = []
+    for c in range(4):
+        nlv = S["nlv"][c]
+        rmeta.append(take(nlv * 5, (nlv, 5)))
+    mc_groups = []
+    for gi, (is_ch, bi, wp) in enumerate(_MC_KEYS):
+        nrow = S["mc_rows"][gi]
+        rows = take(nrow * 17, (nrow, 17))
+        if nrow:
+            mc_groups.append((is_ch, bi, wp, rows))
+    resid_fields = []
+    for c in range(4):
+        nrow = S["resid_rows"][c]
+        resid_fields.append(take(nrow * 3, (nrow, 3)))
+    sao_t = take(3 * cth * ctw, (3, cth, ctw))
+    sao_b = take(3 * cth * ctw, (3, cth, ctw))
+    sao_e = take(3 * cth * ctw, (3, cth, ctw))
+    sao_o = take(3 * cth * ctw * 4, (3, cth, ctw, 4))
+    qp4 = take(h4 * w4, (h4, w4))
+    bs_v = take(h4 * w4, (h4, w4))
+    bs_h = take(h4 * w4, (h4, w4))
+    dboff = take(4, (4,))
+
+    # avail bitmaps (uint8 -> bool), per class
+    apos = 0
+    avail = []
+    for c in range(4):
+        B = S["B"][c]
+        n = n_chunks * B * 128
+        a = jax.lax.dynamic_slice(avail_u8, (apos,), (max(n, 1),))
+        apos += n
+        avail.append((a[:n].reshape(n_chunks, B, 128) != 0)
+                     if n else jnp.zeros((n_chunks, B, 128), bool))
+
+    # residual levels (int16 -> int32), per class
+    lpos = 0
+    levels = []
+    for c, s in enumerate((4, 8, 16, 32)):
+        n = S["nlv"][c] * s * s
+        lv = jax.lax.dynamic_slice(levels16, (lpos,), (max(n, 1),))
+        lpos += n
+        levels.append(lv[:n].reshape(S["nlv"][c], s, s).astype(jnp.int32)
+                      if n else jnp.zeros((S["nlv"][c], s, s), jnp.int32))
+
+    resids = _residuals(tuple(levels), tuple(rmeta), bd,
+                        tuple(scale_bank))
+
+    canvas = canvas0.astype(jnp.int32)
+    if S["n_refs"]:
+        refs_l = jnp.stack(refs_y)
+        refs_c = jnp.stack(refs_cb + refs_cr)
+        canvas = _mc_tile_phase(canvas, refs_l, refs_c,
+                                tuple(mc_groups), bd)
+    from .mc import resid_phase
+    canvas = resid_phase(canvas, tuple(resid_fields), resids, bd)
+    out = reconstruct_wavefront(canvas, tuple(scal), avail, resids, bd,
+                                n_chunks)
+    planes = []
+    for oy, ox, h, w in S["regions"]:
+        planes.append(jax.lax.dynamic_slice(out, (oy, ox), (h, w)))
+    y, cb, cr = planes
+    if S["do_deblock"]:
+        y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, dboff[0],
+                                dboff[1], dboff[2], dboff[3], bd=bd,
+                                sub_w=S["sub_w"], sub_h=S["sub_h"])
+    if S["do_sao"]:
+        outp = []
+        for plane, p in enumerate((y, cb, cr)):
+            lg = S["ctb_log2"] - (0 if plane == 0 else
+                                  (S["sub_w"].bit_length() - 1))
+            outp.append(sao_plane_jax(p, sao_t[plane], sao_b[plane],
+                                      sao_o[plane], sao_e[plane], lg, bd))
+        y, cb, cr = outp
+    odt = jnp.uint8 if bd <= 8 else jnp.uint16
+    pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
+    return (y.astype(odt), cb.astype(odt), cr.astype(odt),
+            pads[0], pads[1], pads[2])
+
+
+# the fixed MC group universe: (is_chroma, bi, wp)
+_MC_KEYS = tuple((ic, bi, wp) for ic in (False, True)
+                 for bi in (False, True) for wp in (False, True))
+
+
+# ---------------------------------------------------------------------------
+# host-side assembly
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _zero_canvas(ch, cw):
+    """Device-resident zero canvas, uploaded once per geometry."""
+    return jax.device_put(np.zeros((ch, cw), np.int16))
+
+
+_BANK_DEV = {}
+
+
+def _dev_scale_bank(pic):
+    from ..native import _scale_bank
+    bank = _scale_bank(pic)
+    key = id(bank)
+    got = _BANK_DEV.get(key)
+    if got is None:
+        got = tuple(jnp.asarray(b) for b in bank)
+        _BANK_DEV[key] = got
+    return got
+
+
+def _pad_np(planes):
+    pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
+    return tuple(jax.device_put(np.pad(p, pad, mode="edge")
+                                .astype(np.int32)) for p in planes)
+
+
+def pack_frame_pipeline(pic):
+    """Native pack (tiled MC) -> (meta buffer, avail, levels16, spec)."""
+    import ctypes as C
+
+    from .. import native as N
+    sps = pic.sps
+    reg, chh, cww = region_offsets(sps)
+    rec, lvl = N._concat_chunks(pic.native_chunks)
+    n_rec = rec.shape[0]
+    refs0 = getattr(pic, "ref_list_l0", []) or []
+    refs1 = getattr(pic, "ref_list_l1", []) or []
+    n_refs = len(refs0) + len(refs1)
+
+    P = N.PackParams()
+    P.width, P.height = sps.width, sps.height
+    P.sub_w, P.sub_h = sps.sub_w, sps.sub_h
+    P.h4, P.w4 = pic.h4, pic.w4
+    P.log2_ctb = sps.log2_ctb_size
+    P.ctb_w, P.ctb_h = sps.ctb_w, sps.ctb_h
+    P.chroma444 = int(sps.chroma_format_idc == 3)
+    P.smoothing_disabled = int(sps.intra_smoothing_disabled)
+    P.strong_smoothing = int(sps.strong_intra_smoothing)
+    P.nrefs, P.r0 = n_refs, len(refs0)
+    P.pad_ref = PAD_REF
+    P.tile_mc = 1
+    for p in range(3):
+        for k in range(4):
+            P.reg[p * 4 + k] = reg[p][k]
+
+    # worst-case tiled MC rows: one per 4x4 luma + 2x2 chroma block
+    n44 = pic.h4 * pic.w4
+    cfrac = {0: 0, 1: 2, 2: 4, 3: 8}[sps.chroma_format_idc]
+    cap_mc = n44 + cfrac * n44 + 1024
+    imeta = np.empty((max(1, n_rec), 11), np.int32)
+    iavail = np.zeros((max(1, n_rec), 128), np.uint8)
+    lmeta = np.empty((max(1, n_rec), 7), np.int32)
+    mcrow = np.empty((cap_mc, 21), np.int32)
+    residr = np.empty((max(1, n_rec), 4), np.int32)
+    pcmrow = np.empty((max(1, n_rec), 6), np.int32)
+    counts = np.zeros(8, np.int64)
+    tabs = N._pps_tables(pic.pps)
+    rc = N._pack_fn()(
+        np.ascontiguousarray(rec).reshape(-1), n_rec, C.byref(P),
+        pic.z_order.reshape(-1), pic.slice_idx.reshape(-1), tabs[3],
+        imeta.reshape(-1), iavail.reshape(-1), lmeta.reshape(-1),
+        mcrow.reshape(-1), residr.reshape(-1), pcmrow.reshape(-1), counts)
+    if rc != 0:
+        raise RuntimeError(f"native pipeline pack failed (rc={rc})")
+    ni, nl, nm, nr, npcm, n_chunks_raw = (int(v) for v in counts[:6])
+
+    # MV-range guard (the equivalent of pack_frame's PAD_REF asserts):
+    # padded ref dims bound every tile's read window
+    if nm:
+        mr = mcrow[:nm]
+        hp_l = sps.height + 2 * PAD_REF
+        wp_l = sps.width + 2 * PAD_REF
+        hp_c = sps.height // sps.sub_h + 2 * PAD_REF
+        wp_c = sps.width // sps.sub_w + 2 * PAD_REF
+        is_ch = mr[:, 0] == 1
+        ext = np.where(is_ch, TILE_C + 3, TILE_L + 7)
+        hp = np.where(is_ch, hp_c, hp_l)
+        wp = np.where(is_ch, wp_c, wp_l)
+        ok = (mr[:, 5] + ext <= hp) & (mr[:, 6] + ext <= wp)
+        bi_rows = mr[:, 1] == 1
+        ok &= np.where(bi_rows, (mr[:, 10] + ext <= hp)
+                       & (mr[:, 11] + ext <= wp), True)
+        assert ok.all(), "MV exceeds PAD_REF"
+
+    # canvas: device zeros unless PCM samples need pre-filling
+    if npcm:
+        canvas = np.zeros((chh, cww), np.int16)
+        for plane, cy, cx, w, h, off in pcmrow[:npcm].tolist():
+            canvas[cy:cy + h, cx:cx + w] = lvl[off:off + w * h].reshape(
+                h, w)
+        canvas0 = jnp.asarray(canvas)
+    else:
+        canvas0 = _zero_canvas(chh, cww)
+
+    n_chunks = _round_up(max(1, n_chunks_raw), 16)
+    im, iv, lm = imeta[:ni], iavail[:ni], lmeta[:nl]
+    cls_i = im[:, 0]
+    parts = []        # int32 meta blocks, in _pipeline_frame order
+    avail_parts = []
+    B = []
+    for c in range(4):
+        sel = np.nonzero(cls_i == c)[0]
+        cnt = int(im[sel, 2].max()) + 1 if sel.size else 0
+        Bc = _pow2_at_least(cnt) if cnt else 0
+        B.append(Bc)
+        a = np.zeros((n_chunks, Bc, 8), np.int32)
+        a[:, :, 0] = DUMP
+        a[:, :, 1] = DUMP
+        a[:, :, 2] = 1
+        v = np.zeros((n_chunks, Bc, 128), np.uint8)
+        if sel.size:
+            a[im[sel, 1], im[sel, 2]] = im[sel, 3:11]
+            v[im[sel, 1], im[sel, 2]] = iv[sel]
+        parts.append(a.reshape(-1))
+        avail_parts.append(v.reshape(-1))
+
+    nlv = []
+    lvl_parts = []
+    for c, s in enumerate((4, 8, 16, 32)):
+        sel = np.nonzero(lm[:, 0] == c)[0]
+        n_c = _round_up(len(sel) + 1, 16)
+        nlv.append(n_c)
+        rm = np.zeros((n_c, 5), np.int32)
+        lv16 = np.zeros((n_c, s * s), np.int16)
+        if sel.size:
+            offs = lm[sel, 1].astype(np.int64)
+            lv16[:len(sel)] = lvl[offs[:, None]
+                                  + np.arange(s * s)[None, :]]
+            rm[:len(sel)] = lm[sel, 2:7]
+        parts.append(rm.reshape(-1))
+        lvl_parts.append(lv16.reshape(-1))
+
+    mcr = mcrow[:nm]
+    mc_rows = []
+    wp_flag = mcr[:, 20] >= 0
+    for is_ch, bi, wp in _MC_KEYS:
+        sel = np.nonzero((mcr[:, 0] == int(is_ch))
+                         & (mcr[:, 1] == int(bi))
+                         & (wp_flag == wp))[0]
+        n_g = _pow2_at_least(len(sel)) if len(sel) else 0
+        rows = np.zeros((n_g, 17), np.int32)
+        if len(sel):
+            rows[:len(sel)] = mcr[sel][:, 4:21]
+            rows[len(sel):, 10] = DUMP  # padding rows scatter nowhere
+            rows[len(sel):, 11] = DUMP
+        mc_rows.append(n_g)
+        parts.append(rows.reshape(-1))
+
+    rr = residr[:nr]
+    resid_rows = []
+    for c in range(4):
+        sel = np.nonzero(rr[:, 0] == c)[0]
+        n_g = _pow2_at_least(len(sel)) if len(sel) else 0
+        rows = np.full((n_g, 3), DUMP, np.int32)
+        rows[:, 2] = 0
+        if len(sel):
+            rows[:len(sel)] = rr[sel][:, 1:4]
+        resid_rows.append(n_g)
+        parts.append(rows.reshape(-1))
+
+    # SAO maps + QP/BS + deblock offsets
+    if getattr(pic, "sao_arrays", None) is not None:
+        sao_t, sao_b, sao_o, sao_e = pic.sao_arrays
+    else:
+        ct = (3, sps.ctb_h, sps.ctb_w)
+        sao_t = np.zeros(ct, np.int32)
+        sao_b = np.zeros(ct, np.int32)
+        sao_o = np.zeros(ct + (4,), np.int32)
+        sao_e = np.zeros(ct, np.int32)
+    parts += [sao_t.reshape(-1), sao_b.reshape(-1), sao_e.reshape(-1),
+              sao_o.reshape(-1)]
+    dbp = getattr(pic, "deblock_params", None)
+    do_deblock = dbp is not None
+    if do_deblock:
+        pic.compute_bs()
+        parts += [pic.qp_y.astype(np.int32).reshape(-1),
+                  pic.bs_v.astype(np.int32).reshape(-1),
+                  pic.bs_h.astype(np.int32).reshape(-1),
+                  np.array([dbp["beta_offset"], dbp["tc_offset"],
+                            dbp["cb_qp_offset"], dbp["cr_qp_offset"]],
+                           np.int32)]
+    else:
+        parts += [np.zeros(pic.h4 * pic.w4, np.int32),
+                  np.zeros(pic.h4 * pic.w4, np.int32),
+                  np.zeros(pic.h4 * pic.w4, np.int32),
+                  np.zeros(4, np.int32)]
+
+    # meta order matches _pipeline_frame's reads: scal0..3, rmeta0..3,
+    # mc groups, resid groups, sao (t, b, e, o), qp4, bs_v, bs_h, dboff
+    meta = np.concatenate(parts)
+    avail_u8 = np.concatenate(avail_parts) if any(B) \
+        else np.zeros(1, np.uint8)
+    levels16 = np.concatenate(lvl_parts)
+
+    do_sao = bool(getattr(pic, "has_sao", False)) \
+        or bool(getattr(pic, "sao_map", None))
+    spec = (
+        ("bd", sps.bit_depth_luma),
+        ("n_chunks", n_chunks),
+        ("B", tuple(B)),
+        ("nlv", tuple(nlv)),
+        ("mc_rows", tuple(mc_rows)),
+        ("resid_rows", tuple(resid_rows)),
+        ("regions", tuple(reg[p] for p in range(3))),
+        ("h4", pic.h4), ("w4", pic.w4),
+        ("ctb_h", sps.ctb_h), ("ctb_w", sps.ctb_w),
+        ("ctb_log2", sps.log2_ctb_size),
+        ("sub_w", sps.sub_w), ("sub_h", sps.sub_h),
+        ("do_deblock", do_deblock), ("do_sao", do_sao),
+        ("n_refs", n_refs),
+    )
+    return meta, avail_u8, levels16, canvas0, spec
+
+
+def finish_frame_pipeline(pic, lay, poc: int) -> None:
+    """Decode one frame's stage B on device; update pic.planes (np) and
+    the layer's device DPB (padded reference planes stay in HBM)."""
+    meta, avail_u8, levels16, canvas0, spec = pack_frame_pipeline(pic)
+    dpb_dev = getattr(lay, "dpb_dev", None)
+    if dpb_dev is None:
+        dpb_dev = lay.dpb_dev = {}
+
+    def dev_ref(entry, dev):
+        if dev is not None:
+            return dev
+        return _pad_np([np.asarray(p) for p in entry[1]])
+
+    refs_y, refs_cb, refs_cr = [], [], []
+    for lst, devs in ((getattr(pic, "ref_list_l0", []) or [],
+                       getattr(pic, "ref_dev_l0", None) or ()),
+                      (getattr(pic, "ref_list_l1", []) or [],
+                       getattr(pic, "ref_dev_l1", None) or ())):
+        for i, entry in enumerate(lst):
+            dev = devs[i] if i < len(devs) else None
+            py, pcb, pcr = dev_ref(entry, dev)
+            refs_y.append(py)
+            refs_cb.append(pcb)
+            refs_cr.append(pcr)
+
+    out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(avail_u8),
+                          jnp.asarray(levels16), _dev_scale_bank(pic),
+                          canvas0, tuple(refs_y), tuple(refs_cb),
+                          tuple(refs_cr), spec)
+    y8, cb8, cr8, pad_y, pad_cb, pad_cr = out
+    dpb_dev[poc] = (pad_y, pad_cb, pad_cr)
+    for plane, arr in enumerate((y8, cb8, cr8)):
+        pic.planes[plane][:] = np.asarray(arr)
+    # filters applied on device
+    pic.deblock_params = None
+    if hasattr(pic, "sao_map"):
+        pic.sao_map = {}
+    pic.has_sao = False
+    pic.sao_arrays = None

@@ -111,3 +111,29 @@ def test_native_pack_equality(name):
         for p in range(3):
             assert np.array_equal(a.planes[p], c.planes[p]), \
                 f"{name}: e2e plane {p}"
+
+
+def test_native_compute_bs_matches_numpy():
+    """hevc_native_compute_bs vs the NumPy BS oracle on a filtered RA
+    stream's per-4x4 maps."""
+    kw, n = CONFIGS["ra_filters"]
+    stream = _stream(EncoderConfig(**kw), n=n)
+    pics = []
+    orig = core.Decoder._finish_picture
+
+    def spy(self, lay):
+        if lay.cur_pic is not None:
+            pics.append(lay.cur_pic)
+        return orig(self, lay)
+
+    core.Decoder._finish_picture = spy
+    try:
+        Decoder(check_md5=False, recon_backend="jax").decode_bytes(stream)
+    finally:
+        core.Decoder._finish_picture = orig
+    assert pics
+    for pic in pics:
+        ref_v, ref_h = (a.copy() for a in pic.compute_bs_numpy())
+        native.compute_bs_native(pic)
+        assert np.array_equal(pic.bs_v, ref_v)
+        assert np.array_equal(pic.bs_h, ref_h)
