@@ -699,6 +699,10 @@ class SPS:
     pcm_loop_filter_disabled: int = 0
     st_rps: List[ShortTermRPS] = field(default_factory=list)
     long_term_ref_pics_present: int = 0
+    # SPS-level long-term candidates (lt_ref_pic_poc_lsb_sps /
+    # used_by_curr_pic_lt_sps_flag, 7.4.3.2.1)
+    lt_ref_pocs_sps: List[int] = field(default_factory=list)
+    lt_used_sps: List[int] = field(default_factory=list)
     temporal_mvp_enabled: int = 0
     strong_intra_smoothing: int = 0
     # range extension
@@ -790,6 +794,11 @@ class SPS:
         for i, rps in enumerate(self.st_rps):
             rps.write(w, i, len(self.st_rps))
         w.flag(self.long_term_ref_pics_present)
+        if self.long_term_ref_pics_present:
+            w.ue(len(self.lt_ref_pocs_sps))
+            for lsb, used in zip(self.lt_ref_pocs_sps, self.lt_used_sps):
+                w.u(lsb, self.log2_max_poc_lsb)
+                w.flag(used)
         w.flag(self.temporal_mvp_enabled)
         w.flag(self.strong_intra_smoothing)
         w.flag(0)  # vui_parameters_present_flag
@@ -907,8 +916,8 @@ class SPS:
         if s.long_term_ref_pics_present:
             n = r.ue()
             for _ in range(n):
-                r.u(s.log2_max_poc_lsb)
-                r.flag()
+                s.lt_ref_pocs_sps.append(r.u(s.log2_max_poc_lsb))
+                s.lt_used_sps.append(r.flag())
         s.temporal_mvp_enabled = r.flag()
         s.strong_intra_smoothing = r.flag()
         if r.flag():  # vui_present

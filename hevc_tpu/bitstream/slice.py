@@ -123,6 +123,14 @@ class SliceHeader:
     collocated_ref_idx: int = 0
     five_minus_max_num_merge_cand: int = 0
     qp_delta: int = 0
+    # long-term reference pictures (7.4.7.1): resolved entries
+    # (poc_lsb, used_by_curr, msb_present, delta_poc_msb_cycle) — SPS-
+    # indexed entries are resolved against the SPS lists at parse time
+    lt_entries: List[tuple] = field(default_factory=list)
+    # ref_pic_lists_modification (7.3.6.2): list_entry indices into the
+    # temp list, or None when unmodified
+    list_entry_l0: Optional[List[int]] = None
+    list_entry_l1: Optional[List[int]] = None
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     cu_chroma_qp_offset_enabled: int = 0
@@ -140,6 +148,20 @@ class SliceHeader:
 
     def max_num_merge_cand(self) -> int:
         return 5 - self.five_minus_max_num_merge_cand
+
+    def cur_rps(self, sps):
+        """The active short-term RPS of this slice."""
+        if self.explicit_rps is not None:
+            return self.explicit_rps
+        return sps.st_rps[self.short_term_rps_idx]
+
+    def num_pics_total_curr(self, sps) -> int:
+        """NumPicsTotalCurr (7.4.7.2): used ST + used LT + inter-layer."""
+        rps = self.cur_rps(sps)
+        n = sum(rps.used_s0) + sum(rps.used_s1)
+        n += sum(1 for e in self.lt_entries if e[1])
+        n += self.active_num_ilr
+        return n
 
     def _derive_ilr(self, vps, nuh_layer_id: int, temporal_id: int,
                     r: Optional[BitReader], w: Optional[BitWriter]) -> None:
@@ -235,7 +257,18 @@ class SliceHeader:
                         nbits = math.ceil(math.log2(len(sps.st_rps)))
                         w.u(self.short_term_rps_idx, nbits)
                 if sps.long_term_ref_pics_present:
-                    raise NotImplementedError
+                    if len(sps.lt_ref_pocs_sps) > 0:
+                        w.ue(0)  # num_long_term_sps: all slice-coded
+                    w.ue(len(self.lt_entries))
+                    prev_cyc = 0
+                    for i, (lsb, used, msb_present, cyc) in \
+                            enumerate(self.lt_entries):
+                        w.u(lsb, sps.log2_max_poc_lsb)
+                        w.flag(used)
+                        w.flag(msb_present)
+                        if msb_present:
+                            w.ue(cyc if i == 0 else cyc - prev_cyc)
+                        prev_cyc = cyc
                 if sps.temporal_mvp_enabled:
                     w.flag(self.slice_temporal_mvp_enabled)
             if nuh_layer_id > 0:
@@ -253,8 +286,19 @@ class SliceHeader:
                     w.ue(self.num_ref_idx_l0_active - 1)
                     if self.slice_type == SLICE_B:
                         w.ue(self.num_ref_idx_l1_active - 1)
-                if pps.lists_modification_present:
-                    raise NotImplementedError
+                nptc = self.num_pics_total_curr(sps)
+                if pps.lists_modification_present and nptc > 1:
+                    import math
+                    nbits = math.ceil(math.log2(nptc))
+                    w.flag(1 if self.list_entry_l0 else 0)
+                    if self.list_entry_l0:
+                        for e in self.list_entry_l0:
+                            w.u(e, nbits)
+                    if self.slice_type == SLICE_B:
+                        w.flag(1 if self.list_entry_l1 else 0)
+                        if self.list_entry_l1:
+                            for e in self.list_entry_l1:
+                                w.u(e, nbits)
                 if self.slice_type == SLICE_B:
                     w.flag(self.mvd_l1_zero)
                 if pps.cabac_init_present:
@@ -351,7 +395,33 @@ class SliceHeader:
                     nbits = math.ceil(math.log2(len(sps.st_rps)))
                     sh.short_term_rps_idx = r.u(nbits)
                 if sps.long_term_ref_pics_present:
-                    raise NotImplementedError("long-term ref pics")
+                    # 7.3.6.1 long-term RPS: SPS-indexed + slice-coded
+                    # entries, resolved to (lsb, used, msb_present,
+                    # DeltaPocMsbCycleLt)
+                    import math
+                    n_sps_lt = len(sps.lt_ref_pocs_sps)
+                    num_lt_sps = r.ue() if n_sps_lt > 0 else 0
+                    num_lt_pics = r.ue()
+                    prev_cyc = 0
+                    for i in range(num_lt_sps + num_lt_pics):
+                        if i < num_lt_sps:
+                            idx = 0
+                            if n_sps_lt > 1:
+                                idx = r.u(math.ceil(math.log2(n_sps_lt)))
+                            lsb = sps.lt_ref_pocs_sps[idx]
+                            used = sps.lt_used_sps[idx]
+                        else:
+                            lsb = r.u(sps.log2_max_poc_lsb)
+                            used = r.flag()
+                        msb_present = r.flag()
+                        d = r.ue() if msb_present else 0
+                        # DeltaPocMsbCycleLt accumulation (7.4.7.1)
+                        cyc = d if (i == 0 or i == num_lt_sps) \
+                            else d + prev_cyc
+                        prev_cyc = cyc
+                        sh.lt_entries.append((lsb, used, msb_present,
+                                              cyc))
+                    sh._num_lt_sps = num_lt_sps
                 if sps.temporal_mvp_enabled:
                     sh.slice_temporal_mvp_enabled = r.flag()
             if nuh_layer_id > 0:
@@ -369,8 +439,19 @@ class SliceHeader:
                     sh.num_ref_idx_l0_active = r.ue() + 1
                     if sh.slice_type == SLICE_B:
                         sh.num_ref_idx_l1_active = r.ue() + 1
-                if pps.lists_modification_present:
-                    raise NotImplementedError("ref_pic_lists_modification")
+                nptc = sh.num_pics_total_curr(sps)
+                if pps.lists_modification_present and nptc > 1:
+                    # ref_pic_lists_modification (7.3.6.2)
+                    import math
+                    nbits = math.ceil(math.log2(nptc))
+                    if r.flag():
+                        sh.list_entry_l0 = [
+                            r.u(nbits)
+                            for _ in range(sh.num_ref_idx_l0_active)]
+                    if sh.slice_type == SLICE_B and r.flag():
+                        sh.list_entry_l1 = [
+                            r.u(nbits)
+                            for _ in range(sh.num_ref_idx_l1_active)]
                 if sh.slice_type == SLICE_B:
                     sh.mvd_l1_zero = r.flag()
                 if pps.cabac_init_present:

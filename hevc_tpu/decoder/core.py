@@ -1323,14 +1323,41 @@ class Decoder:
                     # raw record chunks feed the native packer directly
                     lay.cur_pic.native_chunks = []
             lay.slice_counter = 0
+            # prevTid0 tracking for POC derivation (8.3.1)
+            if nal.temporal_id == 0 and nal.type not in (
+                    nalmod.NAL_RASL_N, nalmod.NAL_RASL_R,
+                    nalmod.NAL_RADL_N, nalmod.NAL_RADL_R) \
+                    and not (nal.type <= 14 and nal.type % 2 == 0):
+                lay.prev_tid0_poc = poc
             if nalmod.is_idr_nal(nal.type):
-                self._drain_output(lay)  # prior pictures precede the IDR
+                # no_output_of_prior_pics_flag (C.3.2): 1 = discard
+                # pending outputs, 0 = they precede the IDR
+                if sh.no_output_of_prior_pics:
+                    lay.out_q.clear()
+                else:
+                    self._drain_output(lay)
                 lay.cur_poc = 0
                 lay.dpb.clear()
                 if getattr(lay, "dpb_dev", None):
                     lay.dpb_dev.clear()
             else:
                 lay.cur_poc = poc
+                # RPS-driven DPB: pictures in no RPS bucket are no
+                # longer referenced and can be dropped (8.3.2; replaces
+                # the old len>16 heuristic; reference: hevc_refs.c:719
+                # ff_hevc_frame_rps unref of non-RPS frames)
+                rps = sh.cur_rps(sps)
+                keep = {poc + d for d in list(rps.delta_poc_s0)
+                        + list(rps.delta_poc_s1)}
+                if sh.lt_entries:
+                    c, f = self._lt_pocs(lay, sps, sh)
+                    keep |= set(c) | set(f)
+                for old in [p for p in lay.dpb if p not in keep]:
+                    del lay.dpb[old]
+                    lay.dpb_motion.pop(old, None)
+                    if getattr(lay, "dpb_dev", None):
+                        lay.dpb_dev.pop(old, None)
+            lay.cur_pic.output_flag = sh.pic_output_flag
             if lid > 0 and sh.active_num_ilr > 0:
                 self._start_el_picture(lay, sps, sh, nal.type)
         elif lay.skip_cur_pic:
@@ -1421,35 +1448,59 @@ class Decoder:
                 "cr_qp_offset": pps.cr_qp_offset,
             }
 
+    def _lt_pocs(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader):
+        """(PocLtCurr, PocLtFoll) derivation (8.3.2).
+
+        Entries without delta_poc_msb identify the reference by POC lsb
+        alone — resolved against the DPB (the most recent match, per the
+        'there shall be exactly one' constraint)."""
+        curr, foll = [], []
+        max_lsb = sps.max_poc_lsb
+        for (lsb, used, msb_present, cyc) in sh.lt_entries:
+            if msb_present:
+                poc = lsb + lay.cur_poc - cyc * max_lsb \
+                      - (lay.cur_poc & (max_lsb - 1))
+            else:
+                cands = [p for p in lay.dpb
+                         if (p & (max_lsb - 1)) == lsb]
+                poc = max(cands) if cands else lsb
+            (curr if used else foll).append(poc)
+        return curr, foll
+
     def _build_ref_lists(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
                          nal_type: int):
         """RefPicList0/1 from the slice RPS (8.3.2/8.3.4 + F.8.3.4).
 
         Candidate order per list (reference: hevc_refs.c:541-545
         ff_hevc_slice_rpl): L0 = ST_CURR_BEF, IL_REF0, ST_CURR_AFT,
-        LT_CURR, IL_REF1; L1 = ST_CURR_AFT, IL_REF1, ST_CURR_BEF,
-        LT_CURR, IL_REF0.  The inter-layer ref lands in IL_REF0 (all
-        view ids are 0) and is long-term."""
-        before, after = [], []
+        LT_CURR, IL_REF1; L1 = ST_CURR_AFT, ST_CURR_BEF, LT_CURR,
+        IL_REF1.  The inter-layer ref lands in IL_REF0 (all view ids
+        are 0) and is long-term, as are PocLtCurr refs.
+        ref_pic_lists_modification picks RefPicListTemp entries by
+        index (7.3.6.2; reference: hevc_refs.c:516)."""
+        before, after, ltc = [], [], []
         if not nalmod.is_idr_nal(nal_type):
-            if sh.explicit_rps is not None:
-                rps = sh.explicit_rps
-            else:
-                rps = sps.st_rps[sh.short_term_rps_idx]
+            rps = sh.cur_rps(sps)
             before = [lay.cur_poc + d
                       for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
             after = [lay.cur_poc + d
                      for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
+            if sh.lt_entries:
+                ltc, _foll = self._lt_pocs(lay, sps, sh)
         il = []
         if lay.layer_id > 0 and sh.active_num_ilr > 0 \
                 and lay.il_ref is not None:
             il = [("il", lay.il_ref[0])]
-        if not before and not after and not il:
+        if not before and not after and not ltc and not il:
             raise ValueError("inter slice with empty reference set")
 
-        def build(cands, n):
-            lst = [cands[i % len(cands)]
-                   for i in range(max(n, len(cands)))][:n]
+        def build(cands, n, entries):
+            tmp = [cands[i % len(cands)]
+                   for i in range(max(n, len(cands)))]
+            if entries is not None:
+                lst = [tmp[e] for e in entries][:n]
+            else:
+                lst = tmp[:n]
             refs, lts = [], []
             for kind, poc in lst:
                 if kind == "il":
@@ -1457,16 +1508,17 @@ class Decoder:
                     lts.append(True)
                 else:
                     refs.append((poc, self._ref_or_conceal(lay, sps, poc)))
-                    lts.append(False)
+                    lts.append(kind == "lt")
             return refs, lts
 
         st = lambda pocs: [("st", p) for p in pocs]
-        l0, lt0 = build(st(before) + il + st(after),
-                        sh.num_ref_idx_l0_active)
+        lt = [("lt", p) for p in ltc]
+        l0, lt0 = build(st(before) + il + st(after) + lt,
+                        sh.num_ref_idx_l0_active, sh.list_entry_l0)
         l1, lt1 = [], []
         if sh.slice_type == SLICE_B:
-            l1, lt1 = build(st(after) + st(before) + il,
-                            sh.num_ref_idx_l1_active)
+            l1, lt1 = build(st(after) + st(before) + lt + il,
+                            sh.num_ref_idx_l1_active, sh.list_entry_l1)
         return l0, l1, lt0, lt1
 
     def _ref_or_conceal(self, lay: _LayerCtx, sps: SPS, poc: int):
@@ -1496,8 +1548,10 @@ class Decoder:
 
     def _compute_poc(self, lay: _LayerCtx, sps: SPS, sh: SliceHeader,
                      nal_type: int) -> int:
-        # 8.3.1 (simplified: no msb cycle tracking needed for small tests)
-        prev = lay.cur_poc
+        # 8.3.1: prevTid0Pic = previous decode-order picture with
+        # TemporalId 0 that is not RASL/RADL/sub-layer-non-reference
+        # (reference: hevc_refs.c:843 ff_hevc_compute_poc + pocTid0)
+        prev = getattr(lay, "prev_tid0_poc", 0)
         max_lsb = sps.max_poc_lsb
         prev_lsb = prev & (max_lsb - 1)
         prev_msb = prev - prev_lsb
@@ -1514,15 +1568,17 @@ class Decoder:
         pic = lay.cur_pic
         lay.cur_pic = None
         plan = getattr(pic, "plan", None)
+        dev_out = None
         if plan is not None:
             if self.recon_backend == "jax":
                 if getattr(pic, "native_chunks", None) is not None \
                         and os.environ.get("HEVC_TPU_PIPELINE",
                                            "1") != "0":
                     # device-resident pipeline: refs stay in HBM, one
-                    # metadata upload, tiled MC with static shapes
+                    # metadata upload, async launch + lazy fetch
                     from ..tpu.pipeline import finish_frame_pipeline
-                    finish_frame_pipeline(pic, lay, lay.cur_poc)
+                    dev_out = finish_frame_pipeline(pic, lay,
+                                                    lay.cur_poc)
                 else:
                     # full device stage B: recon + deblock + SAO in one
                     # jit (per-frame host marshalling)
@@ -1553,20 +1609,24 @@ class Decoder:
                             pic.sps.bit_depth_luma,
                             pic.sps.sub_w, pic.sps.sub_h)
         # store the filtered reconstruction + motion for inter prediction
-        lay.dpb[lay.cur_poc] = [p.astype(np.int32) for p in pic.planes]
+        if dev_out is not None:
+            from ..tpu.pipeline import LazyPlanes
+            lay.dpb[lay.cur_poc] = LazyPlanes(dev_out, dtype=np.int32)
+        else:
+            lay.dpb[lay.cur_poc] = [p.astype(np.int32)
+                                    for p in pic.planes]
         lay.last_poc = lay.cur_poc
         lay.dpb_motion[lay.cur_poc] = {
             "mv0": pic.mv_l0.copy(), "poc0": pic.ref_poc_l0.copy(),
             "mv1": pic.mv_l1.copy(), "poc1": pic.ref_poc_l1.copy(),
             "poc": lay.cur_poc}
         lay.il_ref = None
-        if len(lay.dpb) > 16:
-            old = min(lay.dpb)
-            del lay.dpb[old]
-            lay.dpb_motion.pop(old, None)
-            if getattr(lay, "dpb_dev", None):
-                lay.dpb_dev.pop(old, None)
-        frame = DecodedFrame(planes=crop_conf_win(pic.planes, pic.sps),
+        if dev_out is not None:
+            from ..tpu.pipeline import LazyPlanes
+            out_planes = LazyPlanes(dev_out, crop=pic.sps)
+        else:
+            out_planes = crop_conf_win(pic.planes, pic.sps)
+        frame = DecodedFrame(planes=out_planes,
                              poc=lay.cur_poc, layer=lay.layer_id,
                              bit_depth=pic.sps.bit_depth_luma,
                              chroma_format=pic.sps.chroma_format_idc,
@@ -1579,9 +1639,20 @@ class Decoder:
             frame.sei_hash = lay.pending_sei
             lay.pending_sei = None
             if self.check_md5:
-                got = picture_md5(pic.planes, pic.sps.bit_depth_luma)
+                if dev_out is not None:
+                    planes = [np.asarray(d) for d in dev_out]
+                else:
+                    planes = pic.planes
+                got = picture_md5(planes, pic.sps.bit_depth_luma)
                 frame.md5_ok = got == frame.sei_hash.md5
-        lay.out_q.append(frame)
+        if getattr(pic, "output_flag", 1):
+            lay.out_q.append(frame)
+        # bumping (C.5.2.2): output when the reorder budget or the DPB
+        # capacity is exceeded (reference: hevc_refs.c:224/:358)
         lay.num_reorder = pic.sps.num_reorder_pics[-1]
-        while len(lay.out_q) > lay.num_reorder:
+        max_dec = pic.sps.max_dec_pic_buffering[-1]
+        while len(lay.out_q) > lay.num_reorder \
+                or len(lay.out_q) >= max_dec:
+            if not lay.out_q:
+                break
             self._bump_one(lay)

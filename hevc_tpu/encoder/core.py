@@ -117,6 +117,11 @@ class EncoderConfig:
     # probability, "all" = every eligible inter CU.  Requires
     # log2_ctb_size <= 5 (single CU-sized TU).
     amp: object = None
+    # long-term reference picture (ipp/lowb): keep frame 0 as an LT ref
+    # in every P frame's L0 — exercises the LT RPS syntax and the
+    # no-MV-scaling long-term rules.  "mod" additionally signals
+    # ref_pic_lists_modification and swaps the two L0 entries.
+    long_term_ref: object = None  # None | True | "mod"
 
 
 class _TuPlan:
@@ -229,6 +234,10 @@ class IntraEncoder:
         if cfg.gop in ("ipp", "lowb"):
             from ..bitstream.ps import ShortTermRPS
             self.sps.st_rps = [ShortTermRPS(delta_poc_s0=[-1], used_s0=[1])]
+            if cfg.long_term_ref:
+                self.sps.long_term_ref_pics_present = 1
+                self.pps.lists_modification_present = \
+                    1 if cfg.long_term_ref == "mod" else 0
         elif cfg.gop == "ra":
             from ..bitstream.ps import ShortTermRPS
             assert not cfg.tmvp, "tmvp unsupported with gop='ra'"
@@ -429,6 +438,12 @@ class IntraEncoder:
                          num_ref_idx_l1_active=max(1,
                                                    len(self.ref_list_l1)),
                          five_minus_max_num_merge_cand=0)
+        if cfg.long_term_ref and self.is_p and any(self.ref_lt0):
+            # frame 0 as LT: poc_lsb 0 + explicit msb cycle (7.4.7.1)
+            sh.lt_entries = [(0, 1, 1,
+                              self.poc >> sps.log2_max_poc_lsb)]
+            if cfg.long_term_ref == "mod":
+                sh.list_entry_l0 = [1, 0]
         nal_type = self._nal_type()
         if self._sched is not None and self._sched[6] is not None:
             nal_type = self._sched[6]
@@ -464,7 +479,11 @@ class IntraEncoder:
             "poc0": self.pic.ref_poc_l0.copy(),
             "mv1": self.pic.mv_l1.copy(),
             "poc1": self.pic.ref_poc_l1.copy(), "poc": self.poc}
-        self.dpb = self.dpb[-8:]
+        keep = self.dpb[-8:]
+        if self.cfg.long_term_ref and self.dpb and self.dpb[0][0] == 0 \
+                and keep[0][0] != 0:
+            keep = [self.dpb[0]] + keep  # frame 0 stays (long-term)
+        self.dpb = keep
         self.poc += 1
         return nalmod.write_annexb(au)
 
@@ -495,6 +514,15 @@ class IntraEncoder:
             self.ref_list_l1 = []
         self.ref_lt0 = [False] * len(self.ref_list)
         self.ref_lt1 = [False] * len(self.ref_list_l1)
+        if self.cfg.long_term_ref and self.is_p and self.poc > 1:
+            lt_entry = (0, dict(self.dpb)[0])
+            if self.cfg.long_term_ref == "mod":
+                # modified order: LT first (list_entry_l0 = [1, 0])
+                self.ref_list = [lt_entry] + self.ref_list
+                self.ref_lt0 = [True] + self.ref_lt0
+            else:
+                self.ref_list = self.ref_list + [lt_entry]
+                self.ref_lt0 = self.ref_lt0 + [True]
 
     def _nal_type(self):
         return nalmod.NAL_TRAIL_R if self.is_p else nalmod.NAL_IDR_W_RADL

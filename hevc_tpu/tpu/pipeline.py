@@ -7,10 +7,14 @@ Design (TPU-first, replacing per-frame host round-trips):
     output-dtype copies for md5/output/concealment);
   * the reconstruction canvas starts as a cached device-resident zeros
     array (uploaded once per geometry) — only PCM frames upload one;
-  * MC is canonicalized to fixed 4x4 luma / 2x2 chroma tiles by the
-    native packer, so the device program's shapes are frame-independent
-    (the analogue of the reference's fixed kernel grid, hevcdsp.h:98);
-    row counts are bucketed to powers of two with droppable padding;
+  * MC rows are grouped per (kind, bi, wp, w, h) like the reference's
+    fixed kernel grid (hevcdsp.h:98) with row counts bucketed to powers
+    of two (droppable padding), bounding recompiles;
+  * fetches are LAZY: decoded planes stay on device until a consumer
+    reads them (output write, md5 check, SHVC upsample), so the decode
+    loop runs ahead of the device and transfer round-trips overlap
+    compute — the asynchronous analogue of the reference's frame
+    threads (pthread_frame.c:484);
   * all per-frame metadata (prediction scalars, residual meta, MC/resid
     rows, SAO maps, QP/BS maps) travels in ONE int32 buffer, sliced
     inside the jit by a static layout spec — one host->device transfer
@@ -35,11 +39,6 @@ from .pack import DUMP, PAD_REF, region_offsets
 from .recon import _residuals
 from .transforms import residual_batch  # noqa: F401  (re-export surface)
 
-# fixed MC tile dims (native packer PackP.tile_mc)
-TILE_L = 4
-TILE_C = 2
-
-
 def _pow2_at_least(x):
     return 1 << max(0, (x - 1).bit_length())
 
@@ -53,15 +52,15 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _mc_tile_phase(canvas, refs_l, refs_c, groups, bd):
-    """Tiled MC: groups = tuple of (is_ch, bi, wp, rows[N, 17]) with
-    row layout (sel, by, bx, fx, fy, sel1, by1, bx1, fx1, fy1, cy, cx,
-    w0, o0, w1, o1, log2wd)."""
+    """MC over per-PU groups: groups = tuple of (is_ch, bi, wp, w, h,
+    rows[N, 17]) with row layout (sel, by, bx, fx, fy, sel1, by1, bx1,
+    fx1, fy1, cy, cx, w0, o0, w1, o1, log2wd); padding rows scatter to
+    DUMP and are dropped."""
     from .mc import EPEL_TAPS, QPEL_TAPS, _interp_raw
     maxv = (1 << bd) - 1
-    for is_ch, bi, wp, rows in groups:
+    for is_ch, bi, wp, w, h, rows in groups:
         refs = refs_c if is_ch else refs_l
         ntaps = 4 if is_ch else 8
-        w = h = TILE_C if is_ch else TILE_L
         taps = jnp.asarray(EPEL_TAPS if is_ch else QPEL_TAPS)
 
         def raw(f, o):
@@ -140,11 +139,10 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
         nlv = S["nlv"][c]
         rmeta.append(take(nlv * 5, (nlv, 5)))
     mc_groups = []
-    for gi, (is_ch, bi, wp) in enumerate(_MC_KEYS):
-        nrow = S["mc_rows"][gi]
+    for (is_ch, bi, wp, w, h, nrow) in S["mc_groups"]:
         rows = take(nrow * 17, (nrow, 17))
         if nrow:
-            mc_groups.append((is_ch, bi, wp, rows))
+            mc_groups.append((is_ch, bi, wp, w, h, rows))
     resid_fields = []
     for c in range(4):
         nrow = S["resid_rows"][c]
@@ -214,11 +212,6 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
             pads[0], pads[1], pads[2])
 
 
-# the fixed MC group universe: (is_chroma, bi, wp)
-_MC_KEYS = tuple((ic, bi, wp) for ic in (False, True)
-                 for bi in (False, True) for wp in (False, True))
-
-
 # ---------------------------------------------------------------------------
 # host-side assembly
 # ---------------------------------------------------------------------------
@@ -229,17 +222,25 @@ def _zero_canvas(ch, cw):
     return jax.device_put(np.zeros((ch, cw), np.int16))
 
 
-_BANK_DEV = {}
+_FLAT_BANK_DEV = None
 
 
 def _dev_scale_bank(pic):
+    """Device copies of the scaling-matrix banks, cached on the active
+    ScalingListData (a module cache keyed by object id would alias
+    garbage-collected banks)."""
+    global _FLAT_BANK_DEV
     from ..native import _scale_bank
-    bank = _scale_bank(pic)
-    key = id(bank)
-    got = _BANK_DEV.get(key)
+    scaling = getattr(pic, "scaling", None)
+    if scaling is None:
+        if _FLAT_BANK_DEV is None:
+            _FLAT_BANK_DEV = tuple(jnp.asarray(b)
+                                   for b in _scale_bank(pic))
+        return _FLAT_BANK_DEV
+    got = getattr(scaling, "_native_bank_dev", None)
     if got is None:
-        got = tuple(jnp.asarray(b) for b in bank)
-        _BANK_DEV[key] = got
+        got = tuple(jnp.asarray(b) for b in _scale_bank(pic))
+        scaling._native_bank_dev = got
     return got
 
 
@@ -273,15 +274,12 @@ def pack_frame_pipeline(pic):
     P.strong_smoothing = int(sps.strong_intra_smoothing)
     P.nrefs, P.r0 = n_refs, len(refs0)
     P.pad_ref = PAD_REF
-    P.tile_mc = 1
+    P.tile_mc = 0  # per-PU rows: fewer, larger device blocks
     for p in range(3):
         for k in range(4):
             P.reg[p * 4 + k] = reg[p][k]
 
-    # worst-case tiled MC rows: one per 4x4 luma + 2x2 chroma block
-    n44 = pic.h4 * pic.w4
-    cfrac = {0: 0, 1: 2, 2: 4, 3: 8}[sps.chroma_format_idc]
-    cap_mc = n44 + cfrac * n44 + 1024
+    cap_mc = max(1, n_rec)
     imeta = np.empty((max(1, n_rec), 11), np.int32)
     iavail = np.zeros((max(1, n_rec), 128), np.uint8)
     lmeta = np.empty((max(1, n_rec), 7), np.int32)
@@ -300,7 +298,7 @@ def pack_frame_pipeline(pic):
     ni, nl, nm, nr, npcm, n_chunks_raw = (int(v) for v in counts[:6])
 
     # MV-range guard (the equivalent of pack_frame's PAD_REF asserts):
-    # padded ref dims bound every tile's read window
+    # padded ref dims bound every block's read window
     if nm:
         mr = mcrow[:nm]
         hp_l = sps.height + 2 * PAD_REF
@@ -308,13 +306,14 @@ def pack_frame_pipeline(pic):
         hp_c = sps.height // sps.sub_h + 2 * PAD_REF
         wp_c = sps.width // sps.sub_w + 2 * PAD_REF
         is_ch = mr[:, 0] == 1
-        ext = np.where(is_ch, TILE_C + 3, TILE_L + 7)
+        ext_h = mr[:, 3] + np.where(is_ch, 3, 7)
+        ext_w = mr[:, 2] + np.where(is_ch, 3, 7)
         hp = np.where(is_ch, hp_c, hp_l)
         wp = np.where(is_ch, wp_c, wp_l)
-        ok = (mr[:, 5] + ext <= hp) & (mr[:, 6] + ext <= wp)
+        ok = (mr[:, 5] + ext_h <= hp) & (mr[:, 6] + ext_w <= wp)
         bi_rows = mr[:, 1] == 1
-        ok &= np.where(bi_rows, (mr[:, 10] + ext <= hp)
-                       & (mr[:, 11] + ext <= wp), True)
+        ok &= np.where(bi_rows, (mr[:, 10] + ext_h <= hp)
+                       & (mr[:, 11] + ext_w <= wp), True)
         assert ok.all(), "MV exceeds PAD_REF"
 
     # canvas: device zeros unless PCM samples need pre-filling
@@ -365,21 +364,26 @@ def pack_frame_pipeline(pic):
         parts.append(rm.reshape(-1))
         lvl_parts.append(lv16.reshape(-1))
 
+    # MC groups keyed (is_ch, bi, wp, w, h), pow2-bucketed rows
     mcr = mcrow[:nm]
-    mc_rows = []
-    wp_flag = mcr[:, 20] >= 0
-    for is_ch, bi, wp in _MC_KEYS:
-        sel = np.nonzero((mcr[:, 0] == int(is_ch))
-                         & (mcr[:, 1] == int(bi))
-                         & (wp_flag == wp))[0]
-        n_g = _pow2_at_least(len(sel)) if len(sel) else 0
-        rows = np.zeros((n_g, 17), np.int32)
-        if len(sel):
-            rows[:len(sel)] = mcr[sel][:, 4:21]
-            rows[len(sel):, 10] = DUMP  # padding rows scatter nowhere
-            rows[len(sel):, 11] = DUMP
-        mc_rows.append(n_g)
-        parts.append(rows.reshape(-1))
+    mc_groups = []
+    if nm:
+        wp_flag = (mcr[:, 20] >= 0).astype(np.int32)
+        order = np.lexsort((mcr[:, 3], mcr[:, 2], wp_flag, mcr[:, 1],
+                            mcr[:, 0]))
+        srt = mcr[order]
+        keys = np.column_stack([srt[:, :2], wp_flag[order], srt[:, 2:4]])
+        bounds = [0] + (np.nonzero(np.any(np.diff(keys, axis=0) != 0,
+                                          axis=1))[0] + 1).tolist() + [nm]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            is_ch, bi, wp, w, h = (int(v) for v in keys[a])
+            n_g = _pow2_at_least(b - a)
+            rows = np.zeros((n_g, 17), np.int32)
+            rows[:b - a] = srt[a:b][:, 4:21]
+            rows[b - a:, 10] = DUMP  # padding rows scatter nowhere
+            rows[b - a:, 11] = DUMP
+            mc_groups.append((bool(is_ch), bool(bi), bool(wp), w, h, n_g))
+            parts.append(rows.reshape(-1))
 
     rr = residr[:nr]
     resid_rows = []
@@ -434,7 +438,7 @@ def pack_frame_pipeline(pic):
         ("n_chunks", n_chunks),
         ("B", tuple(B)),
         ("nlv", tuple(nlv)),
-        ("mc_rows", tuple(mc_rows)),
+        ("mc_groups", tuple(mc_groups)),
         ("resid_rows", tuple(resid_rows)),
         ("regions", tuple(reg[p] for p in range(3))),
         ("h4", pic.h4), ("w4", pic.w4),
@@ -447,9 +451,50 @@ def pack_frame_pipeline(pic):
     return meta, avail_u8, levels16, canvas0, spec
 
 
-def finish_frame_pipeline(pic, lay, poc: int) -> None:
-    """Decode one frame's stage B on device; update pic.planes (np) and
-    the layer's device DPB (padded reference planes stay in HBM)."""
+class LazyPlanes:
+    """List-like deferred fetch of device planes.
+
+    Materializes (and caches) the numpy planes on first element access;
+    until then the decode loop never blocks on the device.  `crop` is
+    the SPS for conformance-window cropping of output frames; `dtype`
+    converts on materialization (the DPB wants int32)."""
+
+    __slots__ = ("_dev", "_np", "_crop", "_dtype")
+
+    def __init__(self, dev_planes, crop=None, dtype=None):
+        self._dev = dev_planes
+        self._np = None
+        self._crop = crop
+        self._dtype = dtype
+
+    def _mat(self):
+        if self._np is None:
+            planes = [np.asarray(d) for d in self._dev]
+            if self._dtype is not None:
+                planes = [p.astype(self._dtype) for p in planes]
+            if self._crop is not None:
+                from ..coding.picture import crop_conf_win
+                planes = crop_conf_win(planes, self._crop)
+            self._np = planes
+            self._dev = None
+        return self._np
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __len__(self):
+        return 3
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
+def finish_frame_pipeline(pic, lay, poc: int):
+    """Launch one frame's stage B on device (asynchronously).
+
+    Updates the layer's device DPB with HBM-resident padded reference
+    planes and returns the output planes as device handles — the caller
+    wraps them in LazyPlanes instead of blocking on a fetch."""
     meta, avail_u8, levels16, canvas0, spec = pack_frame_pipeline(pic)
     dpb_dev = getattr(lay, "dpb_dev", None)
     if dpb_dev is None:
@@ -478,11 +523,10 @@ def finish_frame_pipeline(pic, lay, poc: int) -> None:
                           tuple(refs_cr), spec)
     y8, cb8, cr8, pad_y, pad_cb, pad_cr = out
     dpb_dev[poc] = (pad_y, pad_cb, pad_cr)
-    for plane, arr in enumerate((y8, cb8, cr8)):
-        pic.planes[plane][:] = np.asarray(arr)
     # filters applied on device
     pic.deblock_params = None
     if hasattr(pic, "sao_map"):
         pic.sao_map = {}
     pic.has_sao = False
     pic.sao_arrays = None
+    return (y8, cb8, cr8)
