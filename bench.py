@@ -54,7 +54,9 @@ def ensure_stream():
 
 
 def ensure_packed(stream_path):
-    pkl = os.path.join(CACHE, TAG + ".pkl")
+    # v3: regenerated after the round-2 do_sao regression (native stage A
+    # reports SAO via pic.has_sao/sao_arrays, not the sao_map dict)
+    pkl = os.path.join(CACHE, TAG + "_v3.pkl")
     if os.path.exists(pkl):
         with open(pkl, "rb") as f:
             return pickle.load(f)
@@ -89,7 +91,8 @@ def ensure_packed(stream_path):
             bsv=pic.bs_v.astype(np.int32), bsh=pic.bs_h.astype(np.int32),
             sao=sao, dbp=dbp,
             do_deblock=getattr(pic, "deblock_params", None) is not None,
-            do_sao=bool(getattr(pic, "sao_map", None)),
+            do_sao=bool(getattr(pic, "sao_map", None))
+            or bool(getattr(pic, "has_sao", False)),
             sps=(pic.sps.log2_ctb_size, pic.sps.sub_w, pic.sps.sub_h),
             ref=[p.copy() for p in frame.planes]))
     with open(pkl, "wb") as f:

@@ -4,8 +4,10 @@ Capability parity with the reference's hevc_mvs.c
 (ff_hevc_luma_mv_merge_mode :523, derive_spatial_merge_candidates :307,
 ff_hevc_luma_mv_mvp_mode :635), re-derived from the specification.
 
-Bi-prediction (two reference lists) is supported; TMVP is not yet
-(generated streams set slice_temporal_mvp_enabled = 0).
+Bi-prediction (two reference lists) and TMVP (temporal_luma_motion_vector
+:230 analogue, incl. the AMP availability model) are supported; the
+native stage A mirrors this module record-for-record
+(tests/test_native_stagea.py).
 """
 from __future__ import annotations
 

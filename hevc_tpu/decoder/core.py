@@ -1425,9 +1425,11 @@ class Decoder:
         if nat is not None:
             # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU
             # syntax + MV derivation in C++, bit-exact with SliceDecoder
-            nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp, seg_starts,
-                lay.slice_counter, ref_list, ref_list_l1, lt0, lt1, tc,
-                lay.cur_poc)
+            from .. import trace
+            with trace.span("stage_a_native"):
+                nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp,
+                    seg_starts, lay.slice_counter, ref_list, ref_list_l1,
+                    lt0, lt1, tc, lay.cur_poc)
         else:
             sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
                               lay.slice_counter,

@@ -469,7 +469,9 @@ class LazyPlanes:
 
     def _mat(self):
         if self._np is None:
-            planes = [np.asarray(d) for d in self._dev]
+            from .. import trace
+            with trace.span("fetch"):
+                planes = [np.asarray(d) for d in self._dev]
             if self._dtype is not None:
                 planes = [p.astype(self._dtype) for p in planes]
             if self._crop is not None:
@@ -495,7 +497,9 @@ def finish_frame_pipeline(pic, lay, poc: int):
     Updates the layer's device DPB with HBM-resident padded reference
     planes and returns the output planes as device handles — the caller
     wraps them in LazyPlanes instead of blocking on a fetch."""
-    meta, avail_u8, levels16, canvas0, spec = pack_frame_pipeline(pic)
+    from .. import trace
+    with trace.span("pack_native"):
+        meta, avail_u8, levels16, canvas0, spec = pack_frame_pipeline(pic)
     dpb_dev = getattr(lay, "dpb_dev", None)
     if dpb_dev is None:
         dpb_dev = lay.dpb_dev = {}
@@ -517,10 +521,11 @@ def finish_frame_pipeline(pic, lay, poc: int):
             refs_cb.append(pcb)
             refs_cr.append(pcr)
 
-    out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(avail_u8),
-                          jnp.asarray(levels16), _dev_scale_bank(pic),
-                          canvas0, tuple(refs_y), tuple(refs_cb),
-                          tuple(refs_cr), spec)
+    with trace.span("device_dispatch"):
+        out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(avail_u8),
+                              jnp.asarray(levels16), _dev_scale_bank(pic),
+                              canvas0, tuple(refs_y), tuple(refs_cb),
+                              tuple(refs_cr), spec)
     y8, cb8, cr8, pad_y, pad_cb, pad_cr = out
     dpb_dev[poc] = (pad_y, pad_cb, pad_cr)
     # filters applied on device
