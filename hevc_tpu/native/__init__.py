@@ -33,6 +33,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "stage_a.cpp")
 _HDRS = (os.path.join(_DIR, "stage_a_engine.h"),
          os.path.join(_DIR, "stage_a_syntax.h"),
+         os.path.join(_DIR, "stage_a_mt.h"),
          os.path.join(_DIR, "stage_a_pack.h"))
 _SO = os.path.join(_DIR, "_stagea.so")
 
@@ -81,8 +82,8 @@ def _build() -> str:
     srcs_mtime = max(os.path.getmtime(p) for p in (_SRC,) + _HDRS)
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < srcs_mtime:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _SO + ".tmp"],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _SO + ".tmp"],
             check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
     return _SO
@@ -122,9 +123,22 @@ def _lib():
         _I32P, _I32P,                                # wp_w, wp_o
         _I32P, _I32P, _I32P, _I32P,                  # sao out
         _I32P, C.c_int64, _I32P, C.c_int64,          # rec, cap, lvl, cap
+        C.c_int32,                                   # n_threads
         _I64P,                                       # out_counts
     ]
     return lib
+
+
+def stagea_threads() -> int:
+    """Worker threads for the parallel stage-A paths (WPP rows / tiles).
+
+    HEVC_TPU_STAGEA_THREADS overrides; default = CPU count (the MT path
+    engages only when the stream's segment layout allows a bit-exact
+    fan-out — single-slice whole-picture WPP or tiles)."""
+    v = os.environ.get("HEVC_TPU_STAGEA_THREADS")
+    if v is not None:
+        return max(1, int(v))
+    return os.cpu_count() or 1
 
 
 def available() -> bool:
@@ -480,7 +494,8 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
         wp_w.reshape(-1), wp_o.reshape(-1),
         sao_t.reshape(-1), sao_b.reshape(-1), sao_o.reshape(-1),
         sao_e.reshape(-1),
-        rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0], out_counts)
+        rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0],
+        stagea_threads(), out_counts)
     if rc != 0:
         raise RuntimeError(f"native slice decode failed (rc={rc})")
     n_rec, lvl_used, last_rs = (int(out_counts[0]), int(out_counts[1]),

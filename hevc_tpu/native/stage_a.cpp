@@ -224,11 +224,13 @@ struct Dec {
             return false;
         int lc = P.log2_ctb;
         int cw = P.ctb_w;
-        if (slice_idx[(yn >> lc) * cw + (xn >> lc)]
-            != slice_idx[(yc >> lc) * cw + (xc >> lc)])
-            return false;
+        // tile map first: it is static, while slice_idx is written as
+        // CTBs decode — a cross-tile probe must not read it (MT path)
         if (tile_of_ctb[(yn >> lc) * cw + (xn >> lc)]
             != tile_of_ctb[(yc >> lc) * cw + (xc >> lc)])
+            return false;
+        if (slice_idx[(yn >> lc) * cw + (xn >> lc)]
+            != slice_idx[(yc >> lc) * cw + (xc >> lc)])
             return false;
         return true;
     }
@@ -382,10 +384,10 @@ struct Dec {
     bool ctb_ok(int nx, int ny, int cx_, int cy_) const {
         if (nx < 0 || ny < 0 || nx >= P.ctb_w || ny >= P.ctb_h)
             return false;
-        return slice_idx[ny * P.ctb_w + nx]
-                   == slice_idx[cy_ * P.ctb_w + cx_]
-               && tile_of_ctb[ny * P.ctb_w + nx]
-                   == tile_of_ctb[cy_ * P.ctb_w + cx_];
+        return tile_of_ctb[ny * P.ctb_w + nx]
+                   == tile_of_ctb[cy_ * P.ctb_w + cx_]
+               && slice_idx[ny * P.ctb_w + nx]
+                   == slice_idx[cy_ * P.ctb_w + cx_];
     }
 
     // mirror of mvs.py _pu_flags (reference: hevc_mvs.c:43)

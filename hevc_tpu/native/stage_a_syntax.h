@@ -812,9 +812,10 @@ static void coding_quadtree(Dec& d, int x0, int y0, int log2_size,
 
 // ---- SAO (7.3.8.3) ---------------------------------------------------------
 static bool sao_mergeable(const Dec& d, int xn, int yn, int xc, int yc) {
-    return d.slice_idx[yn * d.P.ctb_w + xn] == d.slice_idx[yc * d.P.ctb_w + xc]
-           && d.tile_of_ctb[yn * d.P.ctb_w + xn]
-                  == d.tile_of_ctb[yc * d.P.ctb_w + xc];
+    return d.tile_of_ctb[yn * d.P.ctb_w + xn]
+               == d.tile_of_ctb[yc * d.P.ctb_w + xc]
+           && d.slice_idx[yn * d.P.ctb_w + xn]
+                  == d.slice_idx[yc * d.P.ctb_w + xc];
 }
 
 static void sao_copy(Dec& d, int xs, int ys, int xd, int yd) {
@@ -967,6 +968,8 @@ static int64_t decode_ctus(Dec& d) {
 }  // namespace
 }  // namespace hevc_native
 
+#include "stage_a_mt.h"
+
 // ---- extern "C" entry points -----------------------------------------------
 using namespace hevc_native;
 
@@ -999,7 +1002,7 @@ extern "C" int64_t hevc_native_decode_slice(
     int32_t* sao_eo,
     // record outputs
     int32_t* rec, int64_t cap_rec, int32_t* lvl, int64_t cap_lvl,
-    int64_t* out_counts) {
+    int32_t n_threads, int64_t* out_counts) {
     Dec d;
     d.P = *params;
     if (d.P.n_ctx > (int32_t)sizeof(d.wpp_ctx))
@@ -1068,9 +1071,11 @@ extern "C" int64_t hevc_native_decode_slice(
     d.cb.nbytes = nbytes;
     d.cb.init_at(seg_starts[0]);
 
-    int64_t rs = decode_ctus(d);
+    int64_t rs = run_slice(d, n_threads > 0 ? n_threads : 1);
     if (d.err)
         return d.err;
+    if (rs < 0)
+        return rs;  // MT row/tile error or capacity overflow
     out_counts[0] = d.n_rec;
     out_counts[1] = d.lvl_used;
     out_counts[2] = rs;
