@@ -113,7 +113,11 @@ def _chroma_filter_segments(win, tc, maxv):
 def _luma_pass(y, qp4, bs4, beta_off, tc_off, bd):
     """One directional luma pass over plane y (filter along axis 1)."""
     h, w = y.shape
-    n_e = w // 8 - 1
+    # edges at x = 8(j+1); the filter reads/writes p3..q3 = cols
+    # edge-4 .. edge+3, so the last edge is the largest 8k <= w-4
+    # (w % 8 == 4 puts one more edge than w // 8 - 1 — e.g. chroma-
+    # subsampled 1080p transposed passes)
+    n_e = (w - 4) // 8
     maxv = (1 << bd) - 1
     if n_e <= 0:
         return y
@@ -136,13 +140,19 @@ def _luma_pass(y, qp4, bs4, beta_off, tc_off, bd):
 def _chroma_pass(c, qp4, bs4, tc_off, qp_off, bd, sub):
     """One directional chroma pass (4:2:0: edges every 8 chroma cols)."""
     ch, cw = c.shape
-    n_e = cw // 8 - 1
+    # edges at x = 8(j+1); the filter touches p1..q1 = cols
+    # edge-2 .. edge+1, so the last edge is the largest 8k <= cw-2
+    # (cw % 8 == 4: one more edge than cw // 8 - 1, e.g. 540 rows of
+    # 1080p chroma in the transposed pass)
+    n_e = (cw - 2) // 8
     maxv = (1 << bd) - 1
     if n_e <= 0:
         return c
     s = ch // 4
-    # window cols 8j+6 .. 8j+13 → take first 4 (xc-2..xc+1)
-    win = c[:, 6:6 + 8 * n_e].reshape(s, 4, n_e, 8).transpose(0, 2, 1, 3)
+    # window cols 8j+6 .. 8j+13 → take first 4 (xc-2..xc+1); pad right
+    # so the final edge's (unused) tail columns exist
+    cpad = jnp.pad(c, ((0, 0), (0, 8)))
+    win = cpad[:, 6:6 + 8 * n_e].reshape(s, 4, n_e, 8).transpose(0, 2, 1, 3)
     seg = win[..., :4]
     # bs/qp at luma coords: edge x = 8*sub*(j+1), row y = 4*sub*m
     bs = bs4[:: sub, :][: s, :][:, 2 * sub:: 2 * sub][:, :n_e]
@@ -154,9 +164,9 @@ def _chroma_pass(c, qp4, bs4, tc_off, qp_off, bd, sub):
     outs = _chroma_filter_segments(seg, tc, maxv)
     outs = jnp.where((bs == 2)[..., None, None], outs, seg)
     outw = win.at[..., :4].set(outs)
-    c = c.at[:, 6:6 + 8 * n_e].set(
+    cpad = cpad.at[:, 6:6 + 8 * n_e].set(
         outw.transpose(0, 2, 1, 3).reshape(ch, 8 * n_e))
-    return c
+    return cpad[:, :cw]
 
 
 @partial(jax.jit, static_argnames=("bd", "sub_w", "sub_h"))

@@ -30,6 +30,35 @@ def test_deblock_jax_bitexact():
         assert (np.asarray(jcr) == planes[2]).all(), f"cr trial {trial}"
 
 
+def test_deblock_jax_mod8_geometry():
+    """Dimensions ≡ 4 (mod 8) carry one more edge than dim//8 - 1 —
+    1080p chroma (540 rows) hit this: the final horizontal chroma edge
+    (row 536) was silently skipped (round-3 regression)."""
+    rng = np.random.default_rng(7)
+    # coded sizes are multiples of 8; luma ≡ 8 (mod 16) makes the
+    # chroma dimension ≡ 4 (mod 8) — vertically, horizontally, both
+    for H, W in ((136, 96), (96, 136), (136, 264)):
+        y = rng.integers(0, 256, (H, W)).astype(np.int32)
+        cb = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+        cr = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+        qp4 = rng.integers(20, 45, (H // 4, W // 4)).astype(np.int32)
+        bs_v = np.full((H // 4, W // 4), 2, np.int8)
+        bs_h = np.full((H // 4, W // 4), 2, np.int8)
+        planes = [y.copy(), cb.copy(), cr.copy()]
+        DB.deblock_frame(planes, qp4, bs_v, bs_h, bit_depth=8,
+                         beta_offset=0, tc_offset=0)
+        jy, jcb, jcr = deblock_jax(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qp4), jnp.asarray(bs_v.astype(np.int32)),
+            jnp.asarray(bs_h.astype(np.int32)), 0, 0, 0, 0)
+        for name, got, want in (("y", jy, planes[0]),
+                                ("cb", jcb, planes[1]),
+                                ("cr", jcr, planes[2])):
+            assert (np.asarray(got) == want).all(), \
+                f"{name} @ {H}x{W}: " \
+                f"{(np.asarray(got) != want).sum()} wrong"
+
+
 def test_sao_jax_bitexact():
     rng = np.random.default_rng(1)
     H, W, CS = 64, 96, 16
