@@ -1569,6 +1569,7 @@ class Decoder:
     def _finish_picture(self, lay: _LayerCtx):
         pic = lay.cur_pic
         lay.cur_pic = None
+        pic.poc = lay.cur_poc
         plan = getattr(pic, "plan", None)
         dev_out = None
         if plan is not None:

@@ -98,6 +98,56 @@ def _sao_local(ext, tmap, pos, offs4, cls, ctb_log2: int, bd: int,
     return jnp.where(t == 1, band_out, jnp.where(t == 2, edge_out, plane))
 
 
+def _filters_in_shard(y, cb, cr, qp4, bs_v, bs_h, beta_off, tc_off,
+                      cb_qp_off, cr_qp_off, st, sp, so, sc, *, n, axis,
+                      bit_depth, ctb_log2, sub_w, sub_h, do_deblock,
+                      do_sao):
+    """Deblock + SAO on one column band inside a shard_map body.
+
+    Vertical-edge deblock exchanges a 16-luma-pixel halo; SAO a 1-pixel
+    halo of the deblocked planes.  Shared by filter_frame_sharded and
+    the full banded pipeline (decode_gop_banded)."""
+    if do_deblock:
+        hl = 16                       # luma halo (8-grid aligned)
+        hm = hl // 4                  # 4x4-map halo
+        hc = hl // sub_w              # chroma halo
+        parts = {}
+        for name, arr, hw in (("y", y, hl), ("qp", qp4, hm),
+                              ("bv", bs_v, hm),
+                              ("cb", cb, hc), ("cr", cr, hc)):
+            lft, rgt = _halo(arr, hw, n, axis)
+            parts[name] = jnp.concatenate([lft, arr, rgt], axis=1)
+        ey = _luma_pass(parts["y"], parts["qp"], parts["bv"],
+                        beta_off, tc_off, bit_depth)[:, hl:-hl]
+        ecb = _chroma_pass(parts["cb"], parts["qp"], parts["bv"],
+                           tc_off, cb_qp_off, bit_depth,
+                           sub_w)[:, hc:-hc]
+        ecr = _chroma_pass(parts["cr"], parts["qp"], parts["bv"],
+                           tc_off, cr_qp_off, bit_depth,
+                           sub_w)[:, hc:-hc]
+        # horizontal edges: column-independent → local transpose pass
+        y = _luma_pass(ey.T, qp4.T, bs_h.T, beta_off, tc_off,
+                       bit_depth).T
+        cb = _chroma_pass(ecb.T, qp4.T, bs_h.T, tc_off, cb_qp_off,
+                          bit_depth, sub_h).T
+        cr = _chroma_pass(ecr.T, qp4.T, bs_h.T, tc_off, cr_qp_off,
+                          bit_depth, sub_h).T
+    if do_sao:
+        idx = jax.lax.axis_index(axis)
+        outs = []
+        for plane_i, p in enumerate((y, cb, cr)):
+            lg = ctb_log2 - (0 if plane_i == 0
+                             else (sub_w.bit_length() - 1))
+            lft, rgt = _halo(p, 1, n, axis)
+            ext = jnp.concatenate([lft, p, rgt], axis=1)
+            wb = p.shape[1]
+            outs.append(_sao_local(
+                ext, st[plane_i], sp[plane_i], so[plane_i],
+                sc[plane_i], lg, bit_depth, idx * wb, wb * n))
+        y, cb, cr = outs
+    return y, cb, cr
+
+
 def filter_frame_sharded(mesh: Mesh, y, cb, cr, qp4, bs_v, bs_h,
                          beta_off, tc_off, cb_qp_off, cr_qp_off,
                          sao_type, sao_band_pos, sao_offs4, sao_eo_class,
@@ -121,45 +171,11 @@ def filter_frame_sharded(mesh: Mesh, y, cb, cr, qp4, bs_v, bs_h,
     col3 = NamedSharding(mesh, P(None, axis, None))
 
     def run(y, cb, cr, qp4, bs_v, bs_h, st, sp, so, sc):
-        if do_deblock:
-            hl = 16                       # luma halo (8-grid aligned)
-            hm = hl // 4                  # 4x4-map halo
-            hc = hl // sub_w              # chroma halo
-            parts = {}
-            for name, arr, hw in (("y", y, hl), ("qp", qp4, hm),
-                                  ("bv", bs_v, hm),
-                                  ("cb", cb, hc), ("cr", cr, hc)):
-                lft, rgt = _halo(arr, hw, n, axis)
-                parts[name] = jnp.concatenate([lft, arr, rgt], axis=1)
-            ey = _luma_pass(parts["y"], parts["qp"], parts["bv"],
-                            beta_off, tc_off, bit_depth)[:, hl:-hl]
-            ecb = _chroma_pass(parts["cb"], parts["qp"], parts["bv"],
-                               tc_off, cb_qp_off, bit_depth,
-                               sub_w)[:, hc:-hc]
-            ecr = _chroma_pass(parts["cr"], parts["qp"], parts["bv"],
-                               tc_off, cr_qp_off, bit_depth,
-                               sub_w)[:, hc:-hc]
-            # horizontal edges: column-independent → local transpose pass
-            y = _luma_pass(ey.T, qp4.T, bs_h.T, beta_off, tc_off,
-                           bit_depth).T
-            cb = _chroma_pass(ecb.T, qp4.T, bs_h.T, tc_off, cb_qp_off,
-                              bit_depth, sub_h).T
-            cr = _chroma_pass(ecr.T, qp4.T, bs_h.T, tc_off, cr_qp_off,
-                              bit_depth, sub_h).T
-        if do_sao:
-            idx = jax.lax.axis_index(axis)
-            outs = []
-            for plane_i, p in enumerate((y, cb, cr)):
-                lg = ctb_log2 - (0 if plane_i == 0
-                                 else (sub_w.bit_length() - 1))
-                lft, rgt = _halo(p, 1, n, axis)
-                ext = jnp.concatenate([lft, p, rgt], axis=1)
-                wb = p.shape[1]
-                outs.append(_sao_local(
-                    ext, st[plane_i], sp[plane_i], so[plane_i],
-                    sc[plane_i], lg, bit_depth, idx * wb, wb * n))
-            y, cb, cr = outs
-        return y, cb, cr
+        return _filters_in_shard(
+            y, cb, cr, qp4, bs_v, bs_h, beta_off, tc_off, cb_qp_off,
+            cr_qp_off, st, sp, so, sc, n=n, axis=axis,
+            bit_depth=bit_depth, ctb_log2=ctb_log2, sub_w=sub_w,
+            sub_h=sub_h, do_deblock=do_deblock, do_sao=do_sao)
 
     spec = P(None, axis)
     kw = dict(mesh=mesh,
@@ -177,3 +193,124 @@ def filter_frame_sharded(mesh: Mesh, y, cb, cr, qp4, bs_v, bs_h,
                 tuple(jax.device_put(a, col3) for a in sao_offs4),
                 tuple(jax.device_put(a, col) for a in sao_eo_class))
     return jax.jit(fn)(*args, *sao_args)
+
+
+# ---------------------------------------------------------------------------
+# Full banded stage-B pipeline: MC + residual + intra recon + filters
+# ---------------------------------------------------------------------------
+
+def _make_ref_band(p, halo, n, axis):
+    """Extend a decoded band into its reference window: exchange `halo`
+    edge columns with both mesh neighbours (the MC-window halo exchange;
+    reference analogue: inter-frame MC gated on producer rows,
+    pthread_frame.c:570/592), replicate at frame borders, and add the
+    PAD_REF vertical replication the MC read windows assume."""
+    from .pack import PAD_REF
+    left, right = _halo(p, halo, n, axis)
+    idx = jax.lax.axis_index(axis)
+    first = jnp.repeat(p[:, :1], halo, axis=1)
+    last = jnp.repeat(p[:, -1:], halo, axis=1)
+    left = jnp.where(idx == 0, first, left)
+    right = jnp.where(idx == n - 1, last, right)
+    ext = jnp.concatenate([left, p, right], axis=1)
+    return jnp.pad(ext, ((PAD_REF, PAD_REF), (0, 0)), mode="edge")
+
+
+def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
+                      axis: str = "tile"):
+    """Decode a GOP with every stage-B phase column-band-sharded.
+
+    frames: list of per-frame bundles as built by
+    band.prepare_gop_banded —
+      {"arrays", "spec" (unify_bands output), "poc", "ref_pocs_l0/_l1",
+       "qp4", "bs_v", "bs_h", "dboff", "sao" (t, b, o, e stacks),
+       "do_deblock", "do_sao", "ctb_log2", "sub_w", "sub_h"}.
+    The device DPB holds halo-extended band reference windows; each
+    frame's MC reads only its band window (refs never leave the
+    device), and windows refresh with one ppermute halo exchange per
+    plane after the filters.  Returns [(y, cb, cr)] global arrays."""
+    from .intra import reconstruct_wavefront
+    from .mc import mc_phase, resid_phase
+    from .recon import _residuals
+
+    n = mesh.shape[axis]
+    dpb = {}
+    outs = []
+    for fb in frames:
+        A, S = fb["arrays"], fb["spec"]
+        bd = S["bit_depth"]
+        n_chunks = S["n_chunks"]
+        regions = S["regions"]
+        mc_shapes = S["mc_shapes"]
+        pocs = list(fb["ref_pocs_l0"]) + list(fb["ref_pocs_l1"])
+        R = len(pocs) if mc_shapes else 0
+        refs_y = tuple(dpb[p][0] for p in pocs) if R else ()
+        refs_cb = tuple(dpb[p][1] for p in pocs) if R else ()
+        refs_cr = tuple(dpb[p][2] for p in pocs) if R else ()
+        do_deblock, do_sao = fb["do_deblock"], fb["do_sao"]
+        ctb_log2 = fb["ctb_log2"]
+        sub_w, sub_h = fb["sub_w"], fb["sub_h"]
+
+        def body(canvas, scal, avail, levels, rmeta, mc_fields,
+                 resid_fields, refs_yt, refs_cbt, refs_crt, bank,
+                 qp4, bs_v, bs_h, dboff, sao_t, sao_b, sao_o, sao_e):
+            canvas = canvas[0].astype(jnp.int32)
+            scal = tuple(s[0] for s in scal)
+            avail = tuple(a[0] for a in avail)
+            levels = tuple(v[0] for v in levels)
+            rmeta = tuple(m[0] for m in rmeta)
+            resids = _residuals(levels, rmeta, bd, bank)
+            if R:
+                refs_l = jnp.stack(refs_yt)
+                refs_c = jnp.stack(list(refs_cbt) + list(refs_crt))
+                groups = tuple(k + (f[0],) for k, f in zip(mc_shapes,
+                                                           mc_fields))
+                canvas = mc_phase(canvas, refs_l, refs_c, groups, bd)
+            canvas = resid_phase(canvas,
+                                 tuple(g[0] for g in resid_fields),
+                                 resids, bd)
+            out = reconstruct_wavefront(canvas, scal, avail, resids, bd,
+                                        n_chunks)
+            planes = [jax.lax.dynamic_slice(out, (oy, ox), (h, w))
+                      for oy, ox, h, w in regions]
+            y, cb, cr = planes
+            y, cb, cr = _filters_in_shard(
+                y, cb, cr, qp4, bs_v, bs_h, dboff[0], dboff[1],
+                dboff[2], dboff[3], sao_t, sao_b, sao_o, sao_e,
+                n=n, axis=axis, bit_depth=bd, ctb_log2=ctb_log2,
+                sub_w=sub_w, sub_h=sub_h, do_deblock=do_deblock,
+                do_sao=do_sao)
+            ry = _make_ref_band(y, halo_l, n, axis)
+            rcb = _make_ref_band(cb, halo_c, n, axis)
+            rcr = _make_ref_band(cr, halo_c, n, axis)
+            return y, cb, cr, ry, rcb, rcr
+
+        b = P(axis)       # leading band axis
+        c2 = P(None, axis)
+        in_specs = (b, (b,) * 4, (b,) * 4, (b,) * 4, (b,) * 4,
+                    (b,) * len(mc_shapes), (b,) * 4,
+                    (c2,) * R, (c2,) * R, (c2,) * R,
+                    (P(),) * 4,
+                    c2, c2, c2, P(),
+                    P(None, None, axis), P(None, None, axis),
+                    P(None, None, axis, None), P(None, None, axis))
+        out_specs = (c2, c2, c2, c2, c2, c2)
+        kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        try:
+            fn = shard_map(body, check_rep=False, **kw)
+        except TypeError:
+            fn = shard_map(body, **kw)
+        sao_t, sao_b, sao_o, sao_e = fb["sao"]
+        args = (A["canvas"], tuple(A["scal"]), tuple(A["avail"]),
+                tuple(A["levels"]), tuple(A["rmeta"]),
+                tuple(A["mc_fields"]) if mc_shapes else (),
+                tuple(A["resid_fields"]),
+                refs_y, refs_cb, refs_cr,
+                tuple(jnp.asarray(bk) for bk in S["scale_bank"]),
+                fb["qp4"], fb["bs_v"], fb["bs_h"],
+                jnp.asarray(fb["dboff"], jnp.int32),
+                sao_t, sao_b, sao_o, sao_e)
+        y, cb, cr, ry, rcb, rcr = jax.jit(fn)(*args)
+        dpb[fb["poc"]] = (ry, rcb, rcr)
+        outs.append((y, cb, cr))
+    return outs

@@ -1,0 +1,76 @@
+"""Column-band-sharded full stage-B pipeline vs single-device decode.
+
+decode_gop_banded shards MC + residual + intra wavefront + deblock +
+SAO over a ("tile",) device mesh, with per-device DPB reference windows
+refreshed by ppermute halo exchange.  Every config must be bit-exact
+with the 1-device decode of the same stream (the analogue of the
+reference's thread-config MD5 equality, SURVEY §4 point 4; tile jobs
+hevcdec.c:3144, inter-frame progress gating pthread_frame.c:570).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jax.sharding import Mesh  # noqa: E402
+
+from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder, RaEncoder
+from hevc_tpu.encoder.generate import synth_frame
+from hevc_tpu.tpu.band import prepare_gop_banded
+from hevc_tpu.tpu.sharded import decode_gop_banded
+
+
+def _stream(cfg, n=3, kind="noise"):
+    frames = [synth_frame(kind, cfg.width, cfg.height, t, seed=4)
+              for t in range(n)]
+    if cfg.gop == "ra":
+        return bytes(RaEncoder(cfg).encode(frames))
+    enc = IntraEncoder(cfg)
+    out = bytearray()
+    for f in frames:
+        out += enc.encode_frame(f)
+    return bytes(out)
+
+
+def _mesh(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]), ("tile",))
+
+
+def _run(cfg_kw, n_bands, n_frames=3):
+    cfg = EncoderConfig(log2_ctb_size=5, log2_cu_size=5, seed=2,
+                        tiles=(n_bands, 1), **cfg_kw)
+    stream = _stream(cfg, n_frames)
+    frames, ref = prepare_gop_banded(stream, n_bands)
+    outs = decode_gop_banded(_mesh(n_bands), frames)
+    for i, (got3, want3) in enumerate(zip(outs, ref)):
+        for p, (got, want) in enumerate(zip(got3, want3)):
+            g = np.asarray(got)
+            assert g.shape == want.shape
+            assert (g == want).all(), \
+                f"frame {i} plane {p}: {(g != want).sum()} wrong px"
+    return frames
+
+
+@pytest.mark.parametrize("n_bands", [4, 8])
+def test_ipp_gop(n_bands):
+    frames = _run(dict(width=32 * n_bands, height=96, qp=30, gop="ipp",
+                       deblocking=True, sao=True, search_range=3),
+                  n_bands)
+    assert any(f["spec"]["mc_shapes"] for f in frames)  # real inter
+
+
+def test_ipp_no_filters():
+    _run(dict(width=128, height=64, qp=30, gop="ipp", search_range=2),
+         4)
+
+
+def test_lowb_gop():
+    """B frames: two reference lists, bi-prediction across band seams."""
+    frames = _run(dict(width=128, height=64, qp=30, gop="lowb",
+                       deblocking=True, search_range=2), 4, n_frames=4)
+    bi = any(bi for f in frames
+             for _ic, bi, *_rest in f["spec"]["mc_shapes"])
+    assert bi, "lowb GOP produced no bi-predicted groups"
