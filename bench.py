@@ -1,14 +1,18 @@
-"""Benchmark: TPU stage-B decode throughput vs openHEVC oracle.
+"""Benchmark: end-to-end TPU decode throughput vs the openHEVC oracle.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-What is measured: frames/sec of the full device-side stage-B pipeline
-(batched dequant+IDCT, wavefront intra reconstruction, deblocking, SAO)
-on a generated 720p intra stream (CTB 64), on whatever accelerator JAX
-picks (the real TPU chip under the driver).  Timing loops on-device with
-per-iteration-varying input so the remote runtime cannot memoize.
+Headline metric: END-TO-END frames/sec of the production decode path
+(native MT stage A -> native pack -> device-resident stage B pipeline
+-> per-frame MD5 check) on a generated 1080p WPP IPP stream, measured
+exactly like the reference CLI measures itself (whole-stream wall
+clock, MD5 verification on; reference: ohplay.c:377 fps line).
 Baseline = the openHEVC oracle binary's full-decode fps on the same
-stream on this machine's CPU (cached in .bench/).
+stream on this machine's CPU (single-thread, its only mode here).
+
+extra carries the stage split (stage A / pack / device dispatch / fetch
+ms per frame from the built-in tracer) and the legacy 720p device
+stage-B kernel metric for cross-round comparability (BENCH_r01).
 
 Artifacts are cached under .bench/ — delete the directory to regenerate.
 """
@@ -16,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import re
 import subprocess
 import sys
@@ -27,36 +30,95 @@ import numpy as np
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(ROOT, ".bench")
 ORACLE = os.path.join(ROOT, ".oracle", "build", "hevc_nodisplay")
-W, H, QP, FRAMES = 1280, 720, 30, 3
-TAG = f"v2ipp_{W}x{H}_qp{QP}_ctb64_filt"
+
+E2E_W, E2E_H, E2E_QP, E2E_FRAMES = 1920, 1080, 30, 8
+E2E_TAG = f"e2e_{E2E_W}x{E2E_H}_qp{E2E_QP}_ctb64_wpp"
 
 
-def ensure_stream():
+def _synth_stream(path, w, h, qp, frames, wpp):
+    from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
+    from hevc_tpu.encoder.generate import synth_frame
+
+    enc = IntraEncoder(EncoderConfig(
+        width=w, height=h, qp=qp, log2_ctb_size=6, log2_cu_size=6,
+        deblocking=True, sao=True, seed=1, gop="ipp", search_range=3,
+        wpp=wpp))
+    data = bytearray()
+    base = synth_frame("gradient", w, h, 0)
+    for t in range(frames):
+        y = np.roll(base[0], (t * 4, t * 7), (0, 1))
+        cb = np.roll(base[1], (t * 2, t * 3), (0, 1))
+        cr = np.roll(base[2], (t * 2, t * 3), (0, 1))
+        data += enc.encode_frame([y, cb, cr])
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def ensure_stream(tag, w, h, qp, frames, wpp):
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, TAG + ".265")
+    path = os.path.join(CACHE, tag + ".265")
     if not os.path.exists(path):
-        from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
-        from hevc_tpu.encoder.generate import synth_frame
-
-        enc = IntraEncoder(EncoderConfig(
-            width=W, height=H, qp=QP, log2_ctb_size=6, log2_cu_size=6,
-            deblocking=True, sao=True, seed=1, gop="ipp", search_range=3))
-        data = bytearray()
-        base = synth_frame("gradient", W, H, 0)
-        for t in range(FRAMES):
-            y = np.roll(base[0], (t * 4, t * 7), (0, 1))
-            cb = np.roll(base[1], (t * 2, t * 3), (0, 1))
-            cr = np.roll(base[2], (t * 2, t * 3), (0, 1))
-            data += enc.encode_frame([y, cb, cr])
-        with open(path, "wb") as f:
-            f.write(data)
+        _synth_stream(path, w, h, qp, frames, wpp)
     return path
 
 
-def ensure_packed(stream_path):
-    # v3: regenerated after the round-2 do_sao regression (native stage A
-    # reports SAO via pic.has_sao/sao_arrays, not the sao_map dict)
-    pkl = os.path.join(CACHE, TAG + "_v3.pkl")
+def oracle_fps(stream_path, tag, frames):
+    meta = os.path.join(CACHE, "oracle_fps_" + tag + ".json")
+    if os.path.exists(meta):
+        return json.load(open(meta))["fps"]
+    if not os.path.exists(ORACLE):
+        return None
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        r = subprocess.run([ORACLE, "-i", stream_path, "-o", "/dev/null"],
+                           capture_output=True, text=True, timeout=600)
+        dt = time.time() - t0
+        m = re.search(r"frame=\s*(\d+)", r.stdout + r.stderr)
+        n = int(m.group(1)) if m else frames
+        best = max(best, n / dt)
+    json.dump({"fps": best}, open(meta, "w"))
+    return best
+
+
+def bench_e2e(stream_path):
+    """Production-path decode fps + per-stage ms/frame."""
+    from hevc_tpu import trace
+    from hevc_tpu.decoder.core import Decoder
+
+    data = open(stream_path, "rb").read()
+
+    def run():
+        dec = Decoder(check_md5=True, recon_backend="jax")
+        frames = dec.decode_bytes(data)
+        assert frames and all(f.md5_ok for f in frames), \
+            "end-to-end md5 mismatch"
+        return len(frames)
+
+    run()  # warmup: jit compiles, native .so build
+    best = 0.0
+    split = {}
+    for _ in range(3):
+        trace.reset()
+        t0 = time.time()
+        n = run()
+        dt = time.time() - t0
+        if n / dt > best:
+            best = n / dt
+            r = trace.report()
+            split = {k: round(v["total_s"] / n * 1e3, 2)
+                     for k, v in r.items()}
+    return best, split
+
+
+B720_TAG = "v2ipp_1280x720_qp30_ctb64_filt"
+
+
+def ensure_packed(stream_path, tag=B720_TAG):
+    """Captured + packed per-frame stage-B bundles (cached)."""
+    import pickle
+
+    pkl = os.path.join(CACHE, tag + "_v3.pkl")
     if os.path.exists(pkl):
         with open(pkl, "rb") as f:
             return pickle.load(f)
@@ -88,7 +150,8 @@ def ensure_packed(stream_path):
             "cb_qp_offset": 0, "cr_qp_offset": 0}
         bundles.append(dict(
             pf=pf, qp4=pic.qp_y.astype(np.int32),
-            bsv=pic.bs_v.astype(np.int32), bsh=pic.bs_h.astype(np.int32),
+            bsv=pic.bs_v.astype(np.int32),
+            bsh=pic.bs_h.astype(np.int32),
             sao=sao, dbp=dbp,
             do_deblock=getattr(pic, "deblock_params", None) is not None,
             do_sao=bool(getattr(pic, "sao_map", None))
@@ -100,33 +163,18 @@ def ensure_packed(stream_path):
     return bundles
 
 
-def oracle_fps(stream_path):
-    meta = os.path.join(CACHE, "oracle_fps_" + TAG + ".json")
-    if os.path.exists(meta):
-        return json.load(open(meta))["fps"]
-    if not os.path.exists(ORACLE):
-        return None
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        r = subprocess.run([ORACLE, "-i", stream_path, "-o", "/dev/null"],
-                           capture_output=True, text=True, timeout=300)
-        dt = time.time() - t0
-        m = re.search(r"frame=\s*(\d+)", r.stdout + r.stderr)
-        n = int(m.group(1)) if m else FRAMES
-        best = max(best, n / dt)
-    json.dump({"fps": best}, open(meta, "w"))
-    return best
-
-
-def main():
-    stream = ensure_stream()
-    bundles = ensure_packed(stream)
+def bench_stage_b_720p():
+    """Legacy device-kernel metric (BENCH_r01/r02 comparability):
+    on-device stage-B fps at 720p, timed with a fori_loop so host
+    dispatch is excluded."""
+    stream = ensure_stream(B720_TAG, 1280, 720, 30, 3, wpp=False)
+    bundles = ensure_packed(stream, B720_TAG)
 
     import jax
     import jax.numpy as jnp
 
-    from hevc_tpu.tpu.recon import decode_frame_device
+    from hevc_tpu.tpu.recon import (_mc_args, _pallas_kwargs,
+                                    decode_frame_device)
 
     b = bundles[-1]  # steady-state P frame
     pf = b["pf"]
@@ -139,7 +187,8 @@ def main():
         tuple(jnp.asarray(v) for v in pf.avail),
         tuple(jnp.asarray(v) for v in pf.levels),
         tuple(jnp.asarray(v) for v in pf.rmeta),
-        jnp.asarray(b["qp4"]), jnp.asarray(b["bsv"]), jnp.asarray(b["bsh"]),
+        jnp.asarray(b["qp4"]), jnp.asarray(b["bsv"]),
+        jnp.asarray(b["bsh"]),
         b["dbp"]["beta_offset"], b["dbp"]["tc_offset"],
         b["dbp"]["cb_qp_offset"], b["dbp"]["cr_qp_offset"],
         tuple(jnp.asarray(sao_t[p]) for p in range(3)),
@@ -147,7 +196,6 @@ def main():
         tuple(jnp.asarray(sao_e[p]) for p in range(3)),
         tuple(jnp.asarray(sao_c[p]) for p in range(3)),
     )
-    from hevc_tpu.tpu.recon import _mc_args, _pallas_kwargs
     mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
     kw = dict(mc_fields=mc_fields, refs_l=refs_l, refs_c=refs_c,
               resid_fields=resid_fields, **_pallas_kwargs(pf))
@@ -157,7 +205,6 @@ def main():
                    sub_w=sub_w, sub_h=sub_h, mc_shapes=mc_shapes)
     statics_kw = dict(statics, **kw)
 
-    # warmup/compile + bit-exactness vs the NumPy oracle path
     planes = decode_frame_device(*args, **statics_kw)
     for p, out in enumerate(planes):
         assert (np.asarray(out) == b["ref"][p].astype(np.int32)).all(), \
@@ -178,15 +225,27 @@ def main():
     timed_loop(canvas, *rest).block_until_ready()
     t0 = time.time()
     timed_loop(canvas, *rest).block_until_ready()
-    fps = iters / (time.time() - t0)
+    return iters / (time.time() - t0)
 
-    base = oracle_fps(stream)
-    vs = round(fps / base, 3) if base else None
+
+def main():
+    stream = ensure_stream(E2E_TAG, E2E_W, E2E_H, E2E_QP, E2E_FRAMES,
+                           wpp=True)
+    e2e_fps, split = bench_e2e(stream)
+    base = oracle_fps(stream, E2E_TAG, E2E_FRAMES)
+    stage_b_720 = bench_stage_b_720p()
+
+    vs = round(e2e_fps / base, 3) if base else None
     print(json.dumps({
-        "metric": f"stageB_decode_fps_{W}x{H}_P",
-        "value": round(fps, 2),
+        "metric": f"e2e_decode_fps_{E2E_W}x{E2E_H}_wpp_ipp",
+        "value": round(e2e_fps, 2),
         "unit": "fps",
         "vs_baseline": vs,
+        "extra": {
+            "oracle_fps": round(base, 2) if base else None,
+            "stage_ms_per_frame": split,
+            "stageB_720p_device_fps": round(stage_b_720, 2),
+        },
     }))
 
 

@@ -25,7 +25,9 @@ sys.path.insert(0, ROOT)
 @pytest.fixture(scope="module")
 def bench_stream():
     import bench
-    return open(bench.ensure_stream(), "rb").read()
+    path = bench.ensure_stream(bench.B720_TAG, 1280, 720, 30, 3,
+                               wpp=False)
+    return open(path, "rb").read()
 
 
 @pytest.fixture(scope="module")
@@ -60,7 +62,8 @@ def test_bench_geometry_jax_paths(bench_stream, oracle_frames, pipeline):
 def test_bench_packed_decode_frame_device(bench_stream):
     """The exact array path bench.py times, asserted bit-exact here."""
     import bench
-    bundles = bench.ensure_packed(bench.ensure_stream())
+    bundles = bench.ensure_packed(bench.ensure_stream(
+        bench.B720_TAG, 1280, 720, 30, 3, wpp=False))
     import jax.numpy as jnp
     from hevc_tpu.tpu.recon import decode_frame_device, _mc_args, \
         _pallas_kwargs
