@@ -118,7 +118,7 @@ def ensure_packed(stream_path, tag=B720_TAG):
     """Captured + packed per-frame stage-B bundles (cached)."""
     import pickle
 
-    pkl = os.path.join(CACHE, tag + "_v3.pkl")
+    pkl = os.path.join(CACHE, tag + "_v4.pkl")
     if os.path.exists(pkl):
         with open(pkl, "rb") as f:
             return pickle.load(f)
@@ -228,7 +228,21 @@ def bench_stage_b_720p():
     return iters / (time.time() - t0)
 
 
+def _enable_jit_cache():
+    """Persist compiled executables under .bench so repeat bench runs
+    skip the (minutes-long at 1080p) first-compile cost."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.3)
+    except Exception:
+        pass  # older jax: run uncached
+
+
 def main():
+    _enable_jit_cache()
     stream = ensure_stream(E2E_TAG, E2E_W, E2E_H, E2E_QP, E2E_FRAMES,
                            wpp=True)
     e2e_fps, split = bench_e2e(stream)

@@ -14,7 +14,9 @@ class QpState:
     """lc->qp_y / qPy_pred / first_qp_group / tu.cu_qp_delta mirror."""
 
     __slots__ = ("slice_qp", "cur_qp", "qp_pred_state", "first_qp_group",
-                 "is_cu_qp_delta_coded", "cu_qp_delta_val")
+                 "is_cu_qp_delta_coded", "cu_qp_delta_val",
+                 "is_cu_chroma_qp_offset_coded", "cu_qp_offset_cb",
+                 "cu_qp_offset_cr")
 
     def __init__(self, slice_qp: int, first_qp_group: bool = True):
         self.slice_qp = slice_qp
@@ -23,6 +25,12 @@ class QpState:
         self.first_qp_group = first_qp_group
         self.is_cu_qp_delta_coded = False
         self.cu_qp_delta_val = 0
+        # rext per-chroma-QG offsets (7.3.8.10 cu_chroma_qp_offset; the
+        # offsets persist across QGs until re-coded — reference:
+        # hevcdec.c:2729/1380)
+        self.is_cu_chroma_qp_offset_coded = False
+        self.cu_qp_offset_cb = 0
+        self.cu_qp_offset_cr = 0
 
 
 def qg_mask(sps, pps) -> int:

@@ -9,14 +9,41 @@ re-derived from the specification, and with an encoder mirror the
 reference does not have.
 
 Levels arrays are [y][x] int32 of TransCoeffLevel.
+
+Range-extension tools (7.3.8.11 + 9.3.3.13 rext rows; behaviour matched
+against the reference's April-2014-draft implementation,
+reference: libavcodec/hevc_cabac.c:2085-2700):
+  * persistent Rice adaptation — per-(plane-kind, skip-kind) StatCoeff
+    seeding the sub-block Rice parameter, updated once per sub-block on
+    the first coeff_abs_level_remaining;
+  * transform-skip sig-coeff contexts — skipped/bypassed blocks use the
+    dedicated contexts 40/42 (luma) and 41/43 (chroma);
+  * explicit RDPCM — inter TU flag + direction, decoded after
+    transform_skip_flag; disables sign-data hiding;
+  * implicit RDPCM — intra hor/ver skipped/bypassed TUs; disables SDH.
 """
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..cabac.engine import CabacDecoder, CabacEncoder
 from ..cabac.ctx import ContextModel
 from .scans import SCAN_DIAG, SCAN_VERT, block_scan
+
+
+@dataclass
+class RextCtx:
+    """Active range-extension residual-coding state for one slice."""
+    persistent_rice: bool = False
+    ts_context: bool = False
+    implicit_rdpcm: bool = False
+    explicit_rdpcm: bool = False
+    # StatCoeff[sb_type]: (chroma, chroma-skip, luma, luma-skip) —
+    # reset at CABAC init like the context states (reference:
+    # hevc_cabac.c:609)
+    stats: list = field(default_factory=lambda: [0, 0, 0, 0])
 
 # 9.3.4.2.5: ctxIdxMap for 4x4 blocks
 _CTX_IDX_MAP_4x4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
@@ -96,12 +123,33 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
                     c_idx: int, scan_idx: int, *,
                     sign_data_hiding: bool = False,
                     transform_skip_allowed: bool = False,
-                    tq_bypass: bool = False):
-    """Returns (levels[n,n] int32, transform_skip_flag)."""
+                    tq_bypass: bool = False,
+                    rext: RextCtx | None = None,
+                    pred_inter: bool = False,
+                    intra_mode: int = -1):
+    """Returns (levels[n,n] int32, transform_skip_flag,
+    explicit_rdpcm_flag, explicit_rdpcm_dir)."""
     size = 1 << log2_size
     ts_flag = 0
     if transform_skip_allowed and not tq_bypass:
         ts_flag = d.decode_bin(cm.at("transform_skip_flag", 1 if c_idx else 0))
+    rdpcm_flag = rdpcm_dir = 0
+    skip_like = bool(ts_flag or tq_bypass)
+    if rext is not None and rext.explicit_rdpcm and pred_inter and skip_like:
+        rdpcm_flag = d.decode_bin(cm.at("explicit_rdpcm_flag",
+                                        1 if c_idx else 0))
+        if rdpcm_flag:
+            rdpcm_dir = d.decode_bin(cm.at("explicit_rdpcm_dir_flag",
+                                           1 if c_idx else 0))
+    ts_ctx = bool(rext is not None and rext.ts_context and skip_like)
+    # SDH is off for bypass / rdpcm blocks (reference: sign_always_hidden,
+    # hevc_cabac.c:2180/2520)
+    sdh_off = bool(tq_bypass or rdpcm_flag
+                   or (rext is not None and rext.implicit_rdpcm
+                       and not pred_inter and ts_flag
+                       and intra_mode in (10, 26)))
+    use_price = bool(rext is not None and rext.persistent_rice)
+    sb_type = (2 if c_idx == 0 else 0) + (1 if skip_like else 0)
 
     # ---- last significant coefficient position --------------------------
     off, shift = _last_ctx_params(log2_size, c_idx)
@@ -160,8 +208,11 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
             n_start = 15
         for n in range(n_start, 0, -1):
             xp, yp = int(coef_scan[n][0]), int(coef_scan[n][1])
-            ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp, (ys << 2) + yp,
-                           scan_idx, csbf, nsb)
+            if ts_ctx:  # dedicated skip contexts (9.3.4.2.5 rext)
+                ctx = 40 if c_idx == 0 else 41
+            else:
+                ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp,
+                               (ys << 2) + yp, scan_idx, csbf, nsb)
             if d.decode_bin(cm.at("sig_coeff_flag", ctx)):
                 sig_pos.append(n)
                 infer_dc = 0
@@ -169,8 +220,11 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
             if infer_dc:
                 sig_pos.append(0)  # inferred significant DC
             else:
-                ctx = _sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
-                               scan_idx, csbf, nsb)
+                if ts_ctx:
+                    ctx = 42 if c_idx == 0 else 43
+                else:
+                    ctx = _sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
+                                   scan_idx, csbf, nsb)
                 if d.decode_bin(cm.at("sig_coeff_flag", ctx)):
                     sig_pos.append(0)
         nsig = len(sig_pos)
@@ -199,13 +253,14 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
 
         # signs (bypass; possibly one hidden)
         first_nz, last_nz = sig_pos[-1], sig_pos[0]
-        hidden = (sign_data_hiding and not tq_bypass
+        hidden = (sign_data_hiding and not sdh_off
                   and (last_nz - first_nz) >= 4)
         nsigns = nsig - 1 if hidden else nsig
         signs = [d.decode_bypass() for _ in range(nsigns)]
 
         # remaining levels
-        rice = 0
+        rice = (rext.stats[sb_type] >> 2) if use_price else 0
+        stat_pending = use_price
         sum_abs = 0
         lvls = []
         for m, n in enumerate(sig_pos):
@@ -218,9 +273,23 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
             else:
                 threshold = 1
             if lvl == threshold:
-                lvl += decode_remaining(d, rice)
-            if lvl > (3 << rice):
-                rice = min(rice + 1, 4)
+                rem = decode_remaining(d, rice)
+                lvl += rem
+                if use_price:
+                    if lvl > (3 << rice):
+                        rice += 1  # persistent: unclamped in-CG growth
+                    if stat_pending:
+                        # first remaining of the CG adapts StatCoeff
+                        # (reference: update_rice_statistics)
+                        init = rext.stats[sb_type] >> 2
+                        if rem >= (3 << init):
+                            rext.stats[sb_type] += 1
+                        elif 2 * rem < (1 << init) \
+                                and rext.stats[sb_type] > 0:
+                            rext.stats[sb_type] -= 1
+                        stat_pending = False
+                elif lvl > (3 << rice):
+                    rice = min(rice + 1, 4)
             lvls.append(lvl)
             sum_abs += lvl
         for m, n in enumerate(sig_pos):
@@ -230,7 +299,7 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
             else:
                 sgn = -1 if signs[m] else 1
             levels[(ys << 2) + yp, (xs << 2) + xp] = sgn * lvls[m]
-    return levels, ts_flag
+    return levels, ts_flag, rdpcm_flag, rdpcm_dir
 
 
 def _encode_last_component(e: CabacEncoder, cm: ContextModel, name: str,
@@ -255,7 +324,12 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
                     sign_data_hiding: bool = False,
                     transform_skip_allowed: bool = False,
                     ts_flag: int = 0,
-                    tq_bypass: bool = False) -> None:
+                    tq_bypass: bool = False,
+                    rext: RextCtx | None = None,
+                    pred_inter: bool = False,
+                    intra_mode: int = -1,
+                    rdpcm_flag: int = 0,
+                    rdpcm_dir: int = 0) -> None:
     """Exact mirror of decode_residual.  levels must contain >=1 nonzero.
 
     With sign_data_hiding, the caller must pre-adjust levels so the hidden
@@ -264,6 +338,20 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
     size = 1 << log2_size
     if transform_skip_allowed and not tq_bypass:
         e.encode_bin(cm.at("transform_skip_flag", 1 if c_idx else 0), ts_flag)
+    skip_like = bool(ts_flag or tq_bypass)
+    if rext is not None and rext.explicit_rdpcm and pred_inter and skip_like:
+        e.encode_bin(cm.at("explicit_rdpcm_flag", 1 if c_idx else 0),
+                     rdpcm_flag)
+        if rdpcm_flag:
+            e.encode_bin(cm.at("explicit_rdpcm_dir_flag",
+                               1 if c_idx else 0), rdpcm_dir)
+    ts_ctx = bool(rext is not None and rext.ts_context and skip_like)
+    sdh_off = bool(tq_bypass or rdpcm_flag
+                   or (rext is not None and rext.implicit_rdpcm
+                       and not pred_inter and ts_flag
+                       and intra_mode in (10, 26)))
+    use_price = bool(rext is not None and rext.persistent_rice)
+    sb_type = (2 if c_idx == 0 else 0) + (1 if skip_like else 0)
 
     sub_scan, coef_scan, pos_of_xy = block_scan(scan_idx, log2_size)
     nz = levels != 0
@@ -323,8 +411,11 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
         for n in range(n_start, 0, -1):
             xp, yp = int(coef_scan[n][0]), int(coef_scan[n][1])
             sig = 1 if blk[yp, xp] != 0 else 0
-            ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp, (ys << 2) + yp,
-                           scan_idx, csbf_dec, nsb)
+            if ts_ctx:
+                ctx = 40 if c_idx == 0 else 41
+            else:
+                ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp,
+                               (ys << 2) + yp, scan_idx, csbf_dec, nsb)
             e.encode_bin(cm.at("sig_coeff_flag", ctx), sig)
             if sig:
                 sig_pos.append(n)
@@ -335,8 +426,11 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
                 assert dc_sig, "csbf=1 sub-block with all-zero coeffs"
                 sig_pos.append(0)
             else:
-                ctx = _sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
-                               scan_idx, csbf_dec, nsb)
+                if ts_ctx:
+                    ctx = 42 if c_idx == 0 else 43
+                else:
+                    ctx = _sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
+                                   scan_idx, csbf_dec, nsb)
                 e.encode_bin(cm.at("sig_coeff_flag", ctx), dc_sig)
                 if dc_sig:
                     sig_pos.append(0)
@@ -367,7 +461,7 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
                                (4 if c_idx else 0) + ctx_set), g2)
 
         first_nz, last_nz = sig_pos[-1], sig_pos[0]
-        hidden = (sign_data_hiding and not tq_bypass
+        hidden = (sign_data_hiding and not sdh_off
                   and (last_nz - first_nz) >= 4)
         sum_abs = sum(abs(coef(n)) for n in sig_pos)
         for m, n in enumerate(sig_pos):
@@ -378,7 +472,8 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
                 continue
             e.encode_bypass(1 if coef(n) < 0 else 0)
 
-        rice = 0
+        rice = (rext.stats[sb_type] >> 2) if use_price else 0
+        stat_pending = use_price
         for m, n in enumerate(sig_pos):
             lvl = abs(coef(n))
             if m < 8:
@@ -395,7 +490,19 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
                 threshold = 1
             if base == threshold:
                 encode_remaining(e, lvl - base, rice)
+                if use_price:
+                    if lvl > (3 << rice):
+                        rice += 1
+                    if stat_pending:
+                        init = rext.stats[sb_type] >> 2
+                        rem = lvl - base
+                        if rem >= (3 << init):
+                            rext.stats[sb_type] += 1
+                        elif 2 * rem < (1 << init) \
+                                and rext.stats[sb_type] > 0:
+                            rext.stats[sb_type] -= 1
+                        stat_pending = False
+                elif lvl > (3 << rice):
+                    rice = min(rice + 1, 4)
             else:
                 assert lvl == base
-            if lvl > (3 << rice):
-                rice = min(rice + 1, 4)

@@ -76,7 +76,6 @@ class DecodedFrame:
     planes: List[np.ndarray]
     poc: int
     sei_hash: Optional[DecodedPictureHash] = None
-    md5_ok: Optional[bool] = None
     layer: int = 0
     # SEI-derived side data: key -> parsed message (bitstream/sei.py
     # SIDE_DATA_PARSERS); the analogue of AVFrame side data populated by
@@ -87,11 +86,29 @@ class DecodedFrame:
     # presentation timestamp of the AU this picture was decoded from
     # (propagated with the picture, like the reference's AVFrame->pts)
     pts: int = 0
+    # md5_ok is lazy on the device pipeline: the check fetches the
+    # decoded planes, so deferring it to first access lets the
+    # device->host copies overlap later frames' decode
+    _md5_ok: Optional[bool] = None
+    _md5_eval: Optional[object] = None
+
+    @property
+    def md5_ok(self):
+        if self._md5_eval is not None:
+            self._md5_ok = self._md5_eval()
+            self._md5_eval = None
+        return self._md5_ok
+
+    @md5_ok.setter
+    def md5_ok(self, v):
+        self._md5_ok = v
+        self._md5_eval = None
 
 
 class _CuState:
     __slots__ = ("pred_intra", "intra_split", "inter_split", "chroma_mode",
-                 "tq_bypass", "max_trafo_depth", "x0", "y0", "log2_size")
+                 "tq_bypass", "max_trafo_depth", "x0", "y0", "log2_size",
+                 "chroma_dm")
 
 
 @dataclass
@@ -125,6 +142,11 @@ class BlockRecord:
     # explicit weighted prediction (w0, o0, w1, o1, log2wd) for this
     # record's plane; None = default weighting (7.4.7.3 pred_weight_table)
     wp: Optional[tuple] = None
+    # range-extension residual modifiers
+    rdpcm: int = 0       # 0 none / 1 horizontal / 2 vertical accumulate
+    rot: bool = False    # 4x4 transform-skip 180° coefficient rotation
+    ccp: int = 0         # cross-component res_scale_val (0 = off)
+    ccp_ref: Optional["BlockRecord"] = None  # the TU's luma record
 
 
 class SliceDecoder:
@@ -169,6 +191,17 @@ class SliceDecoder:
             else:
                 self.scaling = sps.scaling_list or ScalingListData()
         pic.scaling = self.scaling
+        # range-extension residual-coding state (stats reset per slice
+        # like the context states; reference: hevc_cabac.c:609)
+        from ..coding.residual import RextCtx
+        self.rext = None
+        if (sps.persistent_rice_adaptation or sps.transform_skip_context
+                or sps.implicit_rdpcm or sps.explicit_rdpcm):
+            self.rext = RextCtx(
+                persistent_rice=bool(sps.persistent_rice_adaptation),
+                ts_context=bool(sps.transform_skip_context),
+                implicit_rdpcm=bool(sps.implicit_rdpcm),
+                explicit_rdpcm=bool(sps.explicit_rdpcm))
 
     def _init_type(self):
         if self.sh.slice_type == SLICE_I:
@@ -208,7 +241,11 @@ class SliceDecoder:
             x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
             self.coding_quadtree(x0, y0, sps.log2_ctb_size, 0)
             if wpp and xc == 1:
-                wpp_saved = self.cm.save()  # state after the 2nd CTB
+                # state after the 2nd CTB (+ rice stats, this engine's
+                # deterministic convention)
+                wpp_saved = (self.cm.save(),
+                             list(self.rext.stats)
+                             if self.rext is not None else None)
             end = self.d.decode_terminate()
             ts += 1
             if end or ts >= n_ctbs:
@@ -225,11 +262,20 @@ class SliceDecoder:
                                       self.segment_starts[seg_idx])
                 if tile_boundary:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
+                    if self.rext is not None:
+                        self.rext.stats = [0, 0, 0, 0]
                 elif wpp_saved is not None and sps.ctb_w > 1:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
-                    self.cm.load(wpp_saved)
+                    self.cm.load(wpp_saved[0])
+                    # rice stats ride the WPP snapshot (this engine's
+                    # convention — deterministic under the MT fan-out;
+                    # the reference leaves them thread-dependent)
+                    if self.rext is not None and wpp_saved[1] is not None:
+                        self.rext.stats = list(wpp_saved[1])
                 else:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
+                    if self.rext is not None:
+                        self.rext.stats = [0, 0, 0, 0]
 
     def _decode_sao(self, xc: int, yc: int) -> None:
         """sao() syntax (7.3.8.3)."""
@@ -315,6 +361,11 @@ class SliceDecoder:
                 sps.log2_ctb_size - pps.diff_cu_qp_delta_depth:
             self.qpst.is_cu_qp_delta_coded = False
             self.qpst.cu_qp_delta_val = 0
+        # chroma-QG start: re-arm cu_chroma_qp_offset (the offsets
+        # themselves persist; reference: hevcdec.c:1213-1216)
+        if self.sh.cu_chroma_qp_offset_enabled and log2_size >= \
+                sps.log2_ctb_size - pps.diff_cu_chroma_qp_offset_depth:
+            self.qpst.is_cu_chroma_qp_offset_coded = False
         if split:
             half = size >> 1
             for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
@@ -722,6 +773,7 @@ class SliceDecoder:
         else:
             n_cpb = n_pb
         chroma_modes = []
+        cu.chroma_dm = False
         for i in range(n_cpb):
             if d.decode_bin(cm.at("intra_chroma_pred_mode", 0)):
                 idx = d.decode_bypass_bits(2)
@@ -730,6 +782,8 @@ class SliceDecoder:
             luma_ref = int(pic.intra_mode_y[
                 (y0 + (i >> 1) * pb_size) >> 2, (x0 + (i & 1) * pb_size) >> 2])
             chroma_modes.append(chroma_mode_from_idx(idx, luma_ref))
+            if i == 0:
+                cu.chroma_dm = idx == 4  # DM: CCP intra gate
         cu.chroma_mode = chroma_modes[0]
 
         # bookkeeping for neighbour contexts
@@ -879,29 +933,90 @@ class SliceDecoder:
 
     # ---- transform unit (decode + reconstruct or record) -----------------
     def _decode_levels(self, c_idx, log2_size, mode, cu):
-        """Decode one residual block's levels (stage A, no transform)."""
+        """Decode one residual block's levels (stage A, no transform).
+
+        Returns (levels, ts_flag, rdpcm, rot): rdpcm = 0/1/2 accumulate
+        direction resolved from the explicit flags / implicit hor-ver
+        rule; rot = 4x4 transform-skip rotation."""
         sps, pps = self.sps, self.pps
         scan = scan_idx_for_intra(mode, log2_size, c_idx,
                                   sps.chroma_format_idc) \
             if cu.pred_intra else 0
         ts_allowed = (pps.transform_skip_enabled and not cu.tq_bypass
                       and log2_size <= pps.log2_max_transform_skip_block_size)
-        fn = _native_residual() or decode_residual
-        return fn(
-            self.d, self.cm, log2_size, c_idx, scan,
-            sign_data_hiding=bool(pps.sign_data_hiding),
-            transform_skip_allowed=ts_allowed,
-            tq_bypass=bool(cu.tq_bypass))
+        if self.rext is None:
+            fn = _native_residual() or decode_residual
+            out = fn(self.d, self.cm, log2_size, c_idx, scan,
+                     sign_data_hiding=bool(pps.sign_data_hiding),
+                     transform_skip_allowed=ts_allowed,
+                     tq_bypass=bool(cu.tq_bypass))
+            levels, ts = out[0], out[1]
+            rd_flag = rd_dir = 0
+        else:
+            levels, ts, rd_flag, rd_dir = decode_residual(
+                self.d, self.cm, log2_size, c_idx, scan,
+                sign_data_hiding=bool(pps.sign_data_hiding),
+                transform_skip_allowed=ts_allowed,
+                tq_bypass=bool(cu.tq_bypass),
+                rext=self.rext, pred_inter=not cu.pred_intra,
+                intra_mode=mode if cu.pred_intra else -1)
+        rdpcm = 0
+        if self.rext is not None and (ts or cu.tq_bypass):
+            if rd_flag:
+                rdpcm = 2 if rd_dir else 1
+            elif (self.rext.implicit_rdpcm and cu.pred_intra
+                  and mode in (10, 26)):
+                # implicit: vertical for mode 26, horizontal for 10
+                # (reference: hevc_cabac.c:1723-1750; the reference's
+                # stale-intra-mode read when explicit+implicit are both
+                # enabled on an inter bypass TU is not reproduced)
+                rdpcm = 2 if mode == 26 else 1
+        rot = bool(sps.transform_skip_rotation and ts and log2_size == 2
+                   and cu.pred_intra)
+        return levels, ts, rdpcm, rot
 
     def _component_qp(self, c_idx):
         sps, pps = self.sps, self.pps
         qp = self.qpst.cur_qp  # per-QG QP (== slice QP without cu_qp_delta)
         if c_idx == 0:
             return qp + sps.qp_bd_offset
-        off = (pps.cb_qp_offset + self.sh.cb_qp_offset if c_idx == 1
-               else pps.cr_qp_offset + self.sh.cr_qp_offset)
+        off = (pps.cb_qp_offset + self.sh.cb_qp_offset
+               + self.qpst.cu_qp_offset_cb if c_idx == 1
+               else pps.cr_qp_offset + self.sh.cr_qp_offset
+               + self.qpst.cu_qp_offset_cr)
         return R.chroma_qp(qp, off, sps.chroma_format_idc,
                            sps.qp_bd_offset)
+
+    def _decode_cu_chroma_qp_offset(self):
+        """cu_chroma_qp_offset_flag/idx (7.3.8.10; reference:
+        hevcdec.c:1367-1386)."""
+        d, cm, pps = self.d, self.cm, self.pps
+        if d.decode_bin(cm.at("cu_chroma_qp_offset_flag", 0)):
+            idx = 0
+            if len(pps.cb_qp_offset_list) > 1:
+                cmax = max(5, len(pps.cb_qp_offset_list) - 1)
+                while idx < cmax and d.decode_bin(
+                        cm.at("cu_chroma_qp_offset_idx", 0)):
+                    idx += 1
+            self.qpst.cu_qp_offset_cb = pps.cb_qp_offset_list[idx]
+            self.qpst.cu_qp_offset_cr = pps.cr_qp_offset_list[idx]
+        else:
+            self.qpst.cu_qp_offset_cb = 0
+            self.qpst.cu_qp_offset_cr = 0
+        self.qpst.is_cu_chroma_qp_offset_coded = True
+
+    def _decode_ccp(self, idx):
+        """cross_comp_pred (7.3.8.12) -> res_scale_val (reference:
+        hevcdec.c:1306 hls_cross_component_pred)."""
+        d, cm = self.d, self.cm
+        i = 0
+        while i < 4 and d.decode_bin(cm.at("log2_res_scale_abs",
+                                           4 * idx + i)):
+            i += 1
+        if i == 0:
+            return 0
+        sign = d.decode_bin(cm.at("res_scale_sign_flag", idx))
+        return (1 << (i - 1)) * (1 - 2 * sign)
 
     def _decode_cu_qp_delta(self, cu):
         """cu_qp_delta_abs/sign (7.3.8.10, binarization 9.3.3.9: TR cMax 5
@@ -945,23 +1060,27 @@ class SliceDecoder:
             return None, 16
         return self.scaling.factor(log2_size, mid)
 
-    def _recon_block(self, c_idx, x, y, size, mode, levels, ts, cu):
+    def _recon_block(self, c_idx, x, y, size, mode, levels, ts, cu,
+                     rdpcm=0, rot=False, ccp=0, ccp_ref=None):
         """Reconstruct one block immediately (stage-B NumPy oracle path),
-        or record it into the frame plan."""
+        or record it into the frame plan.  Returns the BlockRecord (also
+        in inline mode — the TU's luma record anchors chroma CCP)."""
         sps, pic = self.sps, self.pic
         log2_size = size.bit_length() - 1
         qp = self._component_qp(c_idx)
         use_dst = (cu.pred_intra and log2_size == 2 and c_idx == 0)
+        rec_obj = BlockRecord(
+            plane=c_idx, x=x, y=y, size=size, mode=mode, qp=qp,
+            levels=None if levels is None else levels.copy(),
+            dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass),
+            kind="intra" if cu.pred_intra else "resid",
+            mtx=self._matrix_id(c_idx, log2_size, ts, cu),
+            rdpcm=rdpcm, rot=bool(rot), ccp=ccp, ccp_ref=ccp_ref)
         if self.plan is not None:
-            if not cu.pred_intra and levels is None:
-                return  # inter TU with cbf 0: MC prediction is final
-            self.plan.append(BlockRecord(
-                plane=c_idx, x=x, y=y, size=size, mode=mode, qp=qp,
-                levels=None if levels is None else levels.copy(),
-                dst=use_dst, ts=bool(ts), tqb=bool(cu.tq_bypass),
-                kind="intra" if cu.pred_intra else "resid",
-                mtx=self._matrix_id(c_idx, log2_size, ts, cu)))
-            return
+            if not cu.pred_intra and levels is None and not ccp:
+                return rec_obj  # inter TU, no residual: MC is final
+            self.plan.append(rec_obj)
+            return rec_obj
         bd = sps.bit_depth_luma if c_idx == 0 else sps.bit_depth_chroma
         maxv = (1 << bd) - 1
         if cu.pred_intra:
@@ -969,20 +1088,11 @@ class SliceDecoder:
         else:
             # inter: MC prediction is already in the plane
             pred = pic.planes[c_idx][y:y + size, x:x + size].astype(np.int32)
-        if levels is not None:
-            if cu.tq_bypass:
-                res = levels
-            else:
-                mtx, dc = self._scale_matrix(c_idx, log2_size, ts, cu)
-                d = R.dequant(levels, qp, log2_size, bd,
-                              scale_matrix=mtx, dc_scale=dc)
-                res = (R.transform_skip_residual(d, bd) if ts
-                       else R.inverse_transform(d, bd, dst=use_dst))
-            rec = np.clip(pred + res, 0, maxv)
-        else:
-            rec = pred
+        res = record_residual(pic, rec_obj, bd)
+        rec = np.clip(pred + res, 0, maxv) if res is not None else pred
         pic.planes[c_idx][y:y + size, x:x + size] = \
             rec.astype(pic.planes[c_idx].dtype)
+        return rec_obj
 
     def transform_unit(self, x0, y0, xb, yb, log2_size, depth, blk_idx,
                        cbf_luma, cbf_cb, cbf_cr, cu):
@@ -997,20 +1107,31 @@ class SliceDecoder:
         if (pps.cu_qp_delta_enabled and not self.qpst.is_cu_qp_delta_coded
                 and (cbf_luma or cbf_chroma)):
             self._decode_cu_qp_delta(cu)
+        if (self.sh.cu_chroma_qp_offset_enabled and cbf_chroma
+                and not cu.tq_bypass
+                and not self.qpst.is_cu_chroma_qp_offset_coded):
+            self._decode_cu_chroma_qp_offset()
         # ---- luma ----
         mode_y = int(pic.intra_mode_y[y0 >> 2, x0 >> 2])
-        lv_y, ts_y = (None, 0)
+        lv_y, ts_y, rd_y, rot_y = (None, 0, 0, False)
         if cbf_luma:
-            lv_y, ts_y = self._decode_levels(0, log2_size, mode_y, cu)
+            lv_y, ts_y, rd_y, rot_y = self._decode_levels(
+                0, log2_size, mode_y, cu)
             pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
                          x0 >> 2:(x0 + size) >> 2] = True
-        self._recon_block(0, x0, y0, size, mode_y, lv_y, ts_y, cu)
+        rec_y = self._recon_block(0, x0, y0, size, mode_y, lv_y, ts_y, cu,
+                                  rdpcm=rd_y, rot=rot_y)
         # ---- chroma ----
         chroma_here = (log2_size > 2 or sps.chroma_format_idc == 3
                        or blk_idx == 3)
         if not chroma_here:
             return
         fmt = sps.chroma_format_idc
+        # cross-component prediction: 4:4:4 only, luma residual present,
+        # inter or DM chroma mode (reference: hevcdec.c:1415)
+        cross = bool(pps.cross_component_prediction_enabled and cbf_luma
+                     and fmt == 3
+                     and (not cu.pred_intra or cu.chroma_dm))
         if fmt == 3:
             blocks = [(x0, y0, log2_size)]
         elif fmt == 2:
@@ -1028,14 +1149,55 @@ class SliceDecoder:
             mode_c = cu.chroma_mode
             if fmt == 2:
                 mode_c = CHROMA_422_MODE[mode_c]
+            ccp_val = self._decode_ccp(c_idx - 1) if cross else 0
             for half, (xc, yc, log2c) in enumerate(blocks):
                 csize = 1 << log2c
                 cbf = cbf_pair[half] if isinstance(cbf_pair, tuple) \
                     else cbf_pair
-                lv, ts = (None, 0)
+                lv, ts, rd_c, rot_c = (None, 0, 0, False)
                 if cbf:
-                    lv, ts = self._decode_levels(c_idx, log2c, mode_c, cu)
-                self._recon_block(c_idx, xc, yc, csize, mode_c, lv, ts, cu)
+                    lv, ts, rd_c, rot_c = self._decode_levels(
+                        c_idx, log2c, mode_c, cu)
+                self._recon_block(c_idx, xc, yc, csize, mode_c, lv, ts,
+                                  cu, rdpcm=rd_c, rot=rot_c, ccp=ccp_val,
+                                  ccp_ref=rec_y if ccp_val else None)
+
+
+def record_residual(pic: PictureState, r: BlockRecord, bd: int):
+    """Residual samples for one intra/resid record, or None.
+
+    Applies the range-extension modifiers in the reference's order
+    (dequant -> 4x4-skip rotation -> skip shift -> RDPCM accumulate ->
+    cross-component add); RDPCM/CCP arithmetic wraps in int16 like the
+    reference's coefficient buffers (reference:
+    hevcdsp_template.c:87 transform_rdpcm, hevcdec.c:1441 cross add)."""
+    res = None
+    if r.levels is not None:
+        if r.tqb:
+            res = r.levels.astype(np.int32)
+        else:
+            log2 = r.size.bit_length() - 1
+            mtx, dc = (None, 16)
+            if r.mtx >= 0 and getattr(pic, "scaling", None) is not None:
+                mtx, dc = pic.scaling.factor(log2, r.mtx)
+            d = R.dequant(r.levels, r.qp, log2, bd,
+                          scale_matrix=mtx, dc_scale=dc)
+            if r.rot:
+                d = d[::-1, ::-1]
+            res = (R.transform_skip_residual(d, bd) if r.ts
+                   else R.inverse_transform(d, bd, dst=r.dst))
+        if r.rdpcm:
+            axis = 0 if r.rdpcm == 2 else 1
+            res = np.cumsum(res.astype(np.int16), axis=axis,
+                            dtype=np.int16).astype(np.int32)
+    if r.ccp:
+        ry = record_residual(pic, r.ccp_ref, pic.sps.bit_depth_luma)
+        add = ((r.ccp * ry.astype(np.int32)) >> 3).astype(np.int16)
+        if res is None:
+            res = add.astype(np.int32)
+        else:
+            res = (res.astype(np.int16) + add).astype(np.int32)
+    return res
 
 
 def execute_plan_numpy(pic: PictureState, plan) -> None:
@@ -1083,21 +1245,8 @@ def execute_plan_numpy(pic: PictureState, plan) -> None:
                                        r.x:r.x + r.size].astype(np.int32)
         else:
             pred = pic.predict_intra(r.plane, r.x, r.y, r.size, r.mode)
-        if r.levels is not None:
-            if r.tqb:
-                res = r.levels
-            else:
-                log2 = r.size.bit_length() - 1
-                mtx, dc = (None, 16)
-                if r.mtx >= 0 and getattr(pic, "scaling", None) is not None:
-                    mtx, dc = pic.scaling.factor(log2, r.mtx)
-                d = R.dequant(r.levels, r.qp, log2, bd,
-                              scale_matrix=mtx, dc_scale=dc)
-                res = (R.transform_skip_residual(d, bd) if r.ts
-                       else R.inverse_transform(d, bd, dst=r.dst))
-            rec = np.clip(pred + res, 0, maxv)
-        else:
-            rec = pred
+        res = record_residual(pic, r, bd)
+        rec = np.clip(pred + res, 0, maxv) if res is not None else pred
         pic.planes[r.plane][r.y:r.y + r.size, r.x:r.x + r.size] = \
             rec.astype(pic.planes[r.plane].dtype)
 
@@ -1275,6 +1424,17 @@ class Decoder:
             sps.width, sps.height, lay.cur_poc,
             irap=nalmod.is_irap_nal(nal_type))
 
+    @staticmethod
+    def _rext_active(sps, pps, sh) -> bool:
+        """rext residual tools run through the Python syntax layer until
+        the native mirror grows them."""
+        return bool(
+            sps.persistent_rice_adaptation or sps.transform_skip_context
+            or sps.implicit_rdpcm or sps.explicit_rdpcm
+            or sps.transform_skip_rotation
+            or pps.cross_component_prediction_enabled
+            or sh.cu_chroma_qp_offset_enabled)
+
     def _decode_slice(self, nal: nalmod.NalUnit):
         lid = nal.layer_id
         lay = self._layer(lid)
@@ -1318,9 +1478,12 @@ class Decoder:
             if self.recon_backend != "inline":
                 lay.cur_pic.plan = []
                 if self.recon_backend == "jax" and _native_slice() \
+                        and not self._rext_active(sps, pps, sh) \
                         and os.environ.get("HEVC_TPU_NATIVE_PACK",
                                            "1") != "0":
                     # raw record chunks feed the native packer directly
+                    # (rext streams run the Python syntax layer, whose
+                    # records flow through pic.plan)
                     lay.cur_pic.native_chunks = []
             lay.slice_counter = 0
             # prevTid0 tracking for POC derivation (8.3.1)
@@ -1421,7 +1584,8 @@ class Decoder:
                 raw += off
                 seg_starts.append(raw_to_post(raw))
         plan = getattr(lay.cur_pic, "plan", None)
-        nat = _native_slice() if plan is not None else None
+        nat = _native_slice() if plan is not None \
+            and not self._rext_active(sps, pps, sh) else None
         if nat is not None:
             # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU
             # syntax + MV derivation in C++, bit-exact with SliceDecoder
@@ -1643,11 +1807,21 @@ class Decoder:
             lay.pending_sei = None
             if self.check_md5:
                 if dev_out is not None:
-                    planes = [np.asarray(d) for d in dev_out]
+                    # deferred: evaluate at first access so the async
+                    # device->host copy overlaps later frames' decode
+                    from ..tpu.pipeline import LazyPlanes
+
+                    def _eval(lp=LazyPlanes(dev_out),
+                              expect=frame.sei_hash.md5,
+                              bd=pic.sps.bit_depth_luma):
+                        from .. import trace
+                        with trace.span("md5_fetch"):
+                            planes = list(lp)
+                        return picture_md5(planes, bd) == expect
+                    frame._md5_eval = _eval
                 else:
-                    planes = pic.planes
-                got = picture_md5(planes, pic.sps.bit_depth_luma)
-                frame.md5_ok = got == frame.sei_hash.md5
+                    got = picture_md5(pic.planes, pic.sps.bit_depth_luma)
+                    frame.md5_ok = got == frame.sei_hash.md5
         if getattr(pic, "output_flag", 1):
             lay.out_q.append(frame)
         # bumping (C.5.2.2): output when the reorder budget or the DPB

@@ -122,13 +122,21 @@ class EncoderConfig:
     # no-MV-scaling long-term rules.  "mod" additionally signals
     # ref_pic_lists_modification and swaps the two L0 entries.
     long_term_ref: object = None  # None | True | "mod"
+    # ---- range-extension tools (SPS/PPS rext flags + emission) ----
+    rext_persistent_rice: bool = False   # StatCoeff Rice adaptation
+    rext_ts_context: bool = False        # skip-block sig contexts
+    rext_ts_rotation: bool = False       # 4x4 skip 180° rotation
+    rext_implicit_rdpcm: bool = False    # intra hor/ver skip DPCM
+    # cu_chroma_qp_offset: tuple of (cb, cr) PPS offset pairs; the
+    # encoder cycles through them per CTB (chroma QG)
+    rext_chroma_qp_offsets: tuple = ()
 
 
 class _TuPlan:
     """One planned transform-tree node."""
     __slots__ = ("x0", "y0", "log2", "depth", "blk_idx", "split", "children",
                  "lv_y", "cbf_luma", "lv_cb", "lv_cr", "cbf_cb", "cbf_cr",
-                 "chroma_leaf", "ts")
+                 "chroma_leaf", "ts", "rdpcm", "rot")
 
     def __init__(self, x0, y0, log2, depth, blk_idx):
         self.x0, self.y0, self.log2 = x0, y0, log2
@@ -137,6 +145,8 @@ class _TuPlan:
         self.children: List[_TuPlan] = []
         self.lv_y = None
         self.cbf_luma = 0
+        self.rdpcm = 0       # 0 none / 1 hor / 2 ver (implicit, luma)
+        self.rot = False     # 4x4 skip rotation active for lv_y
         self.lv_cb = []      # per chroma TB (2 for 4:2:2)
         self.lv_cr = []
         self.cbf_cb = (0, 0)
@@ -211,6 +221,30 @@ class IntraEncoder:
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
         ).derive(self.sps)
+        if (cfg.rext_persistent_rice or cfg.rext_ts_context
+                or cfg.rext_ts_rotation or cfg.rext_implicit_rdpcm):
+            self.sps.range_ext = 1
+            self.sps.persistent_rice_adaptation = \
+                int(cfg.rext_persistent_rice)
+            self.sps.transform_skip_context = int(cfg.rext_ts_context)
+            self.sps.transform_skip_rotation = int(cfg.rext_ts_rotation)
+            self.sps.implicit_rdpcm = int(cfg.rext_implicit_rdpcm)
+            self.sps.ptl.profile_idc = 4  # Range extensions
+            self.sps.ptl.compat_flags = 1 << (31 - 4)
+            assert not (cfg.rext_ts_rotation and cfg.scaling_lists), \
+                "ts rotation + scaling lists: matrix applies pre-rotation"
+        if cfg.rext_chroma_qp_offsets:
+            self.pps.range_ext = 1
+            self.pps.chroma_qp_offset_list_enabled = 1
+            self.pps.diff_cu_chroma_qp_offset_depth = 0
+            self.pps.cb_qp_offset_list = \
+                [cb for cb, _cr in cfg.rext_chroma_qp_offsets]
+            self.pps.cr_qp_offset_list = \
+                [cr for _cb, cr in cfg.rext_chroma_qp_offsets]
+            # PPS rext parse is gated on the rext profile (reference:
+            # hevc_ps.c:3155 profile_idc == FF_PROFILE_HEVC_REXT)
+            self.sps.ptl.profile_idc = 4
+            self.sps.ptl.compat_flags = 1 << (31 - 4)
         self.scaling = None
         if cfg.scaling_lists:
             from ..coding.scaling import ScalingListData
@@ -337,6 +371,15 @@ class IntraEncoder:
         from ..coding.qp import QpState
         self.qpst = QpState(cfg.qp)
         self.cur_qp = cfg.qp
+        # rext residual-coding state (mirror of SliceDecoder.rext)
+        from ..coding.residual import RextCtx
+        self.rext_enc = None
+        if self.sps.range_ext:
+            self.rext_enc = RextCtx(
+                persistent_rice=bool(self.sps.persistent_rice_adaptation),
+                ts_context=bool(self.sps.transform_skip_context),
+                implicit_rdpcm=bool(self.sps.implicit_rdpcm),
+                explicit_rdpcm=bool(self.sps.explicit_rdpcm))
         self._setup_refs()
         self.tmvp_ctx = self._setup_tmvp() if (cfg.tmvp and self.is_p) \
             else None
@@ -363,13 +406,30 @@ class IntraEncoder:
             if si > 0:
                 if cfg.tiles:
                     self.cm = ContextModel(init_type, cfg.qp)
+                    if self.rext_enc is not None:
+                        self.rext_enc.stats = [0, 0, 0, 0]
                 elif wpp_saved is not None and sps.ctb_w > 1:
                     self.cm = ContextModel(init_type, cfg.qp)
-                    self.cm.load(wpp_saved)
+                    self.cm.load(wpp_saved[0])
+                    if self.rext_enc is not None \
+                            and wpp_saved[1] is not None:
+                        self.rext_enc.stats = list(wpp_saved[1])
                 else:
                     self.cm = ContextModel(init_type, cfg.qp)
+                    if self.rext_enc is not None:
+                        self.rext_enc.stats = [0, 0, 0, 0]
             for rs in seg:
                 xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
+                # chroma QG (one per CTB): plan this CTB's cu offsets +
+                # re-arm the flag (mirror of the decoder's QG reset)
+                if cfg.rext_chroma_qp_offsets:
+                    idx = (xc + yc) % len(cfg.rext_chroma_qp_offsets)
+                    self._chroma_off_plan = idx
+                    self.qpst.is_cu_chroma_qp_offset_coded = False
+                    self.qpst.cu_qp_offset_cb = \
+                        self.pps.cb_qp_offset_list[idx]
+                    self.qpst.cu_qp_offset_cr = \
+                        self.pps.cr_qp_offset_list[idx]
                 # QP prediction restarts at WPP-row / tile starts
                 # (mirror of decoder SliceDecoder.decode_ctus)
                 if cfg.wpp:
@@ -386,7 +446,9 @@ class IntraEncoder:
                 x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
                 self._quadtree(x0, y0, sps.log2_ctb_size, 0)
                 if cfg.wpp and xc == 1:
-                    wpp_saved = self.cm.save()
+                    wpp_saved = (self.cm.save(),
+                                 list(self.rext_enc.stats)
+                                 if self.rext_enc is not None else None)
                 last = rs == order[-1]
                 self.e.encode_terminate(1 if last else 0)
             if si < len(segments) - 1:
@@ -437,7 +499,9 @@ class IntraEncoder:
                          num_ref_idx_l0_active=max(1, len(self.ref_list)),
                          num_ref_idx_l1_active=max(1,
                                                    len(self.ref_list_l1)),
-                         five_minus_max_num_merge_cand=0)
+                         five_minus_max_num_merge_cand=0,
+                         cu_chroma_qp_offset_enabled=(
+                             1 if cfg.rext_chroma_qp_offsets else 0))
         if cfg.long_term_ref and self.is_p and any(self.ref_lt0):
             # frame 0 as LT: poc_lsb 0 + explicit msb cycle (7.4.7.1)
             sh.lt_entries = [(0, 1, 1,
@@ -861,6 +925,25 @@ class IntraEncoder:
         self.qpst.cu_qp_delta_val = delta
         self.qpst.cur_qp = self.cur_qp  # == set_qpy result (no wrap)
 
+    def _maybe_emit_cu_chroma_qp_offset(self, cbf_chroma):
+        """Emit cu_chroma_qp_offset_flag/idx at the chroma QG's first
+        chroma-residual TU (mirror of decoder
+        _decode_cu_chroma_qp_offset; reference hevcdec.c:1367)."""
+        if (not self.cfg.rext_chroma_qp_offsets or not cbf_chroma
+                or self.qpst.is_cu_chroma_qp_offset_coded):
+            return
+        e, cm = self.e, self.cm
+        idx = self._chroma_off_plan
+        e.encode_bin(cm.at("cu_chroma_qp_offset_flag", 0), 1)
+        n = len(self.cfg.rext_chroma_qp_offsets)
+        if n > 1:
+            cmax = max(5, n - 1)
+            for _ in range(idx):
+                e.encode_bin(cm.at("cu_chroma_qp_offset_idx", 0), 1)
+            if idx < cmax:
+                e.encode_bin(cm.at("cu_chroma_qp_offset_idx", 0), 0)
+        self.qpst.is_cu_chroma_qp_offset_coded = True
+
     def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
                  max_trafo_depth) -> _TuPlan:
         sps = self.sps
@@ -899,8 +982,20 @@ class IntraEncoder:
         use_dst = node.log2 == 2
         node.ts = (self.cfg.transform_skip and node.log2 == 2
                    and self.rng.random() < 0.5)
+        node.rdpcm = 0
+        if (self.cfg.rext_implicit_rdpcm and node.ts
+                and mode in (10, 26)):
+            node.rdpcm = 2 if mode == 26 else 1
+        node.rot = bool(self.cfg.rext_ts_rotation and node.ts)
         if node.ts:
-            coef = res.astype(np.int64) << (13 - bd)
+            src = res
+            if node.rdpcm:  # DPCM: quantize the directional diffs
+                src = res.copy()
+                if node.rdpcm == 2:
+                    src[1:, :] -= res[:-1, :]
+                else:
+                    src[:, 1:] -= res[:, :-1]
+            coef = src.astype(np.int64) << (13 - bd)
         else:
             coef = forward_transform(res, bd, dst=use_dst)
         lv = quantize(coef, self.cur_qp + sps.qp_bd_offset, node.log2, bd)
@@ -911,6 +1006,10 @@ class IntraEncoder:
                            bd, 0, False, node.ts)
             r = (R.transform_skip_residual(dq, bd) if node.ts
                  else R.inverse_transform(dq, bd, dst=use_dst))
+            if node.rdpcm:  # decoder-identical accumulate (int16 wrap)
+                axis = 0 if node.rdpcm == 2 else 1
+                r = np.cumsum(r.astype(np.int16), axis=axis,
+                              dtype=np.int16).astype(np.int32)
             rec = np.clip(pred + r, 0, maxv)
         else:
             rec = pred
@@ -956,6 +1055,8 @@ class IntraEncoder:
             mode = CHROMA_422_MODE[chroma_mode]
         for c_idx in (1, 2):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            off += (self.qpst.cu_qp_offset_cb if c_idx == 1
+                    else self.qpst.cu_qp_offset_cr)
             qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             lvs, cbfs = [], []
@@ -1028,15 +1129,20 @@ class IntraEncoder:
         tcr = node.cbf_cr if log2 > 2 else cbf_cr_par
         any_cbf = (node.cbf_luma or tcb[0] or tcr[0]
                    or (is422 and (tcb[1] or tcr[1])))
+        cbf_chroma = (tcb[0] or tcr[0]
+                      or (is422 and (tcb[1] or tcr[1])))
         self._maybe_emit_cu_qp_delta(cu_xy[0], cu_xy[1], any_cbf)
+        self._maybe_emit_cu_chroma_qp_offset(cbf_chroma)
         mode = int(self.pic.intra_mode_y[node.y0 >> 2, node.x0 >> 2])
         if node.cbf_luma:
             scan = scan_idx_for_intra(mode, log2, 0, sps.chroma_format_idc)
             ts_ok = (self.pps.transform_skip_enabled and log2
                      <= self.pps.log2_max_transform_skip_block_size)
-            encode_residual(e, cm, node.lv_y, log2, 0, scan,
+            lv_emit = node.lv_y[::-1, ::-1] if node.rot else node.lv_y
+            encode_residual(e, cm, lv_emit, log2, 0, scan,
                             transform_skip_allowed=bool(ts_ok),
-                            ts_flag=1 if node.ts else 0)
+                            ts_flag=1 if node.ts else 0,
+                            rext=self.rext_enc, intra_mode=mode)
         if node.chroma_leaf:
             from ..coding.picture import CHROMA_422_MODE
             if sps.chroma_format_idc == 3:
@@ -1058,7 +1164,9 @@ class IntraEncoder:
                 for half, lv in enumerate(lvs):
                     if ccx[half]:
                         encode_residual(e, cm, lv, log2c, c_idx, scan_c,
-                                        transform_skip_allowed=bool(ts_ok_c))
+                                        transform_skip_allowed=bool(ts_ok_c),
+                                        rext=self.rext_enc,
+                                        intra_mode=mode_c)
 
     # ---- inter coding (P frames) -----------------------------------------
     def _encode_eg1(self, v: int):
@@ -1222,6 +1330,8 @@ class IntraEncoder:
         out_c = []
         for c_idx, pred in ((1, pcb), (2, pcr)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            off += (self.qpst.cu_qp_offset_cb if c_idx == 1
+                    else self.qpst.cu_qp_offset_cr)
             qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             lvs = []
@@ -1267,6 +1377,8 @@ class IntraEncoder:
             if not lvs:
                 lvs = [None] * len(blocks)
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            off += (self.qpst.cu_qp_offset_cb if c_idx == 1
+                    else self.qpst.cu_qp_offset_cr)
             qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
             out = pred.astype(np.int32).copy()
@@ -1566,13 +1678,16 @@ class IntraEncoder:
             assert lv_y is not None, "all-zero residual must use rootcbf=0"
         self._maybe_emit_cu_qp_delta(
             x0, y0, (lv_y is not None) or any_cb or any_cr)
+        self._maybe_emit_cu_chroma_qp_offset(any_cb or any_cr)
         if lv_y is not None:
-            encode_residual(e, cm, lv_y, log2_size, 0, 0)
+            encode_residual(e, cm, lv_y, log2_size, 0, 0,
+                            rext=self.rext_enc, pred_inter=True)
         blocks = self._inter_chroma_blocks(x0, y0, log2_size)
         for c_idx, lvs in ((1, lv_cb), (2, lv_cr)):
             for (bx, by, log2c), lv in zip(blocks, lvs):
                 if lv is not None:
-                    encode_residual(e, cm, lv, log2c, c_idx, 0)
+                    encode_residual(e, cm, lv, log2c, c_idx, 0,
+                                    rext=self.rext_enc, pred_inter=True)
 
     def _skip_ctx(self, x0, y0):
         pic = self.pic

@@ -47,9 +47,10 @@ REC_NCOLS = 24
 (REC_KIND, REC_PLANE, REC_X, REC_Y, REC_W, REC_H, REC_MODE, REC_QP,
  REC_FLAGS, REC_MTX, REC_LVL, REC_MVX0, REC_MVY0, REC_REF0, REC_MVX1,
  REC_MVY1, REC_REF1, REC_WPW0, REC_WPO0, REC_WPW1, REC_WPO1,
- REC_LOG2WD) = range(22)
+ REC_LOG2WD, REC_CCP, REC_CCPREF) = range(24)
 KIND_INTRA, KIND_RESID, KIND_MC, KIND_PCM = range(4)
 F_DST, F_TS, F_TQB, F_BI, F_LX = 1, 2, 4, 8, 16
+F_ROT, F_RDPCM_H, F_RDPCM_V = 32, 64, 128
 
 
 class NativeParams(C.Structure):
@@ -317,7 +318,8 @@ def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
     appending to `plan`.  Level arrays are views into the pool."""
     from ..decoder.core import BlockRecord
     rows = rec.tolist()
-    for r in rows:
+    made = [None] * len(rows)  # row index -> record (CCP luma refs)
+    for ri, r in enumerate(rows):
         kind = r[REC_KIND]
         if kind == KIND_MC:
             plan.append(BlockRecord(
@@ -342,12 +344,18 @@ def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
             if loff >= 0:
                 levels = lvl[loff:loff + size * size].reshape(size, size)
             f = r[REC_FLAGS]
-            plan.append(BlockRecord(
+            obj = BlockRecord(
                 plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=size,
                 mode=r[REC_MODE], qp=r[REC_QP], levels=levels,
                 dst=bool(f & F_DST), ts=bool(f & F_TS), tqb=bool(f & F_TQB),
                 kind="intra" if kind == KIND_INTRA else "resid",
-                mtx=r[REC_MTX]))
+                mtx=r[REC_MTX],
+                rdpcm=2 if (f & F_RDPCM_V) else (1 if (f & F_RDPCM_H)
+                                                 else 0),
+                rot=bool(f & F_ROT), ccp=r[REC_CCP],
+                ccp_ref=made[r[REC_CCPREF]] if r[REC_CCP] else None)
+            made[ri] = obj
+            plan.append(obj)
 
 
 def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
@@ -559,19 +567,24 @@ def _pack_fn():
 
 
 def _concat_chunks(chunks):
-    """Concatenate per-slice (rec, lvl) chunks, rebasing level offsets."""
+    """Concatenate per-slice (rec, lvl) chunks, rebasing level offsets
+    and CCP record-index references."""
     if len(chunks) == 1:
         return chunks[0]
     recs, lvls = [], []
     base = 0
+    row_base = 0
     for rec, lvl in chunks:
-        if base:
+        if base or row_base:
             rec = rec.copy()
             mask = rec[:, REC_LVL] >= 0
             rec[mask, REC_LVL] += base
+            ccp = rec[:, REC_CCP] != 0
+            rec[ccp, REC_CCPREF] += row_base
         recs.append(rec)
         lvls.append(lvl)
         base += lvl.shape[0]
+        row_base += rec.shape[0]
     return np.concatenate(recs), np.concatenate(lvls)
 
 
@@ -629,7 +642,7 @@ def pack_frame_native(pic):
 
     imeta = np.empty((max(1, n_rec), 11), np.int32)
     iavail = np.zeros((max(1, n_rec), 128), np.uint8)
-    lmeta = np.empty((max(1, n_rec), 7), np.int32)
+    lmeta = np.empty((max(1, n_rec), 11), np.int32)
     mcrow = np.empty((max(1, n_rec), 21), np.int32)
     residr = np.empty((max(1, n_rec), 4), np.int32)
     pcmrow = np.empty((max(1, n_rec), 6), np.int32)
@@ -676,13 +689,14 @@ def pack_frame_native(pic):
         sel = np.nonzero(lm[:, 0] == c)[0]
         nlv = _round_up(len(sel) + 1, 16)
         arr = np.zeros((nlv, s, s), np.int32)
-        rm = np.zeros((nlv, 5), np.int32)
+        rm = np.zeros((nlv, 9), np.int32)
         if sel.size:
             offs = lm[sel, 1].astype(np.int64)
-            arr[:len(sel)] = lvl[offs[:, None]
-                                 + np.arange(s * s)[None, :]].reshape(
-                                     -1, s, s)
-            rm[:len(sel)] = lm[sel, 2:7]
+            vals = lvl[np.maximum(offs[:, None], 0)
+                       + np.arange(s * s)[None, :]].reshape(-1, s, s)
+            vals[offs < 0] = 0  # CCP-only rows: zero-level slot
+            arr[:len(sel)] = vals
+            rm[:len(sel)] = lm[sel, 2:11]
         levels.append(arr)
         rmetas.append(rm)
 

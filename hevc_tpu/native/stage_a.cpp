@@ -57,11 +57,12 @@ enum {
     REC_KIND = 0, REC_PLANE, REC_X, REC_Y, REC_W, REC_H, REC_MODE,
     REC_QP, REC_FLAGS, REC_MTX, REC_LVL, REC_MVX0, REC_MVY0, REC_REF0,
     REC_MVX1, REC_MVY1, REC_REF1, REC_WPW0, REC_WPO0, REC_WPW1,
-    REC_WPO1, REC_LOG2WD, REC_NCOLS = 24
+    REC_WPO1, REC_LOG2WD, REC_CCP, REC_CCPREF, REC_NCOLS = 24
 };
 enum { KIND_INTRA = 0, KIND_RESID = 1, KIND_MC = 2, KIND_PCM = 3 };
-// REC_FLAGS bits
-enum { F_DST = 1, F_TS = 2, F_TQB = 4, F_BI = 8, F_LX = 16 };
+// REC_FLAGS bits (rext: rotation + RDPCM accumulate direction)
+enum { F_DST = 1, F_TS = 2, F_TQB = 4, F_BI = 8, F_LX = 16,
+       F_ROT = 32, F_RDPCM_H = 64, F_RDPCM_V = 128 };
 
 // Scalar parameters, mirrored by ctypes.Structure NativeParams in
 // hevc_tpu/native/__init__.py (field order must match exactly).

@@ -78,7 +78,8 @@ static inline void pack_chroma_mv(int mv, int shift, int* off, int* frac) {
 
 // output row layouts (mirrored in hevc_tpu/native/__init__.py):
 //   imeta  [Ni, 11]: cls, chunk, j, scal0..7
-//   lmeta  [Nl, 7]:  cls, lvl_off, qp, dst, ts, raw, mtx+1
+//   lmeta  [Nl, 11]: cls, lvl_off, qp, dst, ts, raw, mtx+1, rot,
+//                    rdpcm, ccp_alpha, ccp_slot
 //   mcrow  [Nm, 21]: is_ch, bi, w, h,
 //                    sel, by, bx, fx, fy, sel1, by1, bx1, fx1, fy1,
 //                    oy, ox, w0, o0, w1, o1, log2wd
@@ -105,6 +106,9 @@ extern "C" int64_t hevc_native_pack_records(
 
     int32_t slot_count[4] = {0, 0, 0, 0};
     std::vector<int32_t> fill[4];  // per-class per-chunk fill counters
+    // record index -> residual pool slot (CCP chroma rows reference
+    // their TU's luma slot through REC_CCPREF)
+    std::vector<int32_t> slot_of_rec((size_t)n_rec, 0);
     int64_t ni = 0, nl = 0, nm = 0, nr = 0, np_ = 0;
     int32_t max_chunk = -1;
     int64_t err = 0;
@@ -203,18 +207,24 @@ extern "C" int64_t hevc_native_pack_records(
         int n = r[REC_W];
         int cls = n == 4 ? 0 : (n == 8 ? 1 : (n == 16 ? 2 : 3));
         int slot = 0;
-        if (r[REC_LVL] >= 0) {
+        if (r[REC_LVL] >= 0 || r[REC_CCP] != 0) {
             slot = ++slot_count[cls];
-            int32_t* o = lmeta + nl * 7;
+            int32_t* o = lmeta + nl * 11;
             nl++;
             int f = r[REC_FLAGS];
             o[0] = cls;
-            o[1] = r[REC_LVL];
+            o[1] = r[REC_LVL];  // -1 = CCP-only: zero-level slot
             o[2] = r[REC_QP];
             o[3] = (f & F_DST) ? 1 : 0;
             o[4] = (f & F_TS) ? 1 : 0;
             o[5] = (f & F_TQB) ? 1 : 0;
             o[6] = r[REC_MTX] + 1;
+            o[7] = (f & F_ROT) ? 1 : 0;
+            o[8] = (f & F_RDPCM_V) ? 2 : ((f & F_RDPCM_H) ? 1 : 0);
+            o[9] = r[REC_CCP];
+            // REC_CCPREF = record index of the TU's luma record
+            o[10] = r[REC_CCP] ? slot_of_rec[r[REC_CCPREF]] : 0;
+            slot_of_rec[t] = slot;
         }
         if (kind == KIND_RESID) {
             for (int j = y; j < y + n; j++)

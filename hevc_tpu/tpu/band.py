@@ -160,7 +160,7 @@ def unify_bands(pfs):
         a[:, :, :, 2] = 1
         v = np.zeros((n, n_chunks, B[c], 128), bool)
         lv = np.zeros((n, nlv[c], 4 << c, 4 << c), np.int32)
-        rm = np.zeros((n, nlv[c], 5), np.int32)
+        rm = np.zeros((n, nlv[c], 9), np.int32)
         for k, pf in enumerate(pfs):
             s = pf.scal[c]
             a[k, :s.shape[0], :s.shape[1]] = s

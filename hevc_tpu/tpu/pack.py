@@ -48,8 +48,9 @@ class PackedFrame:
     scal: tuple                   # per class: int32 [n_chunks, B, 8]
     avail: tuple                  # per class: bool [n_chunks, B, 128]
     levels: tuple                 # per class: int32 [Nc, s, s]
-    rmeta: tuple                  # per class: int32 [Nc, 5]
-                                  # (qp, dst, ts, raw, mtx+1)
+    rmeta: tuple                  # per class: int32 [Nc, 9] (qp, dst,
+                                  # ts, raw, mtx+1, rot, rdpcm, ccp,
+                                  # ccp_slot)
     n_chunks: int
     region: dict                  # plane -> (oy, ox, h, w)
     bit_depth: int
@@ -146,7 +147,10 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
 
     mc_records, resid_records, chunks = _schedule_levels(pic, plan)
 
-    # residual pools (slot 0 = zeros, prepended on device)
+    # residual pools (slot 0 = zeros, prepended on device).  rmeta row:
+    # (qp, dst, ts, raw, mtx+1, rot, rdpcm, ccp_alpha, ccp_slot) — the
+    # last four are the rext residual modifiers (flip / DPCM accumulate /
+    # cross-component add) applied on device by recon._residuals.
     lv = [[] for _ in range(4)]
     rmeta = [[] for _ in range(4)]
     slots = {}
@@ -158,13 +162,25 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
             canvas[oy + r.y:oy + r.y + r.h,
                    ox + r.x:ox + r.x + r.size] = r.levels
             continue
-        if r.levels is None:
+        if r.levels is None and not getattr(r, "ccp", 0):
             continue
         c = classes[r.size]
-        lv[c].append(np.asarray(r.levels, np.int32))
+        if r.levels is None:  # CCP-only chroma TU: own zero-level slot
+            lv[c].append(np.zeros((r.size, r.size), np.int32))
+        else:
+            lv[c].append(np.asarray(r.levels, np.int32))
         rmeta[c].append((r.qp, int(r.dst), int(r.ts), int(r.tqb),
-                         r.mtx + 1))
+                         r.mtx + 1, int(getattr(r, "rot", False)),
+                         int(getattr(r, "rdpcm", 0)),
+                         int(getattr(r, "ccp", 0)), 0))
         slots[id(r)] = len(lv[c])
+    # second pass: resolve CCP luma slots (same size class in 4:4:4)
+    for r in plan:
+        if getattr(r, "ccp", 0) and r.kind != "pcm":
+            c = classes[r.size]
+            row = list(rmeta[c][slots[id(r)] - 1])
+            row[8] = slots[id(r.ccp_ref)]
+            rmeta[c][slots[id(r)] - 1] = tuple(row)
 
     rec_meta = {}  # id(rec) -> (class, scal fields, avail bits)
     for chk in chunks:
@@ -292,7 +308,7 @@ def pack_frame(pic: PictureState, plan: List) -> PackedFrame:
         nlv = _round_up(max(1, len(lv[c]) + 1), 16)
         padl = nlv - len(lv[c])
         levels.append(np.stack(lv[c] + [np.zeros((s, s), np.int32)] * padl))
-        rmetas.append(np.asarray(rmeta[c] + [(0, 0, 0, 0, 0)] * padl,
+        rmetas.append(np.asarray(rmeta[c] + [(0,) * 9] * padl,
                                  np.int32))
 
     # scaling-list matrix banks: slot 0 = flat 16, 1..6 = matrix ids

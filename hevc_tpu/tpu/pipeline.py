@@ -137,7 +137,7 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
     rmeta = []
     for c in range(4):
         nlv = S["nlv"][c]
-        rmeta.append(take(nlv * 5, (nlv, 5)))
+        rmeta.append(take(nlv * 9, (nlv, 9)))
     mc_groups = []
     for (is_ch, bi, wp, w, h, nrow) in S["mc_groups"]:
         rows = take(nrow * 17, (nrow, 17))
@@ -208,8 +208,11 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
         y, cb, cr = outp
     odt = jnp.uint8 if bd <= 8 else jnp.uint16
     pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
-    return (y.astype(odt), cb.astype(odt), cr.astype(odt),
-            pads[0], pads[1], pads[2])
+    # one fused output buffer: a single device->host transfer per frame
+    # (each fetch over a remote-chip tunnel pays a full RTT)
+    flat = jnp.concatenate([y.astype(odt).ravel(), cb.astype(odt).ravel(),
+                            cr.astype(odt).ravel()])
+    return (flat, pads[0], pads[1], pads[2])
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +285,7 @@ def pack_frame_pipeline(pic):
     cap_mc = max(1, n_rec)
     imeta = np.empty((max(1, n_rec), 11), np.int32)
     iavail = np.zeros((max(1, n_rec), 128), np.uint8)
-    lmeta = np.empty((max(1, n_rec), 7), np.int32)
+    lmeta = np.empty((max(1, n_rec), 11), np.int32)
     mcrow = np.empty((cap_mc, 21), np.int32)
     residr = np.empty((max(1, n_rec), 4), np.int32)
     pcmrow = np.empty((max(1, n_rec), 6), np.int32)
@@ -354,13 +357,15 @@ def pack_frame_pipeline(pic):
         sel = np.nonzero(lm[:, 0] == c)[0]
         n_c = _round_up(len(sel) + 1, 16)
         nlv.append(n_c)
-        rm = np.zeros((n_c, 5), np.int32)
+        rm = np.zeros((n_c, 9), np.int32)
         lv16 = np.zeros((n_c, s * s), np.int16)
         if sel.size:
             offs = lm[sel, 1].astype(np.int64)
-            lv16[:len(sel)] = lvl[offs[:, None]
-                                  + np.arange(s * s)[None, :]]
-            rm[:len(sel)] = lm[sel, 2:7]
+            vals = lvl[np.maximum(offs[:, None], 0)
+                       + np.arange(s * s)[None, :]]
+            vals[offs < 0] = 0  # CCP-only rows: zero-level slot
+            lv16[:len(sel)] = vals
+            rm[:len(sel)] = lm[sel, 2:11]
         parts.append(rm.reshape(-1))
         lvl_parts.append(lv16.reshape(-1))
 
@@ -455,9 +460,11 @@ class LazyPlanes:
     """List-like deferred fetch of device planes.
 
     Materializes (and caches) the numpy planes on first element access;
-    until then the decode loop never blocks on the device.  `crop` is
-    the SPS for conformance-window cropping of output frames; `dtype`
-    converts on materialization (the DPB wants int32)."""
+    until then the decode loop never blocks on the device.  Accepts
+    either a sequence of per-plane device arrays or the pipeline's
+    fused form (flat_buffer, ((h, w), ...)).  `crop` is the SPS for
+    conformance-window cropping of output frames; `dtype` converts on
+    materialization (the DPB wants int32)."""
 
     __slots__ = ("_dev", "_np", "_crop", "_dtype")
 
@@ -470,8 +477,19 @@ class LazyPlanes:
     def _mat(self):
         if self._np is None:
             from .. import trace
+            dev = self._dev
+            fused = (len(dev) == 2 and isinstance(dev[1], tuple)
+                     and dev[1] and isinstance(dev[1][0], tuple))
             with trace.span("fetch"):
-                planes = [np.asarray(d) for d in self._dev]
+                if fused:
+                    buf = np.asarray(dev[0])
+                    planes, off = [], 0
+                    for h, w in dev[1]:
+                        planes.append(buf[off:off + h * w]
+                                      .reshape(h, w))
+                        off += h * w
+                else:
+                    planes = [np.asarray(d) for d in dev]
             if self._dtype is not None:
                 planes = [p.astype(self._dtype) for p in planes]
             if self._crop is not None:
@@ -526,12 +544,20 @@ def finish_frame_pipeline(pic, lay, poc: int):
                               jnp.asarray(levels16), _dev_scale_bank(pic),
                               canvas0, tuple(refs_y), tuple(refs_cb),
                               tuple(refs_cr), spec)
-    y8, cb8, cr8, pad_y, pad_cb, pad_cr = out
+    flat, pad_y, pad_cb, pad_cr = out
     dpb_dev[poc] = (pad_y, pad_cb, pad_cr)
+    # start the output transfer now — it streams while later frames
+    # decode; LazyPlanes consumers then pay only the residual wait
+    try:
+        flat.copy_to_host_async()
+    except Exception:
+        pass
     # filters applied on device
     pic.deblock_params = None
     if hasattr(pic, "sao_map"):
         pic.sao_map = {}
     pic.has_sao = False
     pic.sao_arrays = None
-    return (y8, cb8, cr8)
+    shapes = tuple((h, w) for _oy, _ox, h, w in
+                   (dict(spec)["regions"]))
+    return (flat, shapes)

@@ -20,13 +20,22 @@ from .pack import PackedFrame, pack_frame
 from .transforms import residual_batch
 
 
+def _wrap16(v):
+    """int16 wraparound — the reference's coefficient buffers are int16
+    (reference: hevcdsp_template.c transform_rdpcm / hevcdec.c:1441)."""
+    return ((v + 32768) & 65535) - 32768
+
+
 def _residuals(levels, rmeta, bit_depth, scale_bank=None):
     """Per-class residual batches with a zeros slot prepended.
 
-    rmeta: per class int32 [Nc, 4|5] = (qp, dst, ts, raw[, mtx+1]);
-    scale_bank: optional per-class int32 [7, S, S] scale-matrix banks
-    (slot 0 = flat 16, 1..6 = scaling-list matrix ids)."""
-    out = []
+    rmeta: per class int32 [Nc, >=5] = (qp, dst, ts, raw, mtx+1
+    [, rot, rdpcm, ccp_alpha, ccp_slot]); the optional rext columns
+    apply the 4x4-skip rotation, the RDPCM accumulate, and the
+    cross-component residual add (slot indexes the same class pool,
+    zero-slot included).  scale_bank: optional per-class int32
+    [7, S, S] scale-matrix banks (0 = flat, 1..6 = matrix ids)."""
+    pre = []
     for c, log2 in enumerate((2, 3, 4, 5)):
         m = rmeta[c]
         sm = None
@@ -35,7 +44,27 @@ def _residuals(levels, rmeta, bit_depth, scale_bank=None):
         r = residual_batch(levels[c], m[:, 0], m[:, 1] != 0, m[:, 2] != 0,
                            log2, bit_depth, sm)
         r = jnp.where((m[:, 3] != 0)[:, None, None], levels[c], r)
+        if m.shape[1] > 5:
+            rot = (m[:, 5] != 0)[:, None, None]
+            r = jnp.where(rot, r[:, ::-1, ::-1], r)
+            rd = m[:, 6]
+            if True:  # rdpcm accumulate (mod-2^16 exact under wrap)
+                h = _wrap16(jnp.cumsum(r, axis=2))
+                v = _wrap16(jnp.cumsum(r, axis=1))
+                r = jnp.where((rd == 1)[:, None, None], h,
+                              jnp.where((rd == 2)[:, None, None], v, r))
+        pre.append(r)
+    out = []
+    for c in range(4):
+        m = rmeta[c]
+        r = pre[c]
         zero = jnp.zeros((1,) + r.shape[1:], r.dtype)
+        if m.shape[1] > 5:
+            pool = jnp.concatenate([zero, r])
+            alpha = m[:, 7]
+            add = (alpha[:, None, None] * pool[m[:, 8]]) >> 3
+            r = jnp.where((alpha != 0)[:, None, None],
+                          _wrap16(r + add), r)
         out.append(jnp.concatenate([zero, r]))
     return tuple(out)
 

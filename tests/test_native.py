@@ -92,7 +92,7 @@ def test_native_residual_bit_exact(log2_size, scan):
         dn = CabacDecoder(payload)
         cmn = ContextModel(0, 30)
         for lv in blocks:
-            got_p, ts_p = decode_residual(
+            got_p, ts_p, *_rx = decode_residual(
                 dp, cmp_, log2_size, c_idx, scan, sign_data_hiding=sdh,
                 transform_skip_allowed=ts_allowed, tq_bypass=False)
             got_n, ts_n = native.decode_residual(

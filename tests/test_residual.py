@@ -15,7 +15,7 @@ def roundtrip(levels, log2, c_idx, scan, qp=30, init_type=0):
     e.terminate_and_align()
     cm_d = ContextModel(init_type, qp)
     d = CabacDecoder(e.getvalue())
-    out, _ = decode_residual(d, cm_d, log2, c_idx, scan)
+    out, *_ = decode_residual(d, cm_d, log2, c_idx, scan)
     assert (out == levels).all(), (levels, out)
     # context states must evolve identically on both sides
     assert cm_e.states == cm_d.states
@@ -89,5 +89,5 @@ def test_state_continuity_across_blocks():
     cm_d = ContextModel(0, 26)
     d = CabacDecoder(e.getvalue())
     for lv, log2, cidx in blocks:
-        out, _ = decode_residual(d, cm_d, log2, cidx, 0)
+        out, *_ = decode_residual(d, cm_d, log2, cidx, 0)
         assert (out == lv).all()
