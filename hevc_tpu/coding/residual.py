@@ -16,8 +16,9 @@ reference: libavcodec/hevc_cabac.c:2085-2700):
   * persistent Rice adaptation — per-(plane-kind, skip-kind) StatCoeff
     seeding the sub-block Rice parameter, updated once per sub-block on
     the first coeff_abs_level_remaining;
-  * transform-skip sig-coeff contexts — skipped/bypassed blocks use the
-    dedicated contexts 40/42 (luma) and 41/43 (chroma);
+  * transform-skip sig-coeff contexts — skipped/bypassed blocks use one
+    flat context per plane kind: 42 (luma) / 43 (chroma) at every scan
+    position (base 40/41 + the all-2 default ctx map row);
   * explicit RDPCM — inter TU flag + direction, decoded after
     transform_skip_flag; disables sign-data hiding;
   * implicit RDPCM — intra hor/ver skipped/bypassed TUs; disables SDH.
@@ -208,8 +209,10 @@ def decode_residual(d: CabacDecoder, cm: ContextModel, log2_size: int,
             n_start = 15
         for n in range(n_start, 0, -1):
             xp, yp = int(coef_scan[n][0]), int(coef_scan[n][1])
-            if ts_ctx:  # dedicated skip contexts (9.3.4.2.5 rext)
-                ctx = 40 if c_idx == 0 else 41
+            if ts_ctx:  # dedicated skip context (flat: the reference's
+                # default ctx map adds 2 to the 40/41 base for every
+                # position — hevc_cabac.c:1981 + ctx_idx_map line 4)
+                ctx = 42 if c_idx == 0 else 43
             else:
                 ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp,
                                (ys << 2) + yp, scan_idx, csbf, nsb)
@@ -412,7 +415,7 @@ def encode_residual(e: CabacEncoder, cm: ContextModel, levels: np.ndarray,
             xp, yp = int(coef_scan[n][0]), int(coef_scan[n][1])
             sig = 1 if blk[yp, xp] != 0 else 0
             if ts_ctx:
-                ctx = 40 if c_idx == 0 else 41
+                ctx = 42 if c_idx == 0 else 43
             else:
                 ctx = _sig_ctx(log2_size, c_idx, (xs << 2) + xp,
                                (ys << 2) + yp, scan_idx, csbf_dec, nsb)

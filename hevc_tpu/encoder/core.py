@@ -130,13 +130,19 @@ class EncoderConfig:
     # cu_chroma_qp_offset: tuple of (cb, cr) PPS offset pairs; the
     # encoder cycles through them per CTB (chroma QG)
     rext_chroma_qp_offsets: tuple = ()
+    # explicit RDPCM: inter CUs code their (CU-sized) TU with
+    # transform_skip + DPCM diffs; raises log2_max_transform_skip to 5
+    rext_explicit_rdpcm: bool = False
+    # cross-component prediction (4:4:4 only): chroma residuals coded
+    # against an alpha-scaled copy of the TU's luma residual
+    rext_ccp: bool = False
 
 
 class _TuPlan:
     """One planned transform-tree node."""
     __slots__ = ("x0", "y0", "log2", "depth", "blk_idx", "split", "children",
                  "lv_y", "cbf_luma", "lv_cb", "lv_cr", "cbf_cb", "cbf_cr",
-                 "chroma_leaf", "ts", "rdpcm", "rot")
+                 "chroma_leaf", "ts", "rdpcm", "rot", "ccp_alpha", "ccp_ry")
 
     def __init__(self, x0, y0, log2, depth, blk_idx):
         self.x0, self.y0, self.log2 = x0, y0, log2
@@ -147,6 +153,8 @@ class _TuPlan:
         self.cbf_luma = 0
         self.rdpcm = 0       # 0 none / 1 hor / 2 ver (implicit, luma)
         self.rot = False     # 4x4 skip rotation active for lv_y
+        self.ccp_alpha = (0, 0)  # cross-component res_scale per cb/cr
+        self.ccp_ry = None       # the TU's reconstructed luma residual
         self.lv_cb = []      # per chroma TB (2 for 4:2:2)
         self.lv_cr = []
         self.cbf_cb = (0, 0)
@@ -222,17 +230,32 @@ class IntraEncoder:
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
         ).derive(self.sps)
         if (cfg.rext_persistent_rice or cfg.rext_ts_context
-                or cfg.rext_ts_rotation or cfg.rext_implicit_rdpcm):
+                or cfg.rext_ts_rotation or cfg.rext_implicit_rdpcm
+                or cfg.rext_explicit_rdpcm):
             self.sps.range_ext = 1
             self.sps.persistent_rice_adaptation = \
                 int(cfg.rext_persistent_rice)
             self.sps.transform_skip_context = int(cfg.rext_ts_context)
             self.sps.transform_skip_rotation = int(cfg.rext_ts_rotation)
             self.sps.implicit_rdpcm = int(cfg.rext_implicit_rdpcm)
+            self.sps.explicit_rdpcm = int(cfg.rext_explicit_rdpcm)
             self.sps.ptl.profile_idc = 4  # Range extensions
             self.sps.ptl.compat_flags = 1 << (31 - 4)
             assert not (cfg.rext_ts_rotation and cfg.scaling_lists), \
                 "ts rotation + scaling lists: matrix applies pre-rotation"
+        if cfg.rext_explicit_rdpcm:
+            # CU-sized inter TUs skip the transform: allow big TS blocks
+            self.pps.range_ext = 1
+            self.pps.transform_skip_enabled = 1
+            self.pps.log2_max_transform_skip_block_size = 5
+            assert cfg.log2_ctb_size <= 5, \
+                "explicit rdpcm: CU-sized TS TUs need log2_ctb <= 5"
+        if cfg.rext_ccp:
+            assert cfg.chroma_format_idc == 3, "CCP is 4:4:4 only"
+            self.pps.range_ext = 1
+            self.pps.cross_component_prediction_enabled = 1
+            self.sps.ptl.profile_idc = 4
+            self.sps.ptl.compat_flags = 1 << (31 - 4)
         if cfg.rext_chroma_qp_offsets:
             self.pps.range_ext = 1
             self.pps.chroma_qp_offset_list_enabled = 1
@@ -944,6 +967,18 @@ class IntraEncoder:
                 e.encode_bin(cm.at("cu_chroma_qp_offset_idx", 0), 0)
         self.qpst.is_cu_chroma_qp_offset_coded = True
 
+    def _emit_ccp(self, idx, val):
+        """cross_comp_pred syntax (mirror of decoder _decode_ccp)."""
+        e, cm = self.e, self.cm
+        k = 0 if val == 0 else abs(val).bit_length()
+        for i in range(k):
+            e.encode_bin(cm.at("log2_res_scale_abs", 4 * idx + i), 1)
+        if k < 4:
+            e.encode_bin(cm.at("log2_res_scale_abs", 4 * idx + k), 0)
+        if k:
+            e.encode_bin(cm.at("res_scale_sign_flag", idx),
+                         1 if val < 0 else 0)
+
     def _plan_tu(self, x0, y0, log2, depth, blk_idx, intra_split,
                  max_trafo_depth) -> _TuPlan:
         sps = self.sps
@@ -1013,8 +1048,17 @@ class IntraEncoder:
             rec = np.clip(pred + r, 0, maxv)
         else:
             rec = pred
+            r = None
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
             rec.astype(pic.planes[0].dtype)
+        # cross-component prediction (4:4:4, DM chroma): alpha cycles
+        # deterministically per TU
+        if (self.cfg.rext_ccp and node.cbf_luma
+                and sps.chroma_format_idc == 3):
+            pool = (1, -1, 2, -2, 4, -4, 8, -8)
+            i = ((x0 >> 2) + (y0 >> 2)) % 8
+            node.ccp_alpha = (pool[i], pool[(i + 3) % 8])
+            node.ccp_ry = r
         # chroma leaf? (4:4:4/4:2:2: per format; 4:2:0: log2>2 or 4th 4x4)
         fmt = sps.chroma_format_idc
         if fmt == 3:
@@ -1059,19 +1103,32 @@ class IntraEncoder:
                     else self.qpst.cu_qp_offset_cr)
             qp = R.chroma_qp(self.cur_qp, off, sps.chroma_format_idc,
                              sps.qp_bd_offset)
+            alpha = node.ccp_alpha[c_idx - 1] if node.ccp_ry is not None \
+                else 0
+            add = None
+            if alpha:
+                add = ((alpha * node.ccp_ry.astype(np.int32)) >> 3) \
+                    .astype(np.int16)
             lvs, cbfs = [], []
             for (xc, yc, log2c) in blocks:
                 csize = 1 << log2c
                 pred = pic.predict_intra(c_idx, xc, yc, csize, mode)
                 res = self.src[c_idx][yc:yc + csize, xc:xc + csize] - pred
+                if add is not None:
+                    res = res - add
                 lv = quantize(forward_transform(res, bd), qp, log2c, bd)
                 cbf = 1 if lv.any() else 0
                 if cbf:
                     dq = self._deq(lv, qp, log2c, bd, c_idx, False)
-                    rec = np.clip(pred + R.inverse_transform(dq, bd),
-                                  0, maxv)
+                    r = R.inverse_transform(dq, bd)
+                elif add is not None:
+                    r = np.zeros_like(pred)
                 else:
-                    rec = pred
+                    r = None
+                if r is not None and add is not None:
+                    # decoder-identical cross add (int16 wrap)
+                    r = (r.astype(np.int16) + add).astype(np.int32)
+                rec = np.clip(pred + r, 0, maxv) if r is not None else pred
                 pic.planes[c_idx][yc:yc + csize, xc:xc + csize] = \
                     rec.astype(pic.planes[c_idx].dtype)
                 lvs.append(lv)
@@ -1161,6 +1218,8 @@ class IntraEncoder:
                        <= self.pps.log2_max_transform_skip_block_size)
             for c_idx, ccx, lvs in ((1, ccb, node.lv_cb),
                                     (2, ccr, node.lv_cr)):
+                if node.ccp_ry is not None:
+                    self._emit_ccp(c_idx - 1, node.ccp_alpha[c_idx - 1])
                 for half, lv in enumerate(lvs):
                     if ccx[half]:
                         encode_residual(e, cm, lv, log2c, c_idx, scan_c,
@@ -1323,7 +1382,21 @@ class IntraEncoder:
         bd = sps.bit_depth_luma
         py, pcb, pcr = preds
         res_y = self.src[0][y0:y0 + size, x0:x0 + size] - py
-        coef = forward_transform(res_y, bd)
+        self._inter_ts = (0, 0)  # (ts_flag, rdpcm_dir) for this CU
+        if self.cfg.rext_explicit_rdpcm:
+            # CU-sized transform-skip TU with explicit DPCM, direction
+            # alternating per CTB position
+            rd_dir = ((x0 >> sps.log2_ctb_size)
+                      + (y0 >> sps.log2_ctb_size)) & 1
+            self._inter_ts = (1, rd_dir)
+            diff = res_y.copy()
+            if rd_dir:
+                diff[1:, :] -= res_y[:-1, :]
+            else:
+                diff[:, 1:] -= res_y[:, :-1]
+            coef = diff.astype(np.int64) << max(0, 15 - bd - log2_size)
+        else:
+            coef = forward_transform(res_y, bd)
         lv_y = quantize(coef, self.cur_qp + sps.qp_bd_offset, log2_size, bd,
                         intra=False)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
@@ -1365,9 +1438,16 @@ class IntraEncoder:
         py, pcb, pcr = preds
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         if lv_y is not None:
+            ts_y, rd_dir = getattr(self, "_inter_ts", (0, 0))
             d = self._deq(lv_y, self.cur_qp + sps.qp_bd_offset, log2_size,
-                          bd, 0, True)
-            py = np.clip(py + R.inverse_transform(d, bd), 0, (1 << bd) - 1)
+                          bd, 0, True, ts=bool(ts_y))
+            if ts_y:
+                r = R.transform_skip_residual(d, bd)
+                r = np.cumsum(r.astype(np.int16), axis=0 if rd_dir else 1,
+                              dtype=np.int16).astype(np.int32)
+            else:
+                r = R.inverse_transform(d, bd)
+            py = np.clip(py + r, 0, (1 << bd) - 1)
             pic.cbf_luma[y0 >> 2:(y0 + size) >> 2,
                          x0 >> 2:(x0 + size) >> 2] = True
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
@@ -1680,13 +1760,24 @@ class IntraEncoder:
             x0, y0, (lv_y is not None) or any_cb or any_cr)
         self._maybe_emit_cu_chroma_qp_offset(any_cb or any_cr)
         if lv_y is not None:
+            ts_y, rd_dir = getattr(self, "_inter_ts", (0, 0))
+            ts_ok = (self.pps.transform_skip_enabled and log2_size
+                     <= self.pps.log2_max_transform_skip_block_size)
             encode_residual(e, cm, lv_y, log2_size, 0, 0,
-                            rext=self.rext_enc, pred_inter=True)
+                            transform_skip_allowed=bool(ts_ok),
+                            ts_flag=ts_y,
+                            rext=self.rext_enc, pred_inter=True,
+                            rdpcm_flag=1 if ts_y else 0,
+                            rdpcm_dir=rd_dir)
         blocks = self._inter_chroma_blocks(x0, y0, log2_size)
         for c_idx, lvs in ((1, lv_cb), (2, lv_cr)):
             for (bx, by, log2c), lv in zip(blocks, lvs):
                 if lv is not None:
+                    ts_ok_c = (self.pps.transform_skip_enabled and log2c
+                               <= self.pps
+                               .log2_max_transform_skip_block_size)
                     encode_residual(e, cm, lv, log2c, c_idx, 0,
+                                    transform_skip_allowed=bool(ts_ok_c),
                                     rext=self.rext_enc, pred_inter=True)
 
     def _skip_ctx(self, x0, y0):

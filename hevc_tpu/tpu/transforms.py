@@ -90,8 +90,14 @@ def inverse_transform_batch(d: jax.Array, bit_depth: int,
 
 @partial(jax.jit, static_argnames=("bit_depth",))
 def transform_skip_batch(d: jax.Array, bit_depth: int) -> jax.Array:
-    sh = 20 - bit_depth
-    r = ((d << 7) + (1 << (sh - 1))) >> sh
+    # size-dependent shift 15 - bd - log2 (reference:
+    # hevcdsp_template.c:109; rext skip blocks reach 32x32)
+    log2 = int(d.shape[-1]).bit_length() - 1
+    sh = 15 - bit_depth - log2
+    if sh > 0:
+        r = (d + (1 << (sh - 1))) >> sh
+    else:
+        r = d << -sh
     return jnp.clip(r, -32768, 32767)
 
 

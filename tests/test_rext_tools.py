@@ -39,6 +39,16 @@ CASES = {
                       rext_chroma_qp_offsets=((2, -2),)),
     "inter_rice": dict(transform_skip=True, rext_persistent_rice=True,
                        rext_ts_context=True, gop="ipp", search_range=2),
+    "ccp": dict(chroma_format_idc=3, rext_ccp=True),
+    "ccp_tools": dict(chroma_format_idc=3, rext_ccp=True,
+                      transform_skip=True, rext_persistent_rice=True,
+                      rext_ts_context=True),
+    "explicit_rdpcm": dict(gop="ipp", search_range=2,
+                           rext_explicit_rdpcm=True),
+    "explicit_rdpcm_tools": dict(gop="ipp", search_range=2,
+                                 rext_explicit_rdpcm=True,
+                                 rext_persistent_rice=True,
+                                 rext_ts_context=True),
 }
 
 
