@@ -225,7 +225,46 @@ def bench_stage_b_720p():
     timed_loop(canvas, *rest).block_until_ready()
     t0 = time.time()
     timed_loop(canvas, *rest).block_until_ready()
-    return iters / (time.time() - t0)
+    fps = iters / (time.time() - t0)
+
+    # ---- per-kernel microbenchmarks (720p bundle) -----------------------
+    from hevc_tpu.tpu.filters import deblock_jax, sao_plane_jax
+    from hevc_tpu.tpu.intra import reconstruct_wavefront
+    from hevc_tpu.tpu.recon import _residuals
+
+    def timeit(fn, *a, n=16, **kws):
+        jax.block_until_ready(fn(*a, **kws))
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*a, **kws)
+        jax.block_until_ready(out)
+        return round((time.time() - t0) / n * 1e6, 1)  # us
+
+    y = jnp.asarray(b["ref"][0].astype(np.int32))
+    cb = jnp.asarray(b["ref"][1].astype(np.int32))
+    cr = jnp.asarray(b["ref"][2].astype(np.int32))
+    kus = {}
+    kus["deblock_720p"] = timeit(
+        deblock_jax, y, cb, cr, args[5], args[6], args[7], 0, 0, 0, 0,
+        bd=pf.bit_depth, sub_w=sub_w, sub_h=sub_h)
+    kus["sao_luma_720p"] = timeit(
+        sao_plane_jax, y, args[12][0], args[13][0], args[15][0],
+        args[14][0], log2_ctb, pf.bit_depth)
+    resids = jax.jit(_residuals, static_argnames=("bit_depth",))(
+        tuple(jnp.asarray(v) for v in pf.levels),
+        tuple(jnp.asarray(v) for v in pf.rmeta), pf.bit_depth,
+        tuple(jnp.asarray(v) for v in pf.scale_bank))
+    kus["dequant_idct_720p"] = timeit(
+        jax.jit(_residuals, static_argnames=("bit_depth",)),
+        tuple(jnp.asarray(v) for v in pf.levels),
+        tuple(jnp.asarray(v) for v in pf.rmeta), pf.bit_depth,
+        tuple(jnp.asarray(v) for v in pf.scale_bank))
+    kus["intra_wavefront_720p"] = timeit(
+        jax.jit(reconstruct_wavefront, static_argnames=("bit_depth",
+                                                        "n_chunks")),
+        args[0], args[1], args[2], resids, bit_depth=pf.bit_depth,
+        n_chunks=pf.n_chunks)
+    return fps, kus
 
 
 def _enable_jit_cache():
@@ -247,7 +286,7 @@ def main():
                            wpp=True)
     e2e_fps, split = bench_e2e(stream)
     base = oracle_fps(stream, E2E_TAG, E2E_FRAMES)
-    stage_b_720 = bench_stage_b_720p()
+    stage_b_720, kernel_us = bench_stage_b_720p()
 
     vs = round(e2e_fps / base, 3) if base else None
     print(json.dumps({
@@ -259,6 +298,10 @@ def main():
             "oracle_fps": round(base, 2) if base else None,
             "stage_ms_per_frame": split,
             "stageB_720p_device_fps": round(stage_b_720, 2),
+            "kernel_us": kernel_us,
+            # the e2e number includes ~140 ms/frame of device->host
+            # output transfer over this machine's remote-chip tunnel
+            # (25 ms RTT, ~25 MB/s) — see stage_ms_per_frame.fetch
         },
     }))
 
