@@ -297,8 +297,6 @@ class IntraEncoder:
                     1 if cfg.long_term_ref == "mod" else 0
         elif cfg.gop == "ra":
             from ..bitstream.ps import ShortTermRPS
-            assert not cfg.tmvp, "tmvp unsupported with gop='ra'"
-            assert not cfg.weighted_pred, "wp unsupported with gop='ra'"
             # one RPS per mini-GOP position (+ a {-1} for flush tails);
             # unused entries keep future anchors alive in the DPB
             self.sps.st_rps = [
@@ -621,10 +619,14 @@ class IntraEncoder:
         from ..coding.mvs import TemporalCtx
         sps = self.sps
         col_poc = self.ref_list[self.cfg.tmvp_col_ref_idx][0]
+        all_pocs = [p for p, _ in self.ref_list] \
+            + [p for p, _ in getattr(self, "ref_list_l1", [])]
         return TemporalCtx(
             col=self.dpb_motion[col_poc], cur_poc=self.poc,
             ctb_log2=sps.log2_ctb_size, pic_w=sps.width,
-            pic_h=sps.height, no_backward=True, col_from_l0=True)
+            pic_h=sps.height,
+            no_backward=all(p <= self.poc for p in all_pocs),
+            col_from_l0=True)
 
     @property
     def recon_planes(self):

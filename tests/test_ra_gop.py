@@ -140,3 +140,19 @@ def test_oracle_temporal_layers(tmp_path, tsel, expect_pocs):
     subprocess.run([ORACLE, "-t", str(tsel), "-i", sfile, "-o", ofile],
                    capture_output=True, timeout=120, check=False)
     assert ours == open(f"{ofile}_{w}x{h}.yuv", "rb").read()
+
+
+@needs_oracle
+@pytest.mark.parametrize("kw", [dict(tmvp=True),
+                                dict(weighted_pred=True),
+                                dict(tmvp=True, weighted_pred=True)],
+                         ids=["tmvp", "wp", "tmvp_wp"])
+def test_oracle_ra_tmvp_wp(tmp_path, kw):
+    """RA hierarchical-B with TMVP and/or explicit WP (the round-2
+    coverage asserts removed): B slices derive temporal candidates with
+    no_backward=False and weight bi predictions, bit-exact vs oracle."""
+    w, h, n = 96, 64, 6
+    enc = RaEncoder(ra_cfg(w, h, **kw))
+    stream = bytes(enc.encode(moving_frames(w, h, n)))
+    ours = check_stream(stream, enc.recons, w, h, n)
+    assert oracle_yuv(stream, w, h, tmp_path) == ours
