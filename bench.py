@@ -248,8 +248,8 @@ def bench_stage_b_720p():
         deblock_jax, y, cb, cr, args[5], args[6], args[7], 0, 0, 0, 0,
         bd=pf.bit_depth, sub_w=sub_w, sub_h=sub_h)
     kus["sao_luma_720p"] = timeit(
-        sao_plane_jax, y, args[12][0], args[13][0], args[15][0],
-        args[14][0], log2_ctb, pf.bit_depth)
+        sao_plane_jax, y, args[12][0], args[13][0], args[14][0],
+        args[15][0], log2_ctb, pf.bit_depth)
     resids = jax.jit(_residuals, static_argnames=("bit_depth",))(
         tuple(jnp.asarray(v) for v in pf.levels),
         tuple(jnp.asarray(v) for v in pf.rmeta), pf.bit_depth,
@@ -260,9 +260,9 @@ def bench_stage_b_720p():
         tuple(jnp.asarray(v) for v in pf.rmeta), pf.bit_depth,
         tuple(jnp.asarray(v) for v in pf.scale_bank))
     kus["intra_wavefront_720p"] = timeit(
-        jax.jit(reconstruct_wavefront, static_argnames=("bit_depth",
-                                                        "n_chunks")),
-        args[0], args[1], args[2], resids, bit_depth=pf.bit_depth,
+        jax.jit(reconstruct_wavefront,
+                static_argnames=("bd", "n_chunks")),
+        args[0], args[1], args[2], resids, bd=pf.bit_depth,
         n_chunks=pf.n_chunks)
     return fps, kus
 
