@@ -1319,6 +1319,17 @@ class Decoder:
             self.layers[lid] = _LayerCtx(lid)
         return self.layers[lid]
 
+    def _prefetch(self, lp) -> None:
+        """Materialize a frame's device planes on a worker thread so the
+        device->host transfer overlaps the next frames' stage A (the
+        RPC wait releases the GIL)."""
+        import concurrent.futures
+        pool = getattr(self, "_fetch_pool", None)
+        if pool is None:
+            pool = self._fetch_pool = \
+                concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        pool.submit(lp._mat)
+
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
         for nal in nalmod.split_annexb(data):
             self.decode_nal(nal)
@@ -1808,17 +1819,20 @@ class Decoder:
             if self.check_md5:
                 if dev_out is not None:
                     # deferred: evaluate at first access so the async
-                    # device->host copy overlaps later frames' decode
+                    # device->host copy overlaps later frames' decode;
+                    # a background worker materializes the planes while
+                    # the host parses the next frames
                     from ..tpu.pipeline import LazyPlanes
+                    lp = LazyPlanes(dev_out)
 
-                    def _eval(lp=LazyPlanes(dev_out),
-                              expect=frame.sei_hash.md5,
+                    def _eval(lp=lp, expect=frame.sei_hash.md5,
                               bd=pic.sps.bit_depth_luma):
                         from .. import trace
                         with trace.span("md5_fetch"):
                             planes = list(lp)
                         return picture_md5(planes, bd) == expect
                     frame._md5_eval = _eval
+                    self._prefetch(lp)
                 else:
                     got = picture_md5(pic.planes, pic.sps.bit_depth_luma)
                     frame.md5_ok = got == frame.sei_hash.md5

@@ -466,15 +466,21 @@ class LazyPlanes:
     conformance-window cropping of output frames; `dtype` converts on
     materialization (the DPB wants int32)."""
 
-    __slots__ = ("_dev", "_np", "_crop", "_dtype")
+    __slots__ = ("_dev", "_np", "_crop", "_dtype", "_lock")
 
     def __init__(self, dev_planes, crop=None, dtype=None):
+        import threading
         self._dev = dev_planes
         self._np = None
         self._crop = crop
         self._dtype = dtype
+        self._lock = threading.Lock()
 
     def _mat(self):
+        with self._lock:
+            return self._mat_locked()
+
+    def _mat_locked(self):
         if self._np is None:
             from .. import trace
             dev = self._dev
