@@ -224,25 +224,34 @@ class SliceDecoder:
         n_ctbs = sps.ctb_w * sps.ctb_h
         seg_idx = 0
         wpp_saved = None
+
+        def tile_col_start(xc, yc):
+            """First CTB column of its tile row (WPP-in-tiles rows are
+            tile-relative; reference: hevc_cabac.c:560 ctb_tile_rs)."""
+            return xc == 0 or (tiles and int(pps.tile_of_ctb[yc, xc - 1])
+                               != int(pps.tile_of_ctb[yc, xc]))
+
         while True:
             rs = int(pps.ctb_addr_ts_to_rs[ts])
             xc, yc = rs % sps.ctb_w, rs // sps.ctb_w
             # QP prediction restarts at WPP-row / tile starts
             # (reference: hevcdec.c:2808/:2814 hls_decode_neighbour)
             if wpp:
-                if xc == 0:
+                if tile_col_start(xc, yc):
                     self.qpst.first_qp_group = True
-            elif tiles and ts > 0 and (int(pps.tile_id_of_ts[ts])
-                                       != int(pps.tile_id_of_ts[ts - 1])):
+            if tiles and ts > 0 and (int(pps.tile_id_of_ts[ts])
+                                     != int(pps.tile_id_of_ts[ts - 1])):
                 self.qpst.first_qp_group = True
             self.pic.set_ctb_slice(xc, yc, self.slice_idx)
             if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                 self._decode_sao(xc, yc)
             x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
             self.coding_quadtree(x0, y0, sps.log2_ctb_size, 0)
-            if wpp and xc == 1:
-                # state after the 2nd CTB (+ rice stats, this engine's
-                # deterministic convention)
+            if wpp and xc > 0 and tile_col_start(xc - 1, yc) \
+                    and (not tiles or int(pps.tile_of_ctb[yc, xc - 1])
+                         == int(pps.tile_of_ctb[yc, xc])):
+                # state after the tile row's 2nd CTB (+ rice stats, this
+                # engine's deterministic convention)
                 wpp_saved = (self.cm.save(),
                              list(self.rext.stats)
                              if self.rext is not None else None)
@@ -254,7 +263,8 @@ class SliceDecoder:
             nrs = int(pps.ctb_addr_ts_to_rs[ts])
             tile_boundary = tiles and (int(pps.tile_id_of_ts[ts])
                                        != int(pps.tile_id_of_ts[ts - 1]))
-            row_boundary = wpp and (nrs % sps.ctb_w) == 0
+            row_boundary = wpp and not tile_boundary \
+                and tile_col_start(nrs % sps.ctb_w, nrs // sps.ctb_w)
             if tile_boundary or row_boundary:
                 self.d.decode_terminate()  # end_of_subset_one_bit
                 seg_idx += 1
@@ -262,6 +272,7 @@ class SliceDecoder:
                                       self.segment_starts[seg_idx])
                 if tile_boundary:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
+                    wpp_saved = None  # rows never cross a tile edge
                     if self.rext is not None:
                         self.rext.stats = [0, 0, 0, 0]
                 elif wpp_saved is not None and sps.ctb_w > 1:

@@ -410,12 +410,20 @@ class IntraEncoder:
         init_type = 2 if self.is_b else (1 if self.is_p else 0)
         # segment the CTU walk (tile-scan order) by tile / WPP-row bounds
         order = [int(pps.ctb_addr_ts_to_rs[ts]) for ts in range(n_ctbs)]
+
+        def tile_col_start(xc, yc):
+            return xc == 0 or (cfg.tiles
+                               and int(pps.tile_of_ctb[yc, xc - 1])
+                               != int(pps.tile_of_ctb[yc, xc]))
+
         segments = [[]]
         for i, rs in enumerate(order):
             if i > 0:
                 tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
                                     != int(pps.tile_id_of_ts[i - 1]))
-                rb = cfg.wpp and rs % sps.ctb_w == 0
+                rb = (cfg.wpp and not tb
+                      and tile_col_start(rs % sps.ctb_w,
+                                         rs // sps.ctb_w))
                 if tb or rb:
                     segments.append([])
             segments[-1].append(rs)
@@ -425,8 +433,12 @@ class IntraEncoder:
         for si, seg in enumerate(segments):
             self.e = CabacEncoder()
             if si > 0:
-                if cfg.tiles:
+                new_tile = cfg.tiles and (
+                    int(pps.tile_id_of_ts[gi])
+                    != int(pps.tile_id_of_ts[gi - 1]))
+                if new_tile:
                     self.cm = ContextModel(init_type, cfg.qp)
+                    wpp_saved = None  # rows never cross a tile edge
                     if self.rext_enc is not None:
                         self.rext_enc.stats = [0, 0, 0, 0]
                 elif wpp_saved is not None and sps.ctb_w > 1:
@@ -453,10 +465,9 @@ class IntraEncoder:
                         self.pps.cr_qp_offset_list[idx]
                 # QP prediction restarts at WPP-row / tile starts
                 # (mirror of decoder SliceDecoder.decode_ctus)
-                if cfg.wpp:
-                    if xc == 0:
-                        self.qpst.first_qp_group = True
-                elif cfg.tiles and gi > 0 and (
+                if cfg.wpp and tile_col_start(xc, yc):
+                    self.qpst.first_qp_group = True
+                if cfg.tiles and gi > 0 and (
                         int(pps.tile_id_of_ts[gi])
                         != int(pps.tile_id_of_ts[gi - 1])):
                     self.qpst.first_qp_group = True
@@ -466,7 +477,10 @@ class IntraEncoder:
                     self._encode_sao(xc, yc)
                 x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
                 self._quadtree(x0, y0, sps.log2_ctb_size, 0)
-                if cfg.wpp and xc == 1:
+                if cfg.wpp and xc > 0 and tile_col_start(xc - 1, yc) \
+                        and (not cfg.tiles
+                             or int(pps.tile_of_ctb[yc, xc - 1])
+                             == int(pps.tile_of_ctb[yc, xc])):
                     wpp_saved = (self.cm.save(),
                                  list(self.rext_enc.stats)
                                  if self.rext_enc is not None else None)

@@ -905,6 +905,15 @@ static void decode_sao(Dec& d, int xc, int yc) {
 }
 
 // ---- CTU loop (mirror of SliceDecoder.decode_ctus) -------------------------
+// first CTB column of its tile row (WPP-in-tiles rows are tile-relative)
+static inline bool tile_col_start(const Dec& d, int xc, int yc) {
+    if (xc == 0)
+        return true;
+    return d.P.tiles
+        && d.tile_of_ctb[yc * d.P.ctb_w + xc - 1]
+               != d.tile_of_ctb[yc * d.P.ctb_w + xc];
+}
+
 static int64_t decode_ctus(Dec& d) {
     const Params& P = d.P;
     bool wpp = P.wpp != 0;
@@ -917,11 +926,10 @@ static int64_t decode_ctus(Dec& d) {
         int rs = d.ts_to_rs[ts];
         int xc = rs % P.ctb_w, yc = rs / P.ctb_w;
         // QP prediction restarts at WPP-row / tile starts
-        if (wpp) {
-            if (xc == 0)
-                d.first_qp_group = true;
-        } else if (tiles && ts > 0
-                   && d.tile_id_of_ts[ts] != d.tile_id_of_ts[ts - 1]) {
+        if (wpp && tile_col_start(d, xc, yc))
+            d.first_qp_group = true;
+        if (tiles && ts > 0
+            && d.tile_id_of_ts[ts] != d.tile_id_of_ts[ts - 1]) {
             d.first_qp_group = true;
         }
         d.slice_idx[yc * P.ctb_w + xc] = P.slice_idx_val;
@@ -931,7 +939,10 @@ static int64_t decode_ctus(Dec& d) {
         coding_quadtree(d, x0, y0, P.log2_ctb, 0);
         if (d.err)
             return d.err;
-        if (wpp && xc == 1) {
+        if (wpp && xc > 0 && tile_col_start(d, xc - 1, yc)
+            && (!tiles
+                || d.tile_of_ctb[yc * P.ctb_w + xc - 1]
+                       == d.tile_of_ctb[yc * P.ctb_w + xc])) {
             memcpy(d.wpp_ctx, d.ctx, P.n_ctx);
             memcpy(d.wpp_stat, d.stat, sizeof(d.wpp_stat));
             d.wpp_saved = true;
@@ -944,7 +955,8 @@ static int64_t decode_ctus(Dec& d) {
         int nrs = d.ts_to_rs[ts];
         bool tile_boundary = tiles
             && d.tile_id_of_ts[ts] != d.tile_id_of_ts[ts - 1];
-        bool row_boundary = wpp && (nrs % P.ctb_w) == 0;
+        bool row_boundary = wpp && !tile_boundary
+            && tile_col_start(d, nrs % P.ctb_w, nrs / P.ctb_w);
         if (tile_boundary || row_boundary) {
             d.cb.decode_terminate();  // end_of_subset_one_bit
             seg_idx++;
@@ -954,6 +966,7 @@ static int64_t decode_ctus(Dec& d) {
             if (tile_boundary) {
                 memcpy(d.ctx, d.fresh_ctx, P.n_ctx);
                 memset(d.stat, 0, sizeof(int32_t) * 4);
+                d.wpp_saved = false;  // rows never cross a tile edge
             } else if (d.wpp_saved && P.ctb_w > 1) {
                 memcpy(d.ctx, d.wpp_ctx, P.n_ctx);
                 memcpy(d.stat, d.wpp_stat, sizeof(d.wpp_stat));

@@ -82,3 +82,35 @@ def test_mt_jax_backend():
         for p in range(3):
             assert (np.asarray(a.planes[p])
                     == np.asarray(b.planes[p])).all()
+
+
+WIT_CONFIGS = {
+    "wit_2x2": dict(width=192, height=128, qp=30, log2_ctb_size=5,
+                    log2_cu_size=5, wpp=True, tiles=(2, 2),
+                    deblocking=True, sao=True),
+    "wit_3x1_ipp": dict(width=192, height=128, qp=30, log2_ctb_size=5,
+                        log2_cu_size=5, wpp=True, tiles=(3, 1),
+                        gop="ipp", search_range=2, deblocking=True),
+}
+
+
+@pytest.mark.parametrize("name", WIT_CONFIGS)
+def test_wpp_in_tiles(name):
+    """Combined WPP-inside-tiles: tile-relative row segments with the
+    per-tile-row context handoff (reference: hevcdec.c:3196
+    hls_decode_entry_wpp_in_tiles, hevc_cabac.c:560 tile-relative save).
+    Decodes identically through the Python and native stage A."""
+    cfg = EncoderConfig(seed=2, **WIT_CONFIGS[name])
+    stream = _stream(cfg)
+    a = _decode(stream, 1)            # native stage A (sequential path)
+    os.environ["HEVC_TPU_NATIVE_SLICE"] = "0"
+    try:
+        b = Decoder(recon_backend="plan").decode_bytes(stream)
+    finally:
+        os.environ.pop("HEVC_TPU_NATIVE_SLICE", None)
+    assert len(a) == len(b) == 4
+    for fa, fb in zip(a, b):
+        assert fa.md5_ok and fb.md5_ok
+        for p in range(3):
+            assert (np.asarray(fa.planes[p])
+                    == np.asarray(fb.planes[p])).all()
