@@ -352,11 +352,14 @@ class SliceHeader:
     @classmethod
     def parse(cls, r: BitReader, nal_type: int, sps_map, pps_map,
               nuh_layer_id: int = 0, vps_map=None,
-              temporal_id: int = 0) -> "SliceHeader":
+              temporal_id: int = 0,
+              prev_independent: "SliceHeader" = None) -> "SliceHeader":
         """Parse from a BitReader positioned at the header start.
 
         Leaves `r` positioned at the first byte of slice data (post
         byte_alignment). Needs sps_map/pps_map: dict id→PS.
+        prev_independent: the picture's last independent segment header
+        (dependent segments inherit everything but the address).
         """
         sh = cls()
         sh.first_slice_in_pic = r.flag()
@@ -492,6 +495,19 @@ class SliceHeader:
                 sh.loop_filter_across_slices = r.flag()
             else:
                 sh.loop_filter_across_slices = pps.loop_filter_across_slices
+        else:
+            # dependent slice segment (7.4.7.1): every field above is
+            # inherited from the preceding independent segment's header
+            # (reference: hevcdec.c:612 hls_slice_header dependent path)
+            assert prev_independent is not None, \
+                "dependent slice segment without an independent header"
+            import copy
+            inh = copy.copy(prev_independent)
+            inh.first_slice_in_pic = 0
+            inh.dependent_slice_segment = 1
+            inh.segment_address = sh.segment_address
+            inh.entry_point_offsets = []
+            sh = inh
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             n = r.ue()
             if n:

@@ -1463,7 +1463,11 @@ class Decoder:
         r = BitReader(nal.rbsp)
         sh = SliceHeader.parse(r, nal.type, self.sps_map, self.pps_map,
                                nuh_layer_id=lid, vps_map=self.vps_map,
-                               temporal_id=nal.temporal_id)
+                               temporal_id=nal.temporal_id,
+                               prev_independent=getattr(
+                                   lay, "prev_indep_sh", None))
+        if not sh.dependent_slice_segment:
+            lay.prev_indep_sh = sh
         pps = self.pps_map[sh.pps_id]
         sps = self.sps_map[pps.sps_id]
         if not hasattr(pps, "ctb_addr_rs_to_ts"):
@@ -1501,6 +1505,7 @@ class Decoder:
                 lay.cur_pic.plan = []
                 if self.recon_backend == "jax" and _native_slice() \
                         and not self._rext_active(sps, pps, sh) \
+                        and not pps.dependent_slice_segments_enabled \
                         and os.environ.get("HEVC_TPU_NATIVE_PACK",
                                            "1") != "0":
                     # raw record chunks feed the native packer directly
@@ -1567,6 +1572,15 @@ class Decoder:
         else:
             init_type = 1 if sh.cabac_init_flag else 2
         cm = ContextModel(init_type, pps.init_qp + sh.qp_delta)
+        dep_state = None
+        if sh.dependent_slice_segment:
+            # context/QP/rice state continues from the previous
+            # segment's end (reference: hevc_cabac.c load_states for
+            # dependent segments)
+            dep_state = getattr(lay, "dep_state", None)
+            assert dep_state is not None, \
+                "dependent segment without preceding segment state"
+            cm.load(dep_state[0])
         lay.cur_pic.ref_list_l0 = ref_list
         lay.cur_pic.ref_list_l1 = ref_list_l1
         tc = None
@@ -1606,26 +1620,41 @@ class Decoder:
                 raw += off
                 seg_starts.append(raw_to_post(raw))
         plan = getattr(lay.cur_pic, "plan", None)
+        # the slice index spans all of a slice's segments (availability
+        # is per-slice, not per-segment)
+        seg_slice_idx = lay.slice_counter - 1 \
+            if sh.dependent_slice_segment else lay.slice_counter
         nat = _native_slice() if plan is not None \
-            and not self._rext_active(sps, pps, sh) else None
+            and not self._rext_active(sps, pps, sh) \
+            and not pps.dependent_slice_segments_enabled else None
         if nat is not None:
             # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU
             # syntax + MV derivation in C++, bit-exact with SliceDecoder
             from .. import trace
             with trace.span("stage_a_native"):
                 nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp,
-                    seg_starts, lay.slice_counter, ref_list, ref_list_l1,
+                    seg_starts, seg_slice_idx, ref_list, ref_list_l1,
                     lt0, lt1, tc, lay.cur_poc)
         else:
             sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
-                              lay.slice_counter,
+                              seg_slice_idx,
                               plan=plan,
                               ref_list=ref_list, cur_poc=lay.cur_poc,
                               rbsp=nal.rbsp, segment_starts=seg_starts,
                               ref_list_l1=ref_list_l1, tmvp=tc,
                               ref_lt0=lt0, ref_lt1=lt1)
+            if dep_state is not None:
+                sd.qpst = dep_state[2]
+                if sd.rext is not None and dep_state[1] is not None:
+                    sd.rext.stats = list(dep_state[1])
             sd.decode_ctus()
-        lay.slice_counter += 1
+            if pps.dependent_slice_segments_enabled:
+                lay.dep_state = (sd.cm.save(),
+                                 list(sd.rext.stats)
+                                 if sd.rext is not None else None,
+                                 sd.qpst)
+        if not sh.dependent_slice_segment:
+            lay.slice_counter += 1
         # filter parameters for the post-pass (single-slice assumption for
         # per-slice overrides; multi-slice per-CTB params land with tiles)
         lay.cur_pic.deblock_params = None

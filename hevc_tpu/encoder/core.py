@@ -136,6 +136,9 @@ class EncoderConfig:
     # cross-component prediction (4:4:4 only): chroma residuals coded
     # against an alpha-scaled copy of the TU's luma residual
     rext_ccp: bool = False
+    # dependent slice segments: N extra segments per picture (split at
+    # CTB-row bounds); contexts/QP state continue across segments
+    dependent_slices: int = 0
 
 
 class _TuPlan:
@@ -228,7 +231,12 @@ class IntraEncoder:
             tiles_enabled=1 if cfg.tiles else 0,
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
+            dependent_slice_segments_enabled=1 if cfg.dependent_slices
+            else 0,
         ).derive(self.sps)
+        if cfg.dependent_slices:
+            assert not cfg.wpp and not cfg.tiles, \
+                "dependent slices: no wpp/tiles combination yet"
         if (cfg.rext_persistent_rice or cfg.rext_ts_context
                 or cfg.rext_ts_rotation or cfg.rext_implicit_rdpcm
                 or cfg.rext_explicit_rdpcm):
@@ -416,23 +424,37 @@ class IntraEncoder:
                                and int(pps.tile_of_ctb[yc, xc - 1])
                                != int(pps.tile_of_ctb[yc, xc]))
 
+        dep_n = int(cfg.dependent_slices or 0)
         segments = [[]]
-        for i, rs in enumerate(order):
-            if i > 0:
-                tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
-                                    != int(pps.tile_id_of_ts[i - 1]))
-                rb = (cfg.wpp and not tb
-                      and tile_col_start(rs % sps.ctb_w,
-                                         rs // sps.ctb_w))
-                if tb or rb:
+        if dep_n:
+            # one independent + dep_n dependent segments, split at
+            # CTB-row boundaries
+            cut_rows = {round((i * sps.ctb_h) / (dep_n + 1))
+                        for i in range(1, dep_n + 1)}
+            for i, rs in enumerate(order):
+                if (i > 0 and rs % sps.ctb_w == 0
+                        and rs // sps.ctb_w in cut_rows):
                     segments.append([])
-            segments[-1].append(rs)
+                segments[-1].append(rs)
+        else:
+            for i, rs in enumerate(order):
+                if i > 0:
+                    tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
+                                        != int(pps.tile_id_of_ts[i - 1]))
+                    rb = (cfg.wpp and not tb
+                          and tile_col_start(rs % sps.ctb_w,
+                                             rs // sps.ctb_w))
+                    if tb or rb:
+                        segments.append([])
+                segments[-1].append(rs)
         seg_payloads = []
         wpp_saved = None
         gi = 0  # global tile-scan index (for QP-prediction restarts)
         for si, seg in enumerate(segments):
             self.e = CabacEncoder()
-            if si > 0:
+            if si > 0 and dep_n:
+                pass  # dependent segment: contexts/QP state continue
+            elif si > 0:
                 new_tile = cfg.tiles and (
                     int(pps.tile_id_of_ts[gi])
                     != int(pps.tile_id_of_ts[gi - 1]))
@@ -484,9 +506,13 @@ class IntraEncoder:
                     wpp_saved = (self.cm.save(),
                                  list(self.rext_enc.stats)
                                  if self.rext_enc is not None else None)
-                last = rs == order[-1]
+                if dep_n:
+                    # end_of_slice_segment_flag: 1 at each segment end
+                    last = rs == seg[-1]
+                else:
+                    last = rs == order[-1]
                 self.e.encode_terminate(1 if last else 0)
-            if si < len(segments) - 1:
+            if si < len(segments) - 1 and not dep_n:
                 self.e.encode_terminate(1)  # end_of_subset_one_bit
             self.e.terminate_and_align()
             seg_payloads.append(self.e.getvalue())
@@ -546,12 +572,28 @@ class IntraEncoder:
         nal_type = self._nal_type()
         if self._sched is not None and self._sched[6] is not None:
             nal_type = self._sched[6]
-        if len(self._seg_payloads) > 1:
-            sh.entry_point_offsets = self._entry_offsets(
-                sh, nal_type, self._seg_payloads)
-        slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload,
-                                   nuh_layer_id=self.layer_id,
-                                   vps=self.vps)
+        dep_rbsps = []
+        if cfg.dependent_slices:
+            # one NAL per slice segment: independent header first, then
+            # dependent headers carrying only the segment address
+            slice_rbsp = sh.write_rbsp(sps, pps, nal_type,
+                                       self._seg_payloads[0],
+                                       nuh_layer_id=self.layer_id,
+                                       vps=self.vps)
+            for si, seg_pay in enumerate(self._seg_payloads[1:], 1):
+                dsh = SliceHeader(
+                    first_slice_in_pic=0, dependent_slice_segment=1,
+                    segment_address=segments[si][0], pps_id=pps.pps_id)
+                dep_rbsps.append(dsh.write_rbsp(
+                    sps, pps, nal_type, seg_pay,
+                    nuh_layer_id=self.layer_id, vps=self.vps))
+        else:
+            if len(self._seg_payloads) > 1:
+                sh.entry_point_offsets = self._entry_offsets(
+                    sh, nal_type, self._seg_payloads)
+            slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload,
+                                       nuh_layer_id=self.layer_id,
+                                       vps=self.vps)
         au = []
         if self.frames_encoded == 0 and self.include_headers_in_first_au:
             au += [
@@ -570,6 +612,8 @@ class IntraEncoder:
             au.append((nalmod.NAL_SEI_PREFIX, self.layer_id,
                        self._temporal_id, write_sei_rbsp(sei_msgs)))
         au.append((nal_type, self.layer_id, self._temporal_id, slice_rbsp))
+        for rbsp in dep_rbsps:
+            au.append((nal_type, self.layer_id, self._temporal_id, rbsp))
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
                                     for p in self.pic.planes]))
