@@ -361,3 +361,33 @@ def test_oracle_conformance_window(tmp_path, wh):
                    for f in outs for p in f.planes)
     assert got == bytes(ours)
     assert got == oracle_decode(bytes(stream), w, h, tmp_path)
+
+
+@needs_oracle
+def test_oracle_12bit(tmp_path):
+    """Main-12-style coding: 12-bit samples through every stage
+    (dequant/IDCT shifts, deblock/SAO clip ranges, uint16 output)."""
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, log2_ctb_size=5,
+                        log2_cu_size=5, seed=3, bit_depth=12,
+                        deblocking=True, sao=True)
+    enc = IntraEncoder(cfg)
+    stream = bytearray()
+    for t in range(2):
+        f = [(p.astype(np.int32) << 4)
+             for p in synth_frame("noise", w, h, t, seed=6)]
+        stream += enc.encode_frame(f)
+    stream = bytes(stream)
+    for backend in ("inline", "jax"):
+        frames = Decoder(check_md5=True,
+                         recon_backend=backend).decode_bytes(stream)
+        assert all(fr.md5_ok for fr in frames), backend
+    sfile = str(tmp_path / "t.265")
+    open(sfile, "wb").write(stream)
+    subprocess.run([ORACLE, "-i", sfile, "-o", str(tmp_path / "o")],
+                   capture_output=True, timeout=120, check=False)
+    oracle = open(f"{tmp_path}/o_{w}x{h}.yuv", "rb").read()
+    frames = Decoder(check_md5=True).decode_bytes(stream)
+    ours = b"".join(p.astype("<u2").tobytes()
+                    for f in frames for p in f.planes)
+    assert oracle == ours
