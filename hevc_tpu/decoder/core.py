@@ -1446,17 +1446,6 @@ class Decoder:
             sps.width, sps.height, lay.cur_poc,
             irap=nalmod.is_irap_nal(nal_type))
 
-    @staticmethod
-    def _rext_active(sps, pps, sh) -> bool:
-        """rext residual tools run through the Python syntax layer until
-        the native mirror grows them."""
-        return bool(
-            sps.persistent_rice_adaptation or sps.transform_skip_context
-            or sps.implicit_rdpcm or sps.explicit_rdpcm
-            or sps.transform_skip_rotation
-            or pps.cross_component_prediction_enabled
-            or sh.cu_chroma_qp_offset_enabled)
-
     def _decode_slice(self, nal: nalmod.NalUnit):
         lid = nal.layer_id
         lay = self._layer(lid)
@@ -1504,7 +1493,6 @@ class Decoder:
             if self.recon_backend != "inline":
                 lay.cur_pic.plan = []
                 if self.recon_backend == "jax" and _native_slice() \
-                        and not self._rext_active(sps, pps, sh) \
                         and not pps.dependent_slice_segments_enabled \
                         and os.environ.get("HEVC_TPU_NATIVE_PACK",
                                            "1") != "0":
@@ -1624,8 +1612,9 @@ class Decoder:
         # is per-slice, not per-segment)
         seg_slice_idx = lay.slice_counter - 1 \
             if sh.dependent_slice_segment else lay.slice_counter
+        # the native mirror carries no cross-NAL context state yet, so
+        # dependent-slice streams run the Python syntax layer
         nat = _native_slice() if plan is not None \
-            and not self._rext_active(sps, pps, sh) \
             and not pps.dependent_slice_segments_enabled else None
         if nat is not None:
             # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU

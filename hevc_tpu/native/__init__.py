@@ -76,6 +76,10 @@ class NativeParams(C.Structure):
         "has_tmvp", "no_backward", "col_from_l0",
         "has_wp", "wp_log2wd_luma", "wp_log2wd_chroma",
         "n_segs", "n_ctx",
+        "persistent_rice", "ts_context", "implicit_rdpcm",
+        "explicit_rdpcm", "ts_rotation", "ccp_enabled",
+        "chroma_qp_offset_enabled", "diff_cu_chroma_qp_offset_depth",
+        "n_chroma_offsets",
     )]
 
 
@@ -123,6 +127,7 @@ def _lib():
         C.c_int64, C.c_int64,                        # col_poc, cur_poc
         _I32P, _I32P,                                # wp_w, wp_o
         _I32P, _I32P, _I32P, _I32P,                  # sao out
+        _I32P, _I32P,                                # chroma offset lists
         _I32P, C.c_int64, _I32P, C.c_int64,          # rec, cap, lvl, cap
         C.c_int32,                                   # n_threads
         _I64P,                                       # out_counts
@@ -416,6 +421,22 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
     P.sh_cr_qp_offset = sh.cr_qp_offset
     P.n_segs = len(seg_starts)
     P.n_ctx = TOTAL_CONTEXTS
+    # range-extension tools
+    P.persistent_rice = int(sps.persistent_rice_adaptation)
+    P.ts_context = int(sps.transform_skip_context)
+    P.implicit_rdpcm = int(sps.implicit_rdpcm)
+    P.explicit_rdpcm = int(sps.explicit_rdpcm)
+    P.ts_rotation = int(sps.transform_skip_rotation)
+    P.ccp_enabled = int(pps.cross_component_prediction_enabled)
+    P.chroma_qp_offset_enabled = int(
+        getattr(sh, "cu_chroma_qp_offset_enabled", 0))
+    P.diff_cu_chroma_qp_offset_depth = \
+        pps.diff_cu_chroma_qp_offset_depth
+    P.n_chroma_offsets = len(pps.cb_qp_offset_list)
+    cb_list = np.ascontiguousarray(
+        (pps.cb_qp_offset_list or [0]), np.int32)
+    cr_list = np.ascontiguousarray(
+        (pps.cr_qp_offset_list or [0]), np.int32)
 
     # active scaling lists (mirror of SliceDecoder.__init__)
     scaling = None
@@ -501,7 +522,7 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
         col_mv0, col_poc0, col_mv1, col_poc1, col_poc, cur_poc,
         wp_w.reshape(-1), wp_o.reshape(-1),
         sao_t.reshape(-1), sao_b.reshape(-1), sao_o.reshape(-1),
-        sao_e.reshape(-1),
+        sao_e.reshape(-1), cb_list, cr_list,
         rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0],
         stagea_threads(), out_counts)
     if rc != 0:

@@ -86,6 +86,11 @@ struct Params {
     int32_t has_tmvp, no_backward, col_from_l0;
     int32_t has_wp, wp_log2wd_luma, wp_log2wd_chroma;
     int32_t n_segs, n_ctx;
+    // range-extension tools (SPS/PPS rext flags + slice chroma offsets)
+    int32_t persistent_rice, ts_context, implicit_rdpcm, explicit_rdpcm;
+    int32_t ts_rotation, ccp_enabled;
+    int32_t chroma_qp_offset_enabled, diff_cu_chroma_qp_offset_depth;
+    int32_t n_chroma_offsets;
 };
 
 struct MI {  // MotionInfo: ref < 0 = list unused
@@ -114,6 +119,7 @@ struct CuState {
     bool pred_intra = false, intra_split = false, inter_split = false;
     int chroma_mode = 0, tq_bypass = 0, max_trafo_depth = 0;
     int x0 = 0, y0 = 0, log2_size = 0;
+    bool chroma_dm = false;  // DM chroma mode (CCP intra gate)
 };
 
 struct Dec {
@@ -187,6 +193,11 @@ struct Dec {
     int cur_qp, qp_pred_state;
     bool first_qp_group = true, qp_delta_coded = false;
     int qp_delta_val = 0;
+    // rext cu_chroma_qp_offset state (persists until re-coded)
+    int cu_qp_offset_cb = 0, cu_qp_offset_cr = 0;
+    bool chroma_qp_offset_coded = false;
+    const int32_t* cb_qp_offset_list = nullptr;
+    const int32_t* cr_qp_offset_list = nullptr;
     // WPP context snapshot
     uint8_t wpp_ctx[512];
     int32_t wpp_stat[4];
@@ -345,8 +356,11 @@ struct Dec {
         int qp = cur_qp;
         if (c_idx == 0)
             return qp + P.qp_bd_offset;
-        int o = (c_idx == 1) ? P.pps_cb_qp_offset + P.sh_cb_qp_offset
-                             : P.pps_cr_qp_offset + P.sh_cr_qp_offset;
+        int o = (c_idx == 1)
+                    ? P.pps_cb_qp_offset + P.sh_cb_qp_offset
+                          + cu_qp_offset_cb
+                    : P.pps_cr_qp_offset + P.sh_cr_qp_offset
+                          + cu_qp_offset_cr;
         int qpi = clip3(-P.qp_bd_offset, 57, qp + o);
         int qpc;
         if (P.chroma_fmt == 1) {

@@ -225,16 +225,26 @@ enum CtxId {
     CU_CHROMA_QP_OFFSET_FLAG, CU_CHROMA_QP_OFFSET_IDX, N_CTX_IDS
 };
 
+// active rext residual tools (mirror of coding/residual.py RextCtx);
+// null rx = all tools off
+struct RextP {
+    int32_t persistent_rice, ts_context, implicit_rdpcm, explicit_rdpcm;
+};
+
 // residual_coding (7.3.8.11) — decodes one TB's levels into `levels`
 // (size*size int32, zeroed here).  `off` maps CtxId -> ctx array base.
 // Scan tables are passed in (single source of truth: coding/scans.py).
-// Mirrors coding/residual.py decode_residual exactly.
+// Mirrors coding/residual.py decode_residual exactly, including the
+// rext tools (persistent rice via `stat`, skip sig contexts, explicit
+// RDPCM flags returned through rdpcm_out = {flag, dir}).
 static inline void decode_residual_core(
     Cabac* c, uint8_t* ctx, const int32_t* off,
     int32_t log2_size, int32_t c_idx, int32_t scan_idx,
     int32_t sign_data_hiding, int32_t ts_allowed, int32_t tq_bypass,
     const int32_t* sub_scan, const int32_t* coef_scan,
-    const int32_t* pos_of_xy, int32_t* levels, int32_t* ts_flag_out) {
+    const int32_t* pos_of_xy, int32_t* levels, int32_t* ts_flag_out,
+    const RextP* rx = nullptr, int pred_inter = 0, int intra_mode = -1,
+    int32_t* stat = nullptr, int32_t* rdpcm_out = nullptr) {
     const int size = 1 << log2_size;
     memset(levels, 0, sizeof(int32_t) * size * size);
 
@@ -243,6 +253,26 @@ static inline void decode_residual_core(
         ts_flag = c->decode_bin(
             ctx + off[TRANSFORM_SKIP_FLAG] + (c_idx ? 1 : 0));
     *ts_flag_out = ts_flag;
+    const int skip_like = ts_flag || tq_bypass;
+    int rdpcm_flag = 0, rdpcm_dir = 0;
+    if (rx && rx->explicit_rdpcm && pred_inter && skip_like) {
+        rdpcm_flag = c->decode_bin(
+            ctx + off[EXPLICIT_RDPCM_FLAG] + (c_idx ? 1 : 0));
+        if (rdpcm_flag)
+            rdpcm_dir = c->decode_bin(
+                ctx + off[EXPLICIT_RDPCM_DIR_FLAG] + (c_idx ? 1 : 0));
+    }
+    if (rdpcm_out) {
+        rdpcm_out[0] = rdpcm_flag;
+        rdpcm_out[1] = rdpcm_dir;
+    }
+    const int ts_ctx = rx && rx->ts_context && skip_like;
+    // SDH is off for bypass / rdpcm blocks (sign_always_hidden)
+    const int sdh_off = tq_bypass || rdpcm_flag
+        || (rx && rx->implicit_rdpcm && !pred_inter && ts_flag
+            && (intra_mode == 10 || intra_mode == 26));
+    const int use_price = rx && rx->persistent_rice;
+    const int sb_type = (c_idx == 0 ? 2 : 0) + (skip_like ? 1 : 0);
 
     // ---- last significant coefficient position ----
     int coff, cshift;
@@ -317,8 +347,10 @@ static inline void decode_residual_core(
         }
         for (int n = n_start; n > 0; n--) {
             int xp = coef_scan[2 * n], yp = coef_scan[2 * n + 1];
-            int cx = sig_ctx(log2_size, c_idx, (xs << 2) + xp,
-                             (ys << 2) + yp, scan_idx, csbf, nsb);
+            int cx = ts_ctx ? (c_idx == 0 ? 42 : 43)
+                            : sig_ctx(log2_size, c_idx, (xs << 2) + xp,
+                                      (ys << 2) + yp, scan_idx, csbf,
+                                      nsb);
             if (c->decode_bin(ctx + off[SIG_COEFF_FLAG] + cx)) {
                 sig_pos[nsig++] = n;
                 infer_dc = 0;
@@ -328,8 +360,9 @@ static inline void decode_residual_core(
             if (infer_dc) {
                 sig_pos[nsig++] = 0;  // inferred significant DC
             } else {
-                int cx = sig_ctx(log2_size, c_idx, xs << 2, ys << 2,
-                                 scan_idx, csbf, nsb);
+                int cx = ts_ctx ? (c_idx == 0 ? 42 : 43)
+                                : sig_ctx(log2_size, c_idx, xs << 2,
+                                          ys << 2, scan_idx, csbf, nsb);
                 if (c->decode_bin(ctx + off[SIG_COEFF_FLAG] + cx))
                     sig_pos[nsig++] = 0;
             }
@@ -362,15 +395,17 @@ static inline void decode_residual_core(
 
         // signs (bypass; possibly one hidden)
         int first_nz = sig_pos[nsig - 1], last_nz = sig_pos[0];
-        int hidden = (sign_data_hiding && !tq_bypass
+        int hidden = (sign_data_hiding && !sdh_off
                       && (last_nz - first_nz) >= 4);
         int nsigns = hidden ? nsig - 1 : nsig;
         int signs[16];
         for (int m = 0; m < nsigns; m++)
             signs[m] = c->decode_bypass();
 
-        // remaining levels
-        int rice = 0;
+        // remaining levels (persistent rice: StatCoeff-seeded parameter
+        // with unclamped in-CG growth, one stat update per sub-block)
+        int rice = use_price ? (stat[sb_type] >> 2) : 0;
+        int stat_pending = use_price;
         int sum_abs = 0;
         int lvls[16];
         for (int m = 0; m < nsig; m++) {
@@ -384,10 +419,25 @@ static inline void decode_residual_core(
             } else {
                 threshold = 1;
             }
-            if (lvl == threshold)
-                lvl += decode_remaining(c, rice);
-            if (lvl > (3 << rice))
-                rice = rice < 4 ? rice + 1 : 4;
+            if (lvl == threshold) {
+                int rem = decode_remaining(c, rice);
+                lvl += rem;
+                if (use_price) {
+                    if (lvl > (3 << rice))
+                        rice++;
+                    if (stat_pending) {
+                        int init = stat[sb_type] >> 2;
+                        if (rem >= (3 << init))
+                            stat[sb_type]++;
+                        else if (2 * rem < (1 << init)
+                                 && stat[sb_type] > 0)
+                            stat[sb_type]--;
+                        stat_pending = 0;
+                    }
+                } else if (lvl > (3 << rice)) {
+                    rice = rice < 4 ? rice + 1 : 4;
+                }
+            }
             lvls[m] = lvl;
             sum_abs += lvl;
         }

@@ -21,8 +21,11 @@ static int scan_idx_for_intra(int mode, int log2_size, int c_idx, int fmt) {
 }
 
 // decode one TB's levels into the pool; returns lvl offset, sets *ts
+// plus the resolved rext modifiers (*rdpcm = 0/1/2 accumulate, *rot =
+// 4x4 skip rotation) — mirror of SliceDecoder._decode_levels
 static int64_t decode_levels(Dec& d, int c_idx, int log2_size, int mode,
-                             const CuState& cu, int32_t* ts) {
+                             const CuState& cu, int32_t* ts,
+                             int32_t* rdpcm, int32_t* rot) {
     int scan = cu.pred_intra
                    ? scan_idx_for_intra(mode, log2_size, c_idx, d.P.chroma_fmt)
                    : 0;
@@ -34,11 +37,29 @@ static int64_t decode_levels(Dec& d, int c_idx, int log2_size, int mode,
     if (!lv)
         return -1;
     int si = (scan * 4 + (log2_size - 2)) * 3;
+    RextP rx{d.P.persistent_rice, d.P.ts_context, d.P.implicit_rdpcm,
+             d.P.explicit_rdpcm};
+    int has_rx = rx.persistent_rice || rx.ts_context || rx.implicit_rdpcm
+                 || rx.explicit_rdpcm;
+    int32_t rd_out[2] = {0, 0};
     decode_residual_core(&d.cb, d.ctx, d.off, log2_size, c_idx, scan,
                          d.P.sdh, ts_allowed, cu.tq_bypass,
                          d.scans + d.scan_off[si],
                          d.scans + d.scan_off[si + 1],
-                         d.scans + d.scan_off[si + 2], lv, ts);
+                         d.scans + d.scan_off[si + 2], lv, ts,
+                         has_rx ? &rx : nullptr,
+                         cu.pred_intra ? 0 : 1,
+                         cu.pred_intra ? mode : -1, d.stat, rd_out);
+    *rdpcm = 0;
+    if (*ts || cu.tq_bypass) {
+        if (rd_out[0]) {
+            *rdpcm = rd_out[1] ? 2 : 1;
+        } else if (d.P.implicit_rdpcm && cu.pred_intra
+                   && (mode == 10 || mode == 26)) {
+            *rdpcm = (mode == 26) ? 2 : 1;
+        }
+    }
+    *rot = d.P.ts_rotation && *ts && log2_size == 2 && cu.pred_intra;
     return loff;
 }
 
@@ -49,16 +70,20 @@ static int matrix_id(const Dec& d, int c_idx, int log2_size, int ts,
     return 3 * (cu.pred_intra ? 0 : 1) + c_idx;
 }
 
-// mirror of SliceDecoder._recon_block (plan mode)
-static void recon_block(Dec& d, int c_idx, int x, int y, int size, int mode,
-                        int64_t lvl_off, int ts, const CuState& cu) {
-    if (!cu.pred_intra && lvl_off < 0)
-        return;  // inter TU with cbf 0: MC prediction is final
+// mirror of SliceDecoder._recon_block (plan mode); returns the record
+// index (-1 when none emitted) so chroma CCP rows can reference the
+// TU's luma record
+static int64_t recon_block(Dec& d, int c_idx, int x, int y, int size,
+                           int mode, int64_t lvl_off, int ts,
+                           const CuState& cu, int rdpcm = 0, int rot = 0,
+                           int ccp = 0, int64_t ccp_ref = -1) {
+    if (!cu.pred_intra && lvl_off < 0 && !ccp)
+        return -1;  // inter TU, no residual: MC prediction is final
     int log2_size = 31 - __builtin_clz(size);
     int use_dst = cu.pred_intra && log2_size == 2 && c_idx == 0;
     int32_t* r = d.new_rec();
     if (!r)
-        return;
+        return -1;
     r[REC_KIND] = cu.pred_intra ? KIND_INTRA : KIND_RESID;
     r[REC_PLANE] = c_idx;
     r[REC_X] = x;
@@ -68,9 +93,14 @@ static void recon_block(Dec& d, int c_idx, int x, int y, int size, int mode,
     r[REC_MODE] = mode;
     r[REC_QP] = d.component_qp(c_idx);
     r[REC_FLAGS] = (use_dst ? F_DST : 0) | (ts ? F_TS : 0)
-                   | (cu.tq_bypass ? F_TQB : 0);
+                   | (cu.tq_bypass ? F_TQB : 0) | (rot ? F_ROT : 0)
+                   | (rdpcm == 1 ? F_RDPCM_H : 0)
+                   | (rdpcm == 2 ? F_RDPCM_V : 0);
     r[REC_MTX] = matrix_id(d, c_idx, log2_size, ts, cu);
     r[REC_LVL] = (int32_t)lvl_off;
+    r[REC_CCP] = ccp;
+    r[REC_CCPREF] = ccp ? (int32_t)ccp_ref : 0;
+    return d.n_rec - 1;
 }
 
 // cu_qp_delta_abs/sign (7.3.8.10; 9.3.3.9 TR cMax 5 prefix + EG0)
@@ -100,6 +130,39 @@ static void decode_cu_qp_delta(Dec& d, const CuState& cu) {
     d.set_qpy(cu.x0, cu.y0);
 }
 
+// cu_chroma_qp_offset_flag/idx (7.3.8.10; mirror of
+// SliceDecoder._decode_cu_chroma_qp_offset)
+static void decode_cu_chroma_qp_offset(Dec& d) {
+    if (d.cb.decode_bin(d.cx(CU_CHROMA_QP_OFFSET_FLAG, 0))) {
+        int idx = 0;
+        int n = d.P.n_chroma_offsets;
+        if (n > 1) {
+            int cmax = n - 1 > 5 ? n - 1 : 5;
+            while (idx < cmax
+                   && d.cb.decode_bin(d.cx(CU_CHROMA_QP_OFFSET_IDX, 0)))
+                idx++;
+        }
+        d.cu_qp_offset_cb = d.cb_qp_offset_list[idx];
+        d.cu_qp_offset_cr = d.cr_qp_offset_list[idx];
+    } else {
+        d.cu_qp_offset_cb = 0;
+        d.cu_qp_offset_cr = 0;
+    }
+    d.chroma_qp_offset_coded = true;
+}
+
+// cross_comp_pred (7.3.8.12) -> res_scale_val
+static int decode_ccp(Dec& d, int idx) {
+    int i = 0;
+    while (i < 4 && d.cb.decode_bin(d.cx(LOG2_RES_SCALE_ABS,
+                                         4 * idx + i)))
+        i++;
+    if (i == 0)
+        return 0;
+    int sign = d.cb.decode_bin(d.cx(RES_SCALE_SIGN, idx));
+    return (1 << (i - 1)) * (1 - 2 * sign);
+}
+
 // ---- transform tree / unit (7.3.8.8 / 7.3.8.10) ---------------------------
 static void transform_unit(Dec& d, int x0, int y0, int xb, int yb,
                            int log2_size, int depth, int blk_idx,
@@ -114,22 +177,30 @@ static void transform_unit(Dec& d, int x0, int y0, int xb, int yb,
     if (P.cu_qp_delta_enabled && !d.qp_delta_coded
         && (cbf_luma || cbf_chroma))
         decode_cu_qp_delta(d, cu);
+    if (P.chroma_qp_offset_enabled && cbf_chroma && !cu.tq_bypass
+        && !d.chroma_qp_offset_coded)
+        decode_cu_chroma_qp_offset(d);
     // ---- luma ----
     int mode_y = d.intra_mode_y[d.at4(y0 >> 2, x0 >> 2)];
     int64_t lv_y = -1;
-    int32_t ts_y = 0;
+    int32_t ts_y = 0, rd_y = 0, rot_y = 0;
     if (cbf_luma) {
-        lv_y = decode_levels(d, 0, log2_size, mode_y, cu, &ts_y);
+        lv_y = decode_levels(d, 0, log2_size, mode_y, cu, &ts_y, &rd_y,
+                             &rot_y);
         for (int j = y0 >> 2; j < (y0 + size) >> 2; j++)
             for (int i = x0 >> 2; i < (x0 + size) >> 2; i++)
                 d.cbf_luma_map[d.at4(j, i)] = 1;
     }
-    recon_block(d, 0, x0, y0, size, mode_y, lv_y, ts_y, cu);
+    int64_t rec_y = recon_block(d, 0, x0, y0, size, mode_y, lv_y, ts_y,
+                                cu, rd_y, rot_y);
     // ---- chroma ----
     bool chroma_here = log2_size > 2 || P.chroma_fmt == 3 || blk_idx == 3;
     if (!chroma_here)
         return;
     int fmt = P.chroma_fmt;
+    // cross-component prediction: 4:4:4, luma residual, inter or DM
+    bool cross = P.ccp_enabled && cbf_luma && fmt == 3
+                 && (!cu.pred_intra || cu.chroma_dm);
     int bx[2], by[2], bl[2];
     int n_blk = 1;
     if (fmt == 3) {
@@ -168,14 +239,18 @@ static void transform_unit(Dec& d, int x0, int y0, int xb, int yb,
         int mode_c = cu.chroma_mode;
         if (fmt == 2)
             mode_c = CHROMA_422_MODE[mode_c];
+        int ccp_val = cross ? decode_ccp(d, ci - 1) : 0;
         for (int half = 0; half < n_blk; half++) {
             int csize = 1 << bl[half];
             int cbf = pair[half];
             int64_t lv = -1;
-            int32_t ts = 0;
+            int32_t ts = 0, rd_c = 0, rot_c = 0;
             if (cbf)
-                lv = decode_levels(d, ci, bl[half], mode_c, cu, &ts);
-            recon_block(d, ci, bx[half], by[half], csize, mode_c, lv, ts, cu);
+                lv = decode_levels(d, ci, bl[half], mode_c, cu, &ts,
+                                   &rd_c, &rot_c);
+            recon_block(d, ci, bx[half], by[half], csize, mode_c, lv, ts,
+                        cu, rd_c, rot_c, ccp_val,
+                        ccp_val ? rec_y : -1);
         }
     }
 }
@@ -735,12 +810,15 @@ static void coding_unit(Dec& d, int x0, int y0, int log2_size, int depth) {
     // chroma mode: one per CU for 4:2:0/4:2:2, per PB for 4:4:4
     int n_cpb = (P.chroma_fmt == 1 || P.chroma_fmt == 2) ? 1 : n_pb;
     int chroma_modes[4];
+    cu.chroma_dm = false;
     for (int i = 0; i < n_cpb; i++) {
         int idx;
         if (d.cb.decode_bin(d.cx(INTRA_CHROMA_PRED_MODE, 0)))
             idx = d.cb.decode_bypass_bits(2);
         else
             idx = 4;
+        if (i == 0)
+            cu.chroma_dm = idx == 4;  // DM: CCP intra gate
         int luma_ref = d.intra_mode_y[d.at4(
             (y0 + (i >> 1) * pb_size) >> 2, (x0 + (i & 1) * pb_size) >> 2)];
         int m;
@@ -790,6 +868,10 @@ static void coding_quadtree(Dec& d, int x0, int y0, int log2_size,
         d.qp_delta_coded = false;
         d.qp_delta_val = 0;
     }
+    // chroma-QG start: re-arm cu_chroma_qp_offset (values persist)
+    if (P.chroma_qp_offset_enabled
+        && log2_size >= P.log2_ctb - P.diff_cu_chroma_qp_offset_depth)
+        d.chroma_qp_offset_coded = false;
     if (split) {
         int half = size >> 1;
         const int dx[4] = {0, 1, 0, 1}, dy[4] = {0, 0, 1, 1};
@@ -1013,6 +1095,8 @@ extern "C" int64_t hevc_native_decode_slice(
     // SAO parameter maps (out)
     int32_t* sao_type, int32_t* sao_band, int32_t* sao_offs,
     int32_t* sao_eo,
+    // rext chroma offset lists ([n_chroma_offsets] each, may be null)
+    const int32_t* cb_qp_offset_list, const int32_t* cr_qp_offset_list,
     // record outputs
     int32_t* rec, int64_t cap_rec, int32_t* lvl, int64_t cap_lvl,
     int32_t n_threads, int64_t* out_counts) {
@@ -1079,6 +1163,11 @@ extern "C" int64_t hevc_native_decode_slice(
     d.first_qp_group = true;
     d.qp_delta_coded = false;
     d.qp_delta_val = 0;
+    d.cb_qp_offset_list = cb_qp_offset_list;
+    d.cr_qp_offset_list = cr_qp_offset_list;
+    d.cu_qp_offset_cb = 0;
+    d.cu_qp_offset_cr = 0;
+    d.chroma_qp_offset_coded = false;
     // CABAC init at first segment
     d.cb.data = rbsp;
     d.cb.nbytes = nbytes;
