@@ -47,7 +47,13 @@ class PictureState:
                        np.zeros((ch, cw), dt)]
         self.w4 = -(-w // 4)
         self.h4 = -(-h // 4)
-        self.z_order = _z_order_map(sps, pps)
+        # z-order map is a pure function of the SPS/PPS geometry and is
+        # only ever read — cache it on the PPS across pictures
+        zkey = (w, h, sps.log2_ctb_size)
+        cached = getattr(pps, "_z_order_cache", None)
+        if cached is None or cached[0] != zkey:
+            pps._z_order_cache = (zkey, _z_order_map(sps, pps))
+        self.z_order = pps._z_order_cache[1]
         # progress watermark: z rank below which blocks are reconstructed
         self.z_decoded = 0
         # per-4x4 side info

@@ -1823,9 +1823,11 @@ class Decoder:
             lay.dpb[lay.cur_poc] = [p.astype(np.int32)
                                     for p in pic.planes]
         lay.last_poc = lay.cur_poc
+        # no copies: pic is finished — its motion arrays are never
+        # written again, so the DPB motion table can alias them
         lay.dpb_motion[lay.cur_poc] = {
-            "mv0": pic.mv_l0.copy(), "poc0": pic.ref_poc_l0.copy(),
-            "mv1": pic.mv_l1.copy(), "poc1": pic.ref_poc_l1.copy(),
+            "mv0": pic.mv_l0, "poc0": pic.ref_poc_l0,
+            "mv1": pic.mv_l1, "poc1": pic.ref_poc_l1,
             "poc": lay.cur_poc}
         lay.il_ref = None
         if dev_out is not None:

@@ -587,6 +587,20 @@ def _pack_fn():
     return fn
 
 
+_I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+
+
+@lru_cache(maxsize=1)
+def _gather_levels_fn():
+    lib = _lib()
+    fn = lib.hevc_native_gather_levels
+    fn.restype = None
+    fn.argtypes = [_I32P, _I32P, C.c_int64,
+                   _I32P, _I32P, _I32P, _I32P,   # rmeta per class
+                   _I16P, _I16P, _I16P, _I16P]   # int16 levels per class
+    return fn
+
+
 def _concat_chunks(chunks):
     """Concatenate per-slice (rec, lvl) chunks, rebasing level offsets
     and CCP record-index references."""

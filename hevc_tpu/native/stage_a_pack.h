@@ -312,6 +312,37 @@ extern "C" int64_t hevc_native_pack_records(
     return err;
 }
 
+// Residual-level gather: lmeta rows -> per-class (rmeta, int16 levels)
+// device buffers in one pass (replaces the numpy fancy-index gather that
+// dominated host pack time at 1080p).  Outputs must be zero-initialized
+// by the caller (padding rows and the class counts are sized by Python
+// from a bincount over lmeta[:, 0]).
+extern "C" void hevc_native_gather_levels(
+    const int32_t* lvl, const int32_t* lmeta, int64_t nl,
+    int32_t* rm0, int32_t* rm1, int32_t* rm2, int32_t* rm3,
+    int16_t* lv0, int16_t* lv1, int16_t* lv2, int16_t* lv3) {
+    int32_t* rms[4] = {rm0, rm1, rm2, rm3};
+    int16_t* lvs[4] = {lv0, lv1, lv2, lv3};
+    int64_t fill[4] = {0, 0, 0, 0};
+    for (int64_t t = 0; t < nl; t++) {
+        const int32_t* o = lmeta + t * 11;
+        int c = o[0];
+        int s = 4 << c;
+        int n = s * s;
+        int64_t j = fill[c]++;
+        int32_t* rm = rms[c] + j * 9;
+        for (int k = 0; k < 9; k++)
+            rm[k] = o[2 + k];
+        int16_t* dst = lvs[c] + j * n;
+        int32_t off = o[1];
+        if (off >= 0) {
+            const int32_t* src = lvl + off;
+            for (int k = 0; k < n; k++)
+                dst[k] = (int16_t)src[k];
+        }  // off < 0: CCP-only row keeps the zeroed slot
+    }
+}
+
 // Deblocking boundary strengths (8.7.2.4) from the per-4x4 maps —
 // scalar mirror of coding/picture.py compute_bs (the numpy version
 // stays as the oracle; equality in tests/test_native_pack.py).

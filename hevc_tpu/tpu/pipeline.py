@@ -258,9 +258,11 @@ def pack_frame_pipeline(pic):
     import ctypes as C
 
     from .. import native as N
+    from .. import trace
     sps = pic.sps
     reg, chh, cww = region_offsets(sps)
-    rec, lvl = N._concat_chunks(pic.native_chunks)
+    with trace.span("pack.concat"):
+        rec, lvl = N._concat_chunks(pic.native_chunks)
     n_rec = rec.shape[0]
     refs0 = getattr(pic, "ref_list_l0", []) or []
     refs1 = getattr(pic, "ref_list_l1", []) or []
@@ -291,17 +293,21 @@ def pack_frame_pipeline(pic):
     pcmrow = np.empty((max(1, n_rec), 6), np.int32)
     counts = np.zeros(8, np.int64)
     tabs = N._pps_tables(pic.pps)
-    rc = N._pack_fn()(
-        np.ascontiguousarray(rec).reshape(-1), n_rec, C.byref(P),
-        pic.z_order.reshape(-1), pic.slice_idx.reshape(-1), tabs[3],
-        imeta.reshape(-1), iavail.reshape(-1), lmeta.reshape(-1),
-        mcrow.reshape(-1), residr.reshape(-1), pcmrow.reshape(-1), counts)
+    with trace.span("pack.native"):
+        rc = N._pack_fn()(
+            np.ascontiguousarray(rec).reshape(-1), n_rec, C.byref(P),
+            pic.z_order.reshape(-1), pic.slice_idx.reshape(-1), tabs[3],
+            imeta.reshape(-1), iavail.reshape(-1), lmeta.reshape(-1),
+            mcrow.reshape(-1), residr.reshape(-1), pcmrow.reshape(-1),
+            counts)
     if rc != 0:
         raise RuntimeError(f"native pipeline pack failed (rc={rc})")
     ni, nl, nm, nr, npcm, n_chunks_raw = (int(v) for v in counts[:6])
 
     # MV-range guard (the equivalent of pack_frame's PAD_REF asserts):
     # padded ref dims bound every block's read window
+    _t_guard = trace.span("pack.guard")
+    _t_guard.__enter__()
     if nm:
         mr = mcrow[:nm]
         hp_l = sps.height + 2 * PAD_REF
@@ -319,6 +325,7 @@ def pack_frame_pipeline(pic):
                        & (mr[:, 11] + ext_w <= wp), True)
         assert ok.all(), "MV exceeds PAD_REF"
 
+    _t_guard.__exit__(None, None, None)
     # canvas: device zeros unless PCM samples need pre-filling
     if npcm:
         canvas = np.zeros((chh, cww), np.int16)
@@ -335,6 +342,8 @@ def pack_frame_pipeline(pic):
     parts = []        # int32 meta blocks, in _pipeline_frame order
     avail_parts = []
     B = []
+    _t_intra = trace.span("pack.intra")
+    _t_intra.__enter__()
     for c in range(4):
         sel = np.nonzero(cls_i == c)[0]
         cnt = int(im[sel, 2].max()) + 1 if sel.size else 0
@@ -351,25 +360,32 @@ def pack_frame_pipeline(pic):
         parts.append(a.reshape(-1))
         avail_parts.append(v.reshape(-1))
 
-    nlv = []
+    _t_intra.__exit__(None, None, None)
     lvl_parts = []
-    for c, s in enumerate((4, 8, 16, 32)):
-        sel = np.nonzero(lm[:, 0] == c)[0]
-        n_c = _round_up(len(sel) + 1, 16)
-        nlv.append(n_c)
-        rm = np.zeros((n_c, 9), np.int32)
-        lv16 = np.zeros((n_c, s * s), np.int16)
-        if sel.size:
-            offs = lm[sel, 1].astype(np.int64)
-            vals = lvl[np.maximum(offs[:, None], 0)
-                       + np.arange(s * s)[None, :]]
-            vals[offs < 0] = 0  # CCP-only rows: zero-level slot
-            lv16[:len(sel)] = vals
-            rm[:len(sel)] = lm[sel, 2:11]
-        parts.append(rm.reshape(-1))
-        lvl_parts.append(lv16.reshape(-1))
-
+    _t_lvl = trace.span("pack.levels")
+    _t_lvl.__enter__()
+    # native one-pass gather: per-class (rmeta, int16 levels); padding
+    # rows (and the CCP zero slot) stay zeroed
+    cls_counts = np.bincount(lm[:, 0], minlength=4) if nl else \
+        np.zeros(4, np.int64)
+    nlv = [_round_up(int(cls_counts[c]) + 1, 16) for c in range(4)]
+    rms = [np.zeros((nlv[c], 9), np.int32) for c in range(4)]
+    lv16s = [np.zeros((nlv[c], (4 << c) * (4 << c)), np.int16)
+             for c in range(4)]
+    if nl:
+        N._gather_levels_fn()(
+            lvl, np.ascontiguousarray(lm).reshape(-1), nl,
+            rms[0].reshape(-1), rms[1].reshape(-1),
+            rms[2].reshape(-1), rms[3].reshape(-1),
+            lv16s[0].reshape(-1), lv16s[1].reshape(-1),
+            lv16s[2].reshape(-1), lv16s[3].reshape(-1))
+    for c in range(4):
+        parts.append(rms[c].reshape(-1))
+        lvl_parts.append(lv16s[c].reshape(-1))
+    _t_lvl.__exit__(None, None, None)
     # MC groups keyed (is_ch, bi, wp, w, h), pow2-bucketed rows
+    _t_mc = trace.span("pack.mc")
+    _t_mc.__enter__()
     mcr = mcrow[:nm]
     mc_groups = []
     if nm:
@@ -390,6 +406,7 @@ def pack_frame_pipeline(pic):
             mc_groups.append((bool(is_ch), bool(bi), bool(wp), w, h, n_g))
             parts.append(rows.reshape(-1))
 
+    _t_mc.__exit__(None, None, None)
     rr = residr[:nr]
     resid_rows = []
     for c in range(4):
@@ -431,10 +448,11 @@ def pack_frame_pipeline(pic):
 
     # meta order matches _pipeline_frame's reads: scal0..3, rmeta0..3,
     # mc groups, resid groups, sao (t, b, e, o), qp4, bs_v, bs_h, dboff
-    meta = np.concatenate(parts)
-    avail_u8 = np.concatenate(avail_parts) if any(B) \
-        else np.zeros(1, np.uint8)
-    levels16 = np.concatenate(lvl_parts)
+    with trace.span("pack.cat"):
+        meta = np.concatenate(parts)
+        avail_u8 = np.concatenate(avail_parts) if any(B) \
+            else np.zeros(1, np.uint8)
+        levels16 = np.concatenate(lvl_parts)
 
     do_sao = bool(getattr(pic, "has_sao", False)) \
         or bool(getattr(pic, "sao_map", None))
