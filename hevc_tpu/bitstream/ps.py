@@ -1079,6 +1079,14 @@ class PPS:
     cr_qp_offset_list: List[int] = field(default_factory=list)
     log2_sao_offset_scale_luma: int = 0
     log2_sao_offset_scale_chroma: int = 0
+    # multilayer extension (F.7.3.2.3.4; reference: hevc_ps.c:2842
+    # pps_multilayer_extensions) — the subset with decode semantics:
+    # the CGS colour-mapping 3D-LUT (reference: hevc_ps.h:777-804)
+    poc_reset_info_present: int = 0
+    cgs_lut: object = None            # ops.cgs.CgsLut when enabled
+    # emitter-only controls for the LUT payload
+    cgs_splits: object = None
+    cgs_deltas: object = None
 
     def write_rbsp(self) -> bytes:
         w = BitWriter()
@@ -1129,22 +1137,35 @@ class PPS:
         w.flag(self.lists_modification_present)
         w.ue(self.log2_parallel_merge_level - 2)
         w.flag(self.slice_header_extension_present)
-        if self.range_ext:
-            w.flag(1)
-            w.flag(1)  # pps_range_extension_flag
-            w.u(0, 7)
-            if self.transform_skip_enabled:
-                w.ue(self.log2_max_transform_skip_block_size - 2)
-            w.flag(self.cross_component_prediction_enabled)
-            w.flag(self.chroma_qp_offset_list_enabled)
-            if self.chroma_qp_offset_list_enabled:
-                w.ue(self.diff_cu_chroma_qp_offset_depth)
-                w.ue(len(self.cb_qp_offset_list) - 1)
-                for cb, cr in zip(self.cb_qp_offset_list, self.cr_qp_offset_list):
-                    w.se(cb)
-                    w.se(cr)
-            w.ue(self.log2_sao_offset_scale_luma)
-            w.ue(self.log2_sao_offset_scale_chroma)
+        multilayer = self.cgs_lut is not None
+        if self.range_ext or multilayer:
+            w.flag(1)  # pps_extension_present_flag
+            w.flag(1 if self.range_ext else 0)
+            w.flag(1 if multilayer else 0)
+            w.u(0, 6)
+            if self.range_ext:
+                if self.transform_skip_enabled:
+                    w.ue(self.log2_max_transform_skip_block_size - 2)
+                w.flag(self.cross_component_prediction_enabled)
+                w.flag(self.chroma_qp_offset_list_enabled)
+                if self.chroma_qp_offset_list_enabled:
+                    w.ue(self.diff_cu_chroma_qp_offset_depth)
+                    w.ue(len(self.cb_qp_offset_list) - 1)
+                    for cb, cr in zip(self.cb_qp_offset_list,
+                                      self.cr_qp_offset_list):
+                        w.se(cb)
+                        w.se(cr)
+                w.ue(self.log2_sao_offset_scale_luma)
+                w.ue(self.log2_sao_offset_scale_chroma)
+            if multilayer:
+                # pps_multilayer_extension (reference: hevc_ps.c:2842)
+                from ..ops.cgs import write_cgs_lut
+                w.flag(self.poc_reset_info_present)
+                w.flag(0)  # pps_infer_scaling_list_flag
+                w.ue(0)    # num_ref_loc_offsets
+                w.flag(1)  # colour_mapping_enabled_flag
+                write_cgs_lut(w, self.cgs_lut, self.cgs_splits,
+                              self.cgs_deltas)
         else:
             w.flag(0)
         w.rbsp_trailing_bits()
@@ -1202,7 +1223,8 @@ class PPS:
         p.slice_header_extension_present = r.flag()
         if r.flag():  # pps_extension_present
             range_ext = r.flag()
-            r.u(7)
+            multilayer = r.flag()
+            r.u(6)
             if range_ext:
                 p.range_ext = 1
                 if p.transform_skip_enabled:
@@ -1217,6 +1239,25 @@ class PPS:
                         p.cr_qp_offset_list.append(r.se())
                 p.log2_sao_offset_scale_luma = r.ue()
                 p.log2_sao_offset_scale_chroma = r.ue()
+            if multilayer:
+                # pps_multilayer_extension (reference: hevc_ps.c:2842)
+                p.poc_reset_info_present = r.flag()
+                if r.flag():  # pps_infer_scaling_list_flag
+                    r.u(6)    # pps_scaling_list_ref_layer_id
+                for _ in range(r.ue()):  # num_ref_loc_offsets
+                    r.u(6)  # ref_loc_offset_layer_id
+                    if r.flag():  # scaled_ref_layer_offset_present
+                        for _ in range(4):
+                            r.se()
+                    if r.flag():  # ref_region_offset_present
+                        for _ in range(4):
+                            r.se()
+                    if r.flag():  # resample_phase_set_present
+                        for _ in range(4):
+                            r.ue()
+                if r.flag():  # colour_mapping_enabled_flag
+                    from ..ops.cgs import parse_cgs_lut
+                    p.cgs_lut = parse_cgs_lut(r)
         return p
 
     # ---- derived tile/address maps (reference: hevc_ps.c setup_pps) ----

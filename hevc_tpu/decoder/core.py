@@ -1275,6 +1275,9 @@ class _LayerCtx:
         # (reference: hevc_refs.c DPB management, re-scoped to a poc map)
         self.dpb: Dict[int, List[np.ndarray]] = {}
         self.dpb_motion: Dict[int, dict] = {}
+        # device DPB (HBM-resident padded planes), owned by the pack
+        # worker thread after dispatch
+        self.dpb_dev: Dict[int, tuple] = {}
         self.pending_sei: Optional[DecodedPictureHash] = None
         # side-data SEIs: persistent items stay attached until cancelled
         # (reference: hevcdec.c set_side_data consuming hevc_sei.c state)
@@ -1337,9 +1340,36 @@ class Decoder:
         import concurrent.futures
         pool = getattr(self, "_fetch_pool", None)
         if pool is None:
+            # one worker: the device link is bandwidth-bound, and this
+            # rig's tunnel mishandles concurrent host->device RPCs
             pool = self._fetch_pool = \
                 concurrent.futures.ThreadPoolExecutor(max_workers=1)
         pool.submit(lp._mat)
+
+    def _pack_submit(self, fn, *args):
+        """Run fn on the ordered pack worker: a single-thread FIFO
+        executor that owns all dpb_dev state and the device dispatch.
+        Stage A of frame n+1 (native, GIL-released) overlaps pack +
+        dispatch of frame n — the host analogue of the reference's
+        frame-thread pipelining (pthread_frame.c:484).  Set
+        HEVC_TPU_ASYNC_PACK=0 to run inline."""
+        if os.environ.get("HEVC_TPU_ASYNC_PACK", "1") == "0":
+            import concurrent.futures
+            f = concurrent.futures.Future()
+            try:
+                f.set_result(fn(*args))
+            except BaseException as e:  # noqa: BLE001
+                f.set_exception(e)
+            return f
+        import concurrent.futures
+        pool = getattr(self, "_pack_pool", None)
+        if pool is None:
+            pool = self._pack_pool = \
+                concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            self._pack_futs = []
+        fut = pool.submit(fn, *args)
+        self._pack_futs.append(fut)
+        return fut
 
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
         for nal in nalmod.split_annexb(data):
@@ -1351,6 +1381,13 @@ class Decoder:
 
     def flush(self):
         self._finish_all_pending()
+        # pack-worker barrier: every frame's pack/dispatch has run and
+        # any worker exception surfaces here (not just at plane access)
+        futs = getattr(self, "_pack_futs", None)
+        if futs:
+            for f in futs:
+                f.result()
+            futs.clear()
         for lid in sorted(self.layers):
             self._drain_output(self.layers[lid])
 
@@ -1423,19 +1460,29 @@ class Decoder:
         lay.cur_poc = bl_poc  # reference: s->poc = BL_frame->poc (:3621)
         bl_planes = bl.dpb[bl_poc]
         rep_bl = ext.rep_format_of(ref_lid)
+        bl_bd = rep_bl.bit_depth_luma
+        # CGS: colour-map the BL frame through the PPS 3D-LUT before
+        # upsampling (reference: hevcdec.c:3627-3629 colorMapping +
+        # upsample_base_layer_frame of the mapped frame)
+        cgs = getattr(self.pps_map[sh.pps_id], "cgs_lut", None)
+        if cgs is not None:
+            from ..ops.cgs import color_map_frame
+            bl_planes = color_map_frame(cgs, [np.asarray(p)
+                                              for p in bl_planes])
+            bl_bd = cgs.out_bd_y
         if self.recon_backend == "jax":
             from ..tpu.upsample import upsample_frame_jax
             il = [np.asarray(p) for p in upsample_frame_jax(
                 bl_planes, sps.width, sps.height,
                 sub_w=sps.sub_w, sub_h=sps.sub_h,
-                bl_bit_depth=rep_bl.bit_depth_luma,
+                bl_bit_depth=bl_bd,
                 el_bit_depth=sps.bit_depth_luma)]
         else:
             from ..ops.upsample import upsample_frame
             il = upsample_frame(
                 bl_planes, sps.width, sps.height,
                 sub_w=sps.sub_w, sub_h=sps.sub_h,
-                bl_bit_depth=rep_bl.bit_depth_luma,
+                bl_bit_depth=bl_bd,
                 el_bit_depth=sps.bit_depth_luma)
         lay.il_ref = (bl_poc, il)
         # inter-layer motion field for TMVP from the IL ref (set_mfm;
@@ -1516,8 +1563,8 @@ class Decoder:
                     self._drain_output(lay)
                 lay.cur_poc = 0
                 lay.dpb.clear()
-                if getattr(lay, "dpb_dev", None):
-                    lay.dpb_dev.clear()
+                if getattr(lay, "dpb_dev", None) is not None:
+                    self._pack_submit(lay.dpb_dev.clear)
             else:
                 lay.cur_poc = poc
                 # RPS-driven DPB: pictures in no RPS bucket are no
@@ -1530,11 +1577,15 @@ class Decoder:
                 if sh.lt_entries:
                     c, f = self._lt_pocs(lay, sps, sh)
                     keep |= set(c) | set(f)
-                for old in [p for p in lay.dpb if p not in keep]:
+                evict = [p for p in lay.dpb if p not in keep]
+                for old in evict:
                     del lay.dpb[old]
                     lay.dpb_motion.pop(old, None)
-                    if getattr(lay, "dpb_dev", None):
-                        lay.dpb_dev.pop(old, None)
+                if evict and getattr(lay, "dpb_dev", None) is not None:
+                    dd = lay.dpb_dev
+                    self._pack_submit(
+                        lambda dd=dd, ev=evict: [dd.pop(p, None)
+                                                 for p in ev])
             lay.cur_pic.output_flag = sh.pic_output_flag
             if lid > 0 and sh.active_num_ilr > 0:
                 self._start_el_picture(lay, sps, sh, nal.type)
@@ -1545,12 +1596,9 @@ class Decoder:
         if sh.slice_type != SLICE_I:
             ref_list, ref_list_l1, lt0, lt1 = \
                 self._build_ref_lists(lay, sps, sh, nal.type)
-        if getattr(lay.cur_pic, "native_chunks", None) is not None:
-            # device DPB handles for the pipeline (None = concealed/IL
-            # entry, uploaded on demand)
-            dd = getattr(lay, "dpb_dev", None) or {}
-            lay.cur_pic.ref_dev_l0 = [dd.get(p) for p, _ in ref_list]
-            lay.cur_pic.ref_dev_l1 = [dd.get(p) for p, _ in ref_list_l1]
+        # device DPB handles resolve on the pack worker at pack time
+        # (finish_frame_pipeline) — the worker runs frames in order, so
+        # every preceding frame's dpb_dev entry exists by then
         assert r.byte_aligned()
         d = CabacDecoder(nal.rbsp, r.pos >> 3)
         if sh.slice_type == SLICE_I:
@@ -1781,11 +1829,13 @@ class Decoder:
                 if getattr(pic, "native_chunks", None) is not None \
                         and os.environ.get("HEVC_TPU_PIPELINE",
                                            "1") != "0":
-                    # device-resident pipeline: refs stay in HBM, one
+                    # device-resident pipeline on the ordered pack
+                    # worker: pack + dispatch of THIS frame overlap the
+                    # next frames' stage A; refs stay in HBM, one
                     # metadata upload, async launch + lazy fetch
                     from ..tpu.pipeline import finish_frame_pipeline
-                    dev_out = finish_frame_pipeline(pic, lay,
-                                                    lay.cur_poc)
+                    dev_out = self._pack_submit(finish_frame_pipeline,
+                                                pic, lay, lay.cur_poc)
                 else:
                     # full device stage B: recon + deblock + SAO in one
                     # jit (per-frame host marshalling)
@@ -1793,7 +1843,8 @@ class Decoder:
                     finish_frame_jax(pic, plan)
             else:
                 execute_plan_numpy(pic, plan)
-        if getattr(pic, "deblock_params", None) is not None:
+        if dev_out is None \
+                and getattr(pic, "deblock_params", None) is not None:
             from ..ops.deblock import deblock_frame
             pic.compute_bs()
             p = pic.deblock_params
@@ -1805,8 +1856,10 @@ class Decoder:
                           chroma_format_idc=pic.sps.chroma_format_idc,
                           cb_qp_offset=p["cb_qp_offset"],
                           cr_qp_offset=p["cr_qp_offset"])
-        sao_map = getattr(pic, "sao_map", None)
-        if not sao_map and getattr(pic, "has_sao", False):
+        sao_map = None if dev_out is not None \
+            else getattr(pic, "sao_map", None)
+        if dev_out is None and not sao_map \
+                and getattr(pic, "has_sao", False):
             from ..native import sao_arrays_to_map
             sao_map = sao_arrays_to_map(pic)
         if sao_map:

@@ -69,13 +69,26 @@ class ElEncoder(IntraEncoder):
 
 
 class ShvcEncoder:
-    """Two-layer scalable encoder: feed per-AU (BL planes, EL planes)."""
+    """Two-layer scalable encoder: feed per-AU (BL planes, EL planes).
 
-    def __init__(self, bl_cfg: EncoderConfig, el_cfg: EncoderConfig):
+    `cgs` (ops.cgs.CgsLut) + `cgs_splits`/`cgs_deltas` enable CGS
+    colour-gamut scalability: the EL PPS carries the 3D-LUT in its
+    multilayer extension and the inter-layer reference is built from the
+    colour-MAPPED BL reconstruction (reference: hevcdec.c:3627-3629)."""
+
+    def __init__(self, bl_cfg: EncoderConfig, el_cfg: EncoderConfig,
+                 cgs=None, cgs_splits=None, cgs_deltas=None):
         assert bl_cfg.chroma_format_idc == 1 and \
             el_cfg.chroma_format_idc == 1, "SHVC layers are 4:2:0"
         self.bl = IntraEncoder(bl_cfg)
         self.el = ElEncoder(el_cfg)
+        self.cgs = cgs
+        if cgs is not None:
+            self.el.pps.cgs_lut = cgs
+            self.el.pps.cgs_splits = cgs_splits
+            self.el.pps.cgs_deltas = cgs_deltas
+            # materialize cgs.lut exactly as a decoder will parse it
+            self.el.pps.write_rbsp()
         self.bl.include_headers_in_first_au = False
         self.el.include_headers_in_first_au = False
         self.el.sps.sps_id = 1
@@ -114,10 +127,15 @@ class ShvcEncoder:
             au += self.headers_annexb()
         au += self.bl.encode_frame(bl_planes)
         bl_recon = [p.astype(np.int32) for p in self.bl.recon_planes]
+        bl_bd = self.bl.cfg.bit_depth
+        if self.cgs is not None:
+            from ..ops.cgs import color_map_frame
+            bl_recon = color_map_frame(self.cgs, bl_recon)
+            bl_bd = self.cgs.out_bd_y
         self.el.il_planes = upsample_frame(
             bl_recon, self.el.cfg.width, self.el.cfg.height,
             sub_w=self.el.sps.sub_w, sub_h=self.el.sps.sub_h,
-            bl_bit_depth=self.bl.cfg.bit_depth,
+            bl_bit_depth=bl_bd,
             el_bit_depth=self.el.cfg.bit_depth)
         bl_poc = self.bl.poc - 1
         self.el.il_motion = upscale_motion_field(

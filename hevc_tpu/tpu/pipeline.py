@@ -479,10 +479,11 @@ class LazyPlanes:
 
     Materializes (and caches) the numpy planes on first element access;
     until then the decode loop never blocks on the device.  Accepts
-    either a sequence of per-plane device arrays or the pipeline's
-    fused form (flat_buffer, ((h, w), ...)).  `crop` is the SPS for
-    conformance-window cropping of output frames; `dtype` converts on
-    materialization (the DPB wants int32)."""
+    either a sequence of per-plane device arrays, the pipeline's
+    fused form (flat_buffer, ((h, w), ...)), or a concurrent.futures
+    Future resolving to either (the async pack worker's handle).
+    `crop` is the SPS for conformance-window cropping of output frames;
+    `dtype` converts on materialization (the DPB wants int32)."""
 
     __slots__ = ("_dev", "_np", "_crop", "_dtype", "_lock")
 
@@ -494,6 +495,17 @@ class LazyPlanes:
         self._dtype = dtype
         self._lock = threading.Lock()
 
+    def device_ready(self):
+        """Block until the frame's device computation is enqueued and
+        complete, WITHOUT transferring pixels to the host (the
+        compute-side synchronization point for benchmarks)."""
+        dev = self._dev
+        if hasattr(dev, "result"):
+            dev = dev.result()
+        if dev is None:
+            return  # already materialized
+        jax.block_until_ready(dev[0])
+
     def _mat(self):
         with self._lock:
             return self._mat_locked()
@@ -502,6 +514,8 @@ class LazyPlanes:
         if self._np is None:
             from .. import trace
             dev = self._dev
+            if hasattr(dev, "result"):  # pack-worker Future
+                dev = dev.result()
             fused = (len(dev) == 2 and isinstance(dev[1], tuple)
                      and dev[1] and isinstance(dev[1][0], tuple))
             with trace.span("fetch"):
@@ -551,14 +565,15 @@ def finish_frame_pipeline(pic, lay, poc: int):
             return dev
         return _pad_np([np.asarray(p) for p in entry[1]])
 
+    # device ref resolution happens HERE (on the ordered pack worker):
+    # by the time frame n packs, every preceding frame's device DPB
+    # entry exists; the current poc (inter-layer ref) is never in
+    # dpb_dev yet, so IL refs correctly fall back to the host planes
     refs_y, refs_cb, refs_cr = [], [], []
-    for lst, devs in ((getattr(pic, "ref_list_l0", []) or [],
-                       getattr(pic, "ref_dev_l0", None) or ()),
-                      (getattr(pic, "ref_list_l1", []) or [],
-                       getattr(pic, "ref_dev_l1", None) or ())):
-        for i, entry in enumerate(lst):
-            dev = devs[i] if i < len(devs) else None
-            py, pcb, pcr = dev_ref(entry, dev)
+    for lst in (getattr(pic, "ref_list_l0", []) or [],
+                getattr(pic, "ref_list_l1", []) or []):
+        for entry in lst:
+            py, pcb, pcr = dev_ref(entry, dpb_dev.get(entry[0]))
             refs_y.append(py)
             refs_cb.append(pcb)
             refs_cr.append(pcr)
@@ -570,12 +585,6 @@ def finish_frame_pipeline(pic, lay, poc: int):
                               tuple(refs_cr), spec)
     flat, pad_y, pad_cb, pad_cr = out
     dpb_dev[poc] = (pad_y, pad_cb, pad_cr)
-    # start the output transfer now — it streams while later frames
-    # decode; LazyPlanes consumers then pay only the residual wait
-    try:
-        flat.copy_to_host_async()
-    except Exception:
-        pass
     # filters applied on device
     pic.deblock_params = None
     if hasattr(pic, "sao_map"):
