@@ -146,11 +146,17 @@ def unify_bands(pfs):
     """Pad per-band PackedFrames to a common spec and stack on a leading
     band axis — shard_map needs identical per-shard shapes.
 
-    Returns (arrays dict of np stacks, spec dict of statics)."""
+    Returns (arrays dict of np stacks, spec dict of statics).  Counts
+    are bucketed (pow2 / multiple-of-16) so successive frames of a
+    stream usually land on the SAME shapes — together with
+    sharded._step_cache this makes the per-frame shard_map compile
+    once per geometry instead of once per frame."""
     n = len(pfs)
-    n_chunks = max(pf.n_chunks for pf in pfs)
-    B = [max(pf.scal[c].shape[1] for pf in pfs) for c in range(4)]
-    nlv = [max(pf.levels[c].shape[0] for pf in pfs) for c in range(4)]
+    n_chunks = _round_up(max(pf.n_chunks for pf in pfs), 16)
+    B = [_pow2_at_least(max(pf.scal[c].shape[1] for pf in pfs))
+         for c in range(4)]
+    nlv = [_round_up(max(pf.levels[c].shape[0] for pf in pfs) + 1, 16)
+           for c in range(4)]
 
     scal, avail, levels, rmeta = [], [], [], []
     for c in range(4):
@@ -235,13 +241,52 @@ def unify_bands(pfs):
     return arrays, spec
 
 
-def prepare_gop_banded(stream: bytes, n_bands, halo_l=32, halo_c=16):
+def required_halo(plans, sps, n_bands):
+    """Derive the band reference-window halo from the stream's actual
+    MV bound: for every MC record, how far its qpel/epel read window
+    overhangs its band (SURVEY §5: max |MV| + 7/3-tap extension;
+    replaces the fixed halo + assert of round 3).  Returns
+    (halo_l, halo_c) in luma/chroma columns, 8/4-aligned."""
+    band_w = sps.width // n_bands
+    hl, hc = 8, 4  # floors: keep ppermute slices non-trivial
+    for plan in plans:
+        for r in plan:
+            if r.kind != "mc":
+                continue
+            mvs = [r.mv] + ([r.mv1] if r.bi else [])
+            if r.plane == 0:
+                bwc = band_w
+                x0b = (r.x // bwc) * bwc
+                for mv in mvs:
+                    rx = r.x + (mv[0] >> 2) - 3
+                    hl = max(hl, x0b - rx,
+                             rx + r.size + 7 - (x0b + bwc))
+            else:
+                hs = sps.sub_w - 1
+                bwc = band_w // sps.sub_w
+                x0b = (r.x // bwc) * bwc
+                for mv in mvs:
+                    rx = r.x + (mv[0] >> (2 + hs)) - 1
+                    hc = max(hc, x0b - rx,
+                             rx + r.size + 3 - (x0b + bwc))
+    hl = _round_up(hl, 8)
+    hc = _round_up(hc, 4)
+    assert hl <= band_w and hc <= band_w // sps.sub_w, \
+        "MV range exceeds one band: need more halo than a neighbour has"
+    return hl, hc
+
+
+def prepare_gop_banded(stream: bytes, n_bands, halo_l="auto",
+                       halo_c="auto"):
     """Decode a stream's stage A and build per-frame banded bundles for
     sharded.decode_gop_banded.
 
-    Returns (frames, ref_planes): frames = list of bundle dicts;
-    ref_planes = the single-device decoded output planes (the
-    bit-exactness reference)."""
+    halo_l/halo_c: reference-window halo columns; "auto" derives them
+    from the stream's measured MV bound (required_halo).
+
+    Returns (frames, ref_planes, (halo_l, halo_c)): frames = list of
+    bundle dicts; ref_planes = the single-device decoded output planes
+    (the bit-exactness reference)."""
     import hevc_tpu.decoder.core as dcore
     from .recon import pack_sao_params
 
@@ -264,6 +309,11 @@ def prepare_gop_banded(stream: bytes, n_bands, halo_l=32, halo_c=16):
     finally:
         dcore.execute_plan_numpy = orig
     assert len(decoded) == len(captured)
+    if halo_l == "auto" or halo_c == "auto":
+        hl, hc = required_halo([e["plan"] for e in captured],
+                               captured[0]["pic"].sps, n_bands)
+        halo_l = hl if halo_l == "auto" else halo_l
+        halo_c = hc if halo_c == "auto" else halo_c
     # decoded is output (display) order; captured is decode order —
     # match by POC (pic.poc is stamped by Decoder._finish_picture)
     by_poc = {fr.poc: fr for fr in decoded}
@@ -301,4 +351,4 @@ def prepare_gop_banded(stream: bytes, n_bands, halo_l=32, halo_c=16):
         ))
     ref_planes = [[np.asarray(p) for p in by_poc[ent["pic"].poc].planes]
                   for ent in captured]
-    return frames, ref_planes
+    return frames, ref_planes, (halo_l, halo_c)

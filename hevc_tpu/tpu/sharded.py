@@ -216,6 +216,80 @@ def _make_ref_band(p, halo, n, axis):
     return jnp.pad(ext, ((PAD_REF, PAD_REF), (0, 0)), mode="edge")
 
 
+# compiled per-frame step cache: (mesh, statics) -> jitted shard_map.
+# A fresh closure per frame would recompile every frame; with bucketed
+# shapes (band.unify_bands) successive frames of a stream hit this
+# cache and compile ONCE per geometry.
+_step_cache = {}
+
+
+def _gop_step(mesh, axis, n, R, bd, n_chunks, regions, mc_shapes,
+              do_deblock, do_sao, ctb_log2, sub_w, sub_h,
+              halo_l, halo_c):
+    from .intra import reconstruct_wavefront
+    from .mc import mc_phase, resid_phase
+    from .recon import _residuals
+
+    key = (id(mesh), axis, n, R, bd, n_chunks, regions, mc_shapes,
+           do_deblock, do_sao, ctb_log2, sub_w, sub_h, halo_l, halo_c)
+    got = _step_cache.get(key)
+    if got is not None:
+        return got
+
+    def body(canvas, scal, avail, levels, rmeta, mc_fields,
+             resid_fields, refs_yt, refs_cbt, refs_crt, bank,
+             qp4, bs_v, bs_h, dboff, sao_t, sao_b, sao_o, sao_e):
+        canvas = canvas[0].astype(jnp.int32)
+        scal = tuple(s[0] for s in scal)
+        avail = tuple(a[0] for a in avail)
+        levels = tuple(v[0] for v in levels)
+        rmeta = tuple(m[0] for m in rmeta)
+        resids = _residuals(levels, rmeta, bd, bank)
+        if R:
+            refs_l = jnp.stack(refs_yt)
+            refs_c = jnp.stack(list(refs_cbt) + list(refs_crt))
+            groups = tuple(k + (f[0],) for k, f in zip(mc_shapes,
+                                                       mc_fields))
+            canvas = mc_phase(canvas, refs_l, refs_c, groups, bd)
+        canvas = resid_phase(canvas,
+                             tuple(g[0] for g in resid_fields),
+                             resids, bd)
+        out = reconstruct_wavefront(canvas, scal, avail, resids, bd,
+                                    n_chunks)
+        planes = [jax.lax.dynamic_slice(out, (oy, ox), (h, w))
+                  for oy, ox, h, w in regions]
+        y, cb, cr = planes
+        y, cb, cr = _filters_in_shard(
+            y, cb, cr, qp4, bs_v, bs_h, dboff[0], dboff[1],
+            dboff[2], dboff[3], sao_t, sao_b, sao_o, sao_e,
+            n=n, axis=axis, bit_depth=bd, ctb_log2=ctb_log2,
+            sub_w=sub_w, sub_h=sub_h, do_deblock=do_deblock,
+            do_sao=do_sao)
+        ry = _make_ref_band(y, halo_l, n, axis)
+        rcb = _make_ref_band(cb, halo_c, n, axis)
+        rcr = _make_ref_band(cr, halo_c, n, axis)
+        return y, cb, cr, ry, rcb, rcr
+
+    b = P(axis)       # leading band axis
+    c2 = P(None, axis)
+    in_specs = (b, (b,) * 4, (b,) * 4, (b,) * 4, (b,) * 4,
+                (b,) * len(mc_shapes), (b,) * 4,
+                (c2,) * R, (c2,) * R, (c2,) * R,
+                (P(),) * 4,
+                c2, c2, c2, P(),
+                P(None, None, axis), P(None, None, axis),
+                P(None, None, axis, None), P(None, None, axis))
+    out_specs = (c2, c2, c2, c2, c2, c2)
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        fn = shard_map(body, check_rep=False, **kw)
+    except TypeError:
+        fn = shard_map(body, **kw)
+    fn = jax.jit(fn)
+    _step_cache[key] = fn
+    return fn
+
+
 def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
                       axis: str = "tile"):
     """Decode a GOP with every stage-B phase column-band-sharded.
@@ -229,77 +303,21 @@ def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
     frame's MC reads only its band window (refs never leave the
     device), and windows refresh with one ppermute halo exchange per
     plane after the filters.  Returns [(y, cb, cr)] global arrays."""
-    from .intra import reconstruct_wavefront
-    from .mc import mc_phase, resid_phase
-    from .recon import _residuals
-
     n = mesh.shape[axis]
     dpb = {}
     outs = []
     for fb in frames:
         A, S = fb["arrays"], fb["spec"]
-        bd = S["bit_depth"]
-        n_chunks = S["n_chunks"]
-        regions = S["regions"]
         mc_shapes = S["mc_shapes"]
         pocs = list(fb["ref_pocs_l0"]) + list(fb["ref_pocs_l1"])
         R = len(pocs) if mc_shapes else 0
         refs_y = tuple(dpb[p][0] for p in pocs) if R else ()
         refs_cb = tuple(dpb[p][1] for p in pocs) if R else ()
         refs_cr = tuple(dpb[p][2] for p in pocs) if R else ()
-        do_deblock, do_sao = fb["do_deblock"], fb["do_sao"]
-        ctb_log2 = fb["ctb_log2"]
-        sub_w, sub_h = fb["sub_w"], fb["sub_h"]
-
-        def body(canvas, scal, avail, levels, rmeta, mc_fields,
-                 resid_fields, refs_yt, refs_cbt, refs_crt, bank,
-                 qp4, bs_v, bs_h, dboff, sao_t, sao_b, sao_o, sao_e):
-            canvas = canvas[0].astype(jnp.int32)
-            scal = tuple(s[0] for s in scal)
-            avail = tuple(a[0] for a in avail)
-            levels = tuple(v[0] for v in levels)
-            rmeta = tuple(m[0] for m in rmeta)
-            resids = _residuals(levels, rmeta, bd, bank)
-            if R:
-                refs_l = jnp.stack(refs_yt)
-                refs_c = jnp.stack(list(refs_cbt) + list(refs_crt))
-                groups = tuple(k + (f[0],) for k, f in zip(mc_shapes,
-                                                           mc_fields))
-                canvas = mc_phase(canvas, refs_l, refs_c, groups, bd)
-            canvas = resid_phase(canvas,
-                                 tuple(g[0] for g in resid_fields),
-                                 resids, bd)
-            out = reconstruct_wavefront(canvas, scal, avail, resids, bd,
-                                        n_chunks)
-            planes = [jax.lax.dynamic_slice(out, (oy, ox), (h, w))
-                      for oy, ox, h, w in regions]
-            y, cb, cr = planes
-            y, cb, cr = _filters_in_shard(
-                y, cb, cr, qp4, bs_v, bs_h, dboff[0], dboff[1],
-                dboff[2], dboff[3], sao_t, sao_b, sao_o, sao_e,
-                n=n, axis=axis, bit_depth=bd, ctb_log2=ctb_log2,
-                sub_w=sub_w, sub_h=sub_h, do_deblock=do_deblock,
-                do_sao=do_sao)
-            ry = _make_ref_band(y, halo_l, n, axis)
-            rcb = _make_ref_band(cb, halo_c, n, axis)
-            rcr = _make_ref_band(cr, halo_c, n, axis)
-            return y, cb, cr, ry, rcb, rcr
-
-        b = P(axis)       # leading band axis
-        c2 = P(None, axis)
-        in_specs = (b, (b,) * 4, (b,) * 4, (b,) * 4, (b,) * 4,
-                    (b,) * len(mc_shapes), (b,) * 4,
-                    (c2,) * R, (c2,) * R, (c2,) * R,
-                    (P(),) * 4,
-                    c2, c2, c2, P(),
-                    P(None, None, axis), P(None, None, axis),
-                    P(None, None, axis, None), P(None, None, axis))
-        out_specs = (c2, c2, c2, c2, c2, c2)
-        kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-        try:
-            fn = shard_map(body, check_rep=False, **kw)
-        except TypeError:
-            fn = shard_map(body, **kw)
+        fn = _gop_step(mesh, axis, n, R, S["bit_depth"], S["n_chunks"],
+                       S["regions"], mc_shapes, fb["do_deblock"],
+                       fb["do_sao"], fb["ctb_log2"], fb["sub_w"],
+                       fb["sub_h"], halo_l, halo_c)
         sao_t, sao_b, sao_o, sao_e = fb["sao"]
         args = (A["canvas"], tuple(A["scal"]), tuple(A["avail"]),
                 tuple(A["levels"]), tuple(A["rmeta"]),
@@ -310,7 +328,7 @@ def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
                 fb["qp4"], fb["bs_v"], fb["bs_h"],
                 jnp.asarray(fb["dboff"], jnp.int32),
                 sao_t, sao_b, sao_o, sao_e)
-        y, cb, cr, ry, rcb, rcr = jax.jit(fn)(*args)
+        y, cb, cr, ry, rcb, rcr = fn(*args)
         dpb[fb["poc"]] = (ry, rcb, rcr)
         outs.append((y, cb, cr))
     return outs

