@@ -142,6 +142,57 @@ def bench_compute(stream_path):
     return best
 
 
+def bench_device_stage_b(stream_path, iters=16):
+    """Pure-device stage-B throughput: the production _pipeline_frame
+    program fori-looped on-chip over a captured steady-state P frame's
+    buffers — no host work, no tunnel.  This is the per-chip stage-B
+    ceiling the host pipeline feeds."""
+    import jax
+    import jax.numpy as jnp
+
+    import hevc_tpu.tpu.pipeline as pl
+    from hevc_tpu.decoder.core import Decoder
+
+    data = open(stream_path, "rb").read()
+    captured = []
+    orig = pl._pipeline_frame
+
+    def wrapper(*args):
+        if args[-4]:  # refs_y non-empty: a P frame
+            captured.append(args)
+        return orig(*args)
+
+    pl._pipeline_frame = wrapper
+    try:
+        Decoder(check_md5=False, recon_backend="jax").decode_bytes(data)
+    finally:
+        pl._pipeline_frame = orig
+    assert captured, "no P frame captured"
+    args = captured[-1]
+    (meta, meta16, meta8, avail, levels, bank, canvas,
+     refs_y, refs_cb, refs_cr, spec) = args
+    meta = jnp.asarray(meta)
+    meta16 = jnp.asarray(meta16)
+    meta8 = jnp.asarray(meta8)
+    avail = jnp.asarray(avail)
+    levels = jnp.asarray(levels)
+
+    @jax.jit
+    def timed(meta8, meta, meta16, avail, levels, canvas):
+        def body(i, acc):
+            flat, _py, _pcb, _pcr = orig(
+                meta, meta16, meta8 + i.astype(jnp.int8) * 0 + 0, avail,
+                levels, bank, canvas + i.astype(canvas.dtype), refs_y,
+                refs_cb, refs_cr, spec)
+            return acc + flat[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
+    t0 = time.time()
+    timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
+    return iters / (time.time() - t0)
+
+
 def tunnel_probe(nbytes):
     """Measured device->host transfer time for one frame's worth of
     output bytes over this rig's device link."""
@@ -337,6 +388,9 @@ def main():
     k4_base = oracle_fps(k4, K4_TAG, K4_FRAMES)
     k4_compute = bench_compute(k4)
 
+    dev_1080 = bench_device_stage_b(stream)
+    dev_4k = bench_device_stage_b(k4, iters=6)
+
     # rig tunnel cost for one frame of 4:2:0 8-bit output
     tun_1080 = tunnel_probe(E2E_W * E2E_H * 3 // 2)
     tun_4k = tunnel_probe(K4_W * K4_H * 3 // 2)
@@ -360,6 +414,15 @@ def main():
             "oracle_fps_4k": round(k4_base, 2) if k4_base else None,
             "compute_vs_oracle_4k":
                 round(k4_compute / k4_base, 3) if k4_base else None,
+            # pure-device stage-B fps (production program fori-looped
+            # on-chip, zero host/tunnel involvement): the per-chip
+            # throughput ceiling the host stage-A pipeline feeds
+            "device_stageB_fps_1080p": round(dev_1080, 2),
+            "device_stageB_fps_4k": round(dev_4k, 2),
+            "device_stageB_vs_oracle_1080p":
+                round(dev_1080 / base, 3) if base else None,
+            "device_stageB_vs_oracle_4k":
+                round(dev_4k / k4_base, 3) if k4_base else None,
             # measured device->host transfer of one frame's YUV over
             # this rig's remote-chip RPC tunnel — the hard floor under
             # every e2e (md5-on) number on this machine

@@ -322,17 +322,21 @@ class SliceHeader:
                 w.se(self.cr_qp_offset)
             if pps.chroma_qp_offset_list_enabled:
                 w.flag(self.cu_chroma_qp_offset_enabled)
+            # effective disabled state mirrors the parser: the PPS
+            # value unless this header carries an override
+            eff_disabled = pps.deblocking_filter_disabled
             if pps.deblocking_filter_control_present:
                 if pps.deblocking_filter_override_enabled:
                     w.flag(self.deblocking_filter_override)
                 if self.deblocking_filter_override:
+                    eff_disabled = self.deblocking_filter_disabled
                     w.flag(self.deblocking_filter_disabled)
                     if not self.deblocking_filter_disabled:
                         w.se(self.beta_offset // 2)
                         w.se(self.tc_offset // 2)
             if (pps.loop_filter_across_slices
                     and (self.sao_luma or self.sao_chroma
-                         or not self.deblocking_filter_disabled)):
+                         or not eff_disabled)):
                 w.flag(self.loop_filter_across_slices)
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             w.ue(len(self.entry_point_offsets))

@@ -223,13 +223,36 @@ class SliceDecoder:
         ts = int(pps.ctb_addr_rs_to_ts[self.sh.segment_address])
         n_ctbs = sps.ctb_w * sps.ctb_h
         seg_idx = 0
-        wpp_saved = None
 
         def tile_col_start(xc, yc):
             """First CTB column of its tile row (WPP-in-tiles rows are
             tile-relative; reference: hevc_cabac.c:560 ctb_tile_rs)."""
             return xc == 0 or (tiles and int(pps.tile_of_ctb[yc, xc - 1])
                                != int(pps.tile_of_ctb[yc, xc]))
+
+        if not hasattr(self, "wpp_saved"):
+            self.wpp_saved = None
+        # a dependent segment starting at a tile/WPP-row boundary takes
+        # that boundary's context rule instead of plain continuation
+        # (the WPP snapshot rides lay.dep_state across segment NALs)
+        if self.sh.dependent_slice_segment:
+            rs0 = self.sh.segment_address
+            xc0, yc0 = rs0 % sps.ctb_w, rs0 // sps.ctb_w
+            tile_start = tiles and ts > 0 and (
+                int(pps.tile_id_of_ts[ts])
+                != int(pps.tile_id_of_ts[ts - 1]))
+            if tile_start:
+                self.cm = ContextModel(self._init_type(), self.qp_y)
+                self.wpp_saved = None
+                if self.rext is not None:
+                    self.rext.stats = [0, 0, 0, 0]
+            elif wpp and tile_col_start(xc0, yc0) \
+                    and self.wpp_saved is not None and sps.ctb_w > 1:
+                self.cm = ContextModel(self._init_type(), self.qp_y)
+                self.cm.load(self.wpp_saved[0])
+                if self.rext is not None \
+                        and self.wpp_saved[1] is not None:
+                    self.rext.stats = list(self.wpp_saved[1])
 
         while True:
             rs = int(pps.ctb_addr_ts_to_rs[ts])
@@ -252,9 +275,9 @@ class SliceDecoder:
                          == int(pps.tile_of_ctb[yc, xc])):
                 # state after the tile row's 2nd CTB (+ rice stats, this
                 # engine's deterministic convention)
-                wpp_saved = (self.cm.save(),
-                             list(self.rext.stats)
-                             if self.rext is not None else None)
+                self.wpp_saved = (self.cm.save(),
+                                  list(self.rext.stats)
+                                  if self.rext is not None else None)
             end = self.d.decode_terminate()
             ts += 1
             if end or ts >= n_ctbs:
@@ -272,17 +295,18 @@ class SliceDecoder:
                                       self.segment_starts[seg_idx])
                 if tile_boundary:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
-                    wpp_saved = None  # rows never cross a tile edge
+                    self.wpp_saved = None  # rows don't cross tile edges
                     if self.rext is not None:
                         self.rext.stats = [0, 0, 0, 0]
-                elif wpp_saved is not None and sps.ctb_w > 1:
+                elif self.wpp_saved is not None and sps.ctb_w > 1:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
-                    self.cm.load(wpp_saved[0])
+                    self.cm.load(self.wpp_saved[0])
                     # rice stats ride the WPP snapshot (this engine's
                     # convention — deterministic under the MT fan-out;
                     # the reference leaves them thread-dependent)
-                    if self.rext is not None and wpp_saved[1] is not None:
-                        self.rext.stats = list(wpp_saved[1])
+                    if self.rext is not None \
+                            and self.wpp_saved[1] is not None:
+                        self.rext.stats = list(self.wpp_saved[1])
                 else:
                     self.cm = ContextModel(self._init_type(), self.qp_y)
                     if self.rext is not None:
@@ -1684,16 +1708,28 @@ class Decoder:
                 sd.qpst = dep_state[2]
                 if sd.rext is not None and dep_state[1] is not None:
                     sd.rext.stats = list(dep_state[1])
+                sd.wpp_saved = dep_state[3] if len(dep_state) > 3 \
+                    else None
             sd.decode_ctus()
             if pps.dependent_slice_segments_enabled:
                 lay.dep_state = (sd.cm.save(),
                                  list(sd.rext.stats)
                                  if sd.rext is not None else None,
-                                 sd.qpst)
+                                 sd.qpst, sd.wpp_saved)
         if not sh.dependent_slice_segment:
             lay.slice_counter += 1
-        # filter parameters for the post-pass (single-slice assumption for
-        # per-slice overrides; multi-slice per-CTB params land with tiles)
+            # per-slice filter parameters (multi-slice semantics;
+            # dependent segments inherit the independent header's)
+            sp = getattr(lay.cur_pic, "slice_params", None)
+            if sp is None:
+                sp = lay.cur_pic.slice_params = []
+            sp.append({
+                "beta_offset": sh.beta_offset,
+                "tc_offset": sh.tc_offset,
+                "disable": bool(sh.deblocking_filter_disabled),
+                "lf_across": bool(sh.loop_filter_across_slices),
+            })
+        # single-slice fast-path parameters (scalar device filters)
         lay.cur_pic.deblock_params = None
         if not sh.deblocking_filter_disabled:
             lay.cur_pic.deblock_params = {
@@ -1843,7 +1879,38 @@ class Decoder:
                     finish_frame_jax(pic, plan)
             else:
                 execute_plan_numpy(pic, plan)
-        if dev_out is None \
+        # multi-slice / restricted-tile-boundary filter semantics need
+        # the per-CTB parameter path (reference: s->deblock[ctb] +
+        # filter_slice_edges, hevc_filter.c:264/:525/:989)
+        slice_params = getattr(pic, "slice_params", None) or []
+        need_ms = dev_out is None and (
+            len(slice_params) > 1
+            or (pic.pps.tiles_enabled
+                and not pic.pps.loop_filter_across_tiles))
+        if need_ms:
+            sao_map = getattr(pic, "sao_map", None)
+            if not sao_map and getattr(pic, "has_sao", False):
+                from ..native import sao_arrays_to_map
+                sao_map = sao_arrays_to_map(pic)
+            from ..ops.boundaries import filter_frame_multislice
+            if not all(p["disable"] for p in slice_params):
+                pic.compute_bs()
+            else:
+                pic.bs_v = np.zeros((pic.h4, pic.w4), np.int8)
+                pic.bs_h = np.zeros((pic.h4, pic.w4), np.int8)
+            params = [dict(p) for p in slice_params] or [{}]
+            tiles = np.asarray(pic.pps.tile_of_ctb) \
+                if pic.pps.tiles_enabled else np.zeros_like(pic.slice_idx)
+            filter_frame_multislice(
+                pic.planes, pic.qp_y.astype(np.int32), pic.bs_v,
+                pic.bs_h, pic.slice_idx, tiles, params, sao_map or {},
+                1 << pic.sps.log2_ctb_size, pic.sps.bit_depth_luma,
+                pic.sps.chroma_format_idc, pic.pps.cb_qp_offset,
+                pic.pps.cr_qp_offset,
+                bool(pic.pps.loop_filter_across_tiles),
+                bool(pic.pps.tiles_enabled),
+                pic.sps.sub_w, pic.sps.sub_h)
+        elif dev_out is None \
                 and getattr(pic, "deblock_params", None) is not None:
             from ..ops.deblock import deblock_frame
             pic.compute_bs()
@@ -1856,9 +1923,9 @@ class Decoder:
                           chroma_format_idc=pic.sps.chroma_format_idc,
                           cb_qp_offset=p["cb_qp_offset"],
                           cr_qp_offset=p["cr_qp_offset"])
-        sao_map = None if dev_out is not None \
+        sao_map = None if (dev_out is not None or need_ms) \
             else getattr(pic, "sao_map", None)
-        if dev_out is None and not sao_map \
+        if dev_out is None and not need_ms and not sao_map \
                 and getattr(pic, "has_sao", False):
             from ..native import sao_arrays_to_map
             sao_map = sao_arrays_to_map(pic)

@@ -139,6 +139,20 @@ class EncoderConfig:
     # dependent slice segments: N extra segments per picture (split at
     # CTB-row bounds); contexts/QP state continue across segments
     dependent_slices: int = 0
+    # independent multi-slice pictures: N slices split at CTB-row
+    # bounds (or whole-tile runs when tiles are on); CABAC/QP state
+    # restarts per slice and intra prediction never crosses a slice
+    # (reference: tab_slice_address semantics, hevcdec.c:2822-2840)
+    slices: int = 1
+    # per-slice filter overrides: tuple of dicts with any of
+    # beta_offset, tc_offset (even values), disable (deblock off for
+    # the slice), sao_luma, sao_chroma, lf_across (the slice's
+    # slice_loop_filter_across_slices_enabled_flag).  Shorter tuples
+    # cycle.  Non-empty enables pps deblocking_filter_override.
+    slice_filter_params: tuple = ()
+    # pps_loop_filter_across_tiles_enabled_flag (tiles only): 0 turns
+    # off deblock/SAO across tile boundaries
+    lf_across_tiles: bool = True
 
 
 class _TuPlan:
@@ -231,12 +245,21 @@ class IntraEncoder:
             tiles_enabled=1 if cfg.tiles else 0,
             num_tile_columns=cfg.tiles[0] if cfg.tiles else 1,
             num_tile_rows=cfg.tiles[1] if cfg.tiles else 1,
+            loop_filter_across_tiles=1 if cfg.lf_across_tiles else 0,
             dependent_slice_segments_enabled=1 if cfg.dependent_slices
             else 0,
         ).derive(self.sps)
-        if cfg.dependent_slices:
-            assert not cfg.wpp and not cfg.tiles, \
-                "dependent slices: no wpp/tiles combination yet"
+        if cfg.slices > 1:
+            if cfg.tiles:
+                assert (cfg.tiles[0] * cfg.tiles[1]) % cfg.slices == 0, \
+                    "multi-slice + tiles: slices must be whole-tile runs"
+            if cfg.slice_filter_params:
+                # per-slice deblock overrides travel in slice headers
+                self.pps.deblocking_filter_control_present = 1
+                self.pps.deblocking_filter_override_enabled = 1
+            # pps_loop_filter_across_slices_enabled: slice headers
+            # carry the per-slice flag
+            self.pps.loop_filter_across_slices = 1
         if (cfg.rext_persistent_rice or cfg.rext_ts_context
                 or cfg.rext_ts_rotation or cfg.rext_implicit_rdpcm
                 or cfg.rext_explicit_rdpcm):
@@ -425,50 +448,112 @@ class IntraEncoder:
                                != int(pps.tile_of_ctb[yc, xc]))
 
         dep_n = int(cfg.dependent_slices or 0)
-        segments = [[]]
+        n_slices = max(1, int(cfg.slices or 1))
+        # independent-slice cut positions (tile-scan index i): CTB-row
+        # splits, or whole-tile runs when tiles are on
+        slice_cut = set()
+        if n_slices > 1:
+            if cfg.tiles:
+                n_tiles = cfg.tiles[0] * cfg.tiles[1]
+                per = n_tiles // n_slices
+                for i in range(1, n_ctbs):
+                    tid = int(pps.tile_id_of_ts[i])
+                    if tid != int(pps.tile_id_of_ts[i - 1])                             and tid % per == 0:
+                        slice_cut.add(i)
+            else:
+                cut_rows = {round((k * sps.ctb_h) / n_slices)
+                            for k in range(1, n_slices)}
+                for i, rs in enumerate(order):
+                    if (i > 0 and rs % sps.ctb_w == 0
+                            and rs // sps.ctb_w in cut_rows):
+                        slice_cut.add(i)
+        # dependent-segment cut positions: row splits, or (combined with
+        # wpp/tiles) every wpp-row / tile start becomes its own
+        # dependent segment — identical CABAC state evolution to the
+        # single-slice wpp/tile stream, different NAL packaging
+        dep_cut = set()
         if dep_n:
-            # one independent + dep_n dependent segments, split at
-            # CTB-row boundaries
-            cut_rows = {round((i * sps.ctb_h) / (dep_n + 1))
-                        for i in range(1, dep_n + 1)}
-            for i, rs in enumerate(order):
-                if (i > 0 and rs % sps.ctb_w == 0
-                        and rs // sps.ctb_w in cut_rows):
-                    segments.append([])
-                segments[-1].append(rs)
-        else:
-            for i, rs in enumerate(order):
-                if i > 0:
+            if cfg.wpp or cfg.tiles:
+                for i, rs in enumerate(order):
+                    if i == 0:
+                        continue
                     tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
                                         != int(pps.tile_id_of_ts[i - 1]))
                     rb = (cfg.wpp and not tb
                           and tile_col_start(rs % sps.ctb_w,
                                              rs // sps.ctb_w))
                     if tb or rb:
-                        segments.append([])
-                segments[-1].append(rs)
+                        dep_cut.add(i)
+            else:
+                cut_rows = {round((k * sps.ctb_h) / (dep_n + 1))
+                            for k in range(1, dep_n + 1)}
+                for i, rs in enumerate(order):
+                    if (i > 0 and rs % sps.ctb_w == 0
+                            and rs // sps.ctb_w in cut_rows):
+                        dep_cut.add(i)
+        # walk: segments (payload chunks), their owning NAL and slice
+        segments = [[]]       # CTB rs lists, one per payload segment
+        seg_kind = [0]        # 0 = starts a NAL (indep/dep), 1 = subset
+        seg_slice = [0]       # slice index of each segment
+        seg_dep = [False]     # segment is a dependent-slice NAL
+        cur_slice = 0
+        for i, rs in enumerate(order):
+            if i > 0:
+                tb = cfg.tiles and (int(pps.tile_id_of_ts[i])
+                                    != int(pps.tile_id_of_ts[i - 1]))
+                rb = (cfg.wpp and not tb
+                      and tile_col_start(rs % sps.ctb_w,
+                                         rs // sps.ctb_w))
+                if i in slice_cut:
+                    cur_slice += 1
+                    segments.append([])
+                    seg_kind.append(0)
+                    seg_slice.append(cur_slice)
+                    seg_dep.append(False)
+                elif dep_n and i in dep_cut:
+                    segments.append([])
+                    seg_kind.append(0)
+                    seg_slice.append(cur_slice)
+                    seg_dep.append(True)
+                elif not dep_n and (tb or rb):
+                    segments.append([])
+                    seg_kind.append(1)
+                    seg_slice.append(cur_slice)
+                    seg_dep.append(False)
+            segments[-1].append(rs)
         seg_payloads = []
         wpp_saved = None
         gi = 0  # global tile-scan index (for QP-prediction restarts)
         for si, seg in enumerate(segments):
             self.e = CabacEncoder()
-            if si > 0 and dep_n:
-                pass  # dependent segment: contexts/QP state continue
-            elif si > 0:
+            if si > 0:
                 new_tile = cfg.tiles and (
                     int(pps.tile_id_of_ts[gi])
                     != int(pps.tile_id_of_ts[gi - 1]))
-                if new_tile:
+                new_slice = seg_slice[si] != seg_slice[si - 1]
+                if new_slice:
+                    # independent slice: full CABAC/QP/rice restart;
+                    # the WPP saved state never crosses a slice (the
+                    # above-right CTB is unavailable to the new slice)
+                    self.cm = ContextModel(init_type, cfg.qp)
+                    wpp_saved = None
+                    self.qpst = QpState(cfg.qp)
+                    if self.rext_enc is not None:
+                        self.rext_enc.stats = [0, 0, 0, 0]
+                elif new_tile:
                     self.cm = ContextModel(init_type, cfg.qp)
                     wpp_saved = None  # rows never cross a tile edge
                     if self.rext_enc is not None:
                         self.rext_enc.stats = [0, 0, 0, 0]
-                elif wpp_saved is not None and sps.ctb_w > 1:
+                elif wpp_saved is not None and sps.ctb_w > 1 \
+                        and cfg.wpp:
                     self.cm = ContextModel(init_type, cfg.qp)
                     self.cm.load(wpp_saved[0])
                     if self.rext_enc is not None \
                             and wpp_saved[1] is not None:
                         self.rext_enc.stats = list(wpp_saved[1])
+                elif seg_dep[si]:
+                    pass  # dependent segment: contexts/QP continue
                 else:
                     self.cm = ContextModel(init_type, cfg.qp)
                     if self.rext_enc is not None:
@@ -494,8 +579,8 @@ class IntraEncoder:
                         != int(pps.tile_id_of_ts[gi - 1])):
                     self.qpst.first_qp_group = True
                 gi += 1
-                self.pic.set_ctb_slice(xc, yc, 0)
-                if cfg.sao:
+                self.pic.set_ctb_slice(xc, yc, seg_slice[si])
+                if cfg.sao and self._slice_fp(seg_slice[si])["sao"]:
                     self._encode_sao(xc, yc)
                 x0, y0 = xc << sps.log2_ctb_size, yc << sps.log2_ctb_size
                 self._quadtree(x0, y0, sps.log2_ctb_size, 0)
@@ -506,32 +591,52 @@ class IntraEncoder:
                     wpp_saved = (self.cm.save(),
                                  list(self.rext_enc.stats)
                                  if self.rext_enc is not None else None)
-                if dep_n:
-                    # end_of_slice_segment_flag: 1 at each segment end
-                    last = rs == seg[-1]
-                else:
-                    last = rs == order[-1]
+                # end_of_slice_segment_flag: 1 at the last CTB of the
+                # NAL's slice segment (subset segments share one NAL)
+                ends_nal = (si == len(segments) - 1
+                            or seg_kind[si + 1] == 0)
+                last = ends_nal and rs == seg[-1]
                 self.e.encode_terminate(1 if last else 0)
-            if si < len(segments) - 1 and not dep_n:
+            if not ends_nal:
                 self.e.encode_terminate(1)  # end_of_subset_one_bit
             self.e.terminate_and_align()
             seg_payloads.append(self.e.getvalue())
         payload = b"".join(seg_payloads)
         self._seg_payloads = seg_payloads
-        if cfg.deblocking:
-            from ..ops.deblock import deblock_frame
+        if n_slices > 1 or (cfg.tiles and not cfg.lf_across_tiles):
+            # multi-slice / restricted-tile recon filtering: per-slice
+            # params + boundary gating (must match the decoder exactly)
+            from ..ops.boundaries import filter_frame_multislice
             self.pic.compute_bs()
-            deblock_frame(self.pic.planes, self.pic.qp_y.astype(np.int32),
-                          self.pic.bs_v, self.pic.bs_h,
-                          bit_depth=sps.bit_depth_luma,
-                          chroma_format_idc=sps.chroma_format_idc,
-                          cb_qp_offset=pps.cb_qp_offset,
-                          cr_qp_offset=pps.cr_qp_offset)
-        if cfg.sao:
-            from ..ops.sao import apply_sao_frame
-            apply_sao_frame(self.pic.planes, self.sao_map,
-                            1 << sps.log2_ctb_size, sps.bit_depth_luma,
-                            sps.sub_w, sps.sub_h)
+            params = [self._slice_fp(s) for s in range(n_slices)]
+            filter_frame_multislice(
+                self.pic.planes, self.pic.qp_y.astype(np.int32),
+                self.pic.bs_v, self.pic.bs_h, self.pic.slice_idx,
+                np.asarray(pps.tile_of_ctb) if cfg.tiles else
+                np.zeros_like(self.pic.slice_idx),
+                params, self.sao_map if cfg.sao else {},
+                1 << sps.log2_ctb_size, sps.bit_depth_luma,
+                sps.chroma_format_idc, pps.cb_qp_offset,
+                pps.cr_qp_offset,
+                bool(pps.loop_filter_across_tiles), bool(cfg.tiles),
+                sps.sub_w, sps.sub_h)
+        elif cfg.deblocking or cfg.sao:
+            if cfg.deblocking:
+                from ..ops.deblock import deblock_frame
+                self.pic.compute_bs()
+                deblock_frame(self.pic.planes,
+                              self.pic.qp_y.astype(np.int32),
+                              self.pic.bs_v, self.pic.bs_h,
+                              bit_depth=sps.bit_depth_luma,
+                              chroma_format_idc=sps.chroma_format_idc,
+                              cb_qp_offset=pps.cb_qp_offset,
+                              cr_qp_offset=pps.cr_qp_offset)
+            if cfg.sao:
+                from ..ops.sao import apply_sao_frame
+                apply_sao_frame(self.pic.planes, self.sao_map,
+                                1 << sps.log2_ctb_size,
+                                sps.bit_depth_luma,
+                                sps.sub_w, sps.sub_h)
 
         from ..bitstream.slice import SLICE_B, SLICE_P
         stype = SLICE_B if self.is_b else (SLICE_P if self.is_p else SLICE_I)
@@ -572,28 +677,56 @@ class IntraEncoder:
         nal_type = self._nal_type()
         if self._sched is not None and self._sched[6] is not None:
             nal_type = self._sched[6]
+        # group payload segments into NALs (a NAL = one slice segment:
+        # a kind-0 segment plus its trailing kind-1 wpp/tile subsets)
+        import dataclasses as _dc
+        nal_runs = []
+        start = 0
+        for si in range(1, len(segments) + 1):
+            if si == len(segments) or seg_kind[si] == 0:
+                nal_runs.append((start, si))
+                start = si
         dep_rbsps = []
-        if cfg.dependent_slices:
-            # one NAL per slice segment: independent header first, then
-            # dependent headers carrying only the segment address
-            slice_rbsp = sh.write_rbsp(sps, pps, nal_type,
-                                       self._seg_payloads[0],
-                                       nuh_layer_id=self.layer_id,
-                                       vps=self.vps)
-            for si, seg_pay in enumerate(self._seg_payloads[1:], 1):
+        slice_rbsp = None
+        for a, b in nal_runs:
+            pays = self._seg_payloads[a:b]
+            pay = b"".join(pays)
+            if seg_dep[a]:
                 dsh = SliceHeader(
                     first_slice_in_pic=0, dependent_slice_segment=1,
-                    segment_address=segments[si][0], pps_id=pps.pps_id)
+                    segment_address=segments[a][0], pps_id=pps.pps_id)
+                if len(pays) > 1:
+                    dsh.entry_point_offsets = self._entry_offsets(
+                        dsh, nal_type, pays)
                 dep_rbsps.append(dsh.write_rbsp(
-                    sps, pps, nal_type, seg_pay,
+                    sps, pps, nal_type, pay,
                     nuh_layer_id=self.layer_id, vps=self.vps))
-        else:
-            if len(self._seg_payloads) > 1:
-                sh.entry_point_offsets = self._entry_offsets(
-                    sh, nal_type, self._seg_payloads)
-            slice_rbsp = sh.write_rbsp(sps, pps, nal_type, payload,
-                                       nuh_layer_id=self.layer_id,
-                                       vps=self.vps)
+                continue
+            sl = seg_slice[a]
+            fp = self._slice_fp(sl)
+            sh_i = sh if a == 0 else _dc.replace(
+                sh, first_slice_in_pic=0,
+                segment_address=segments[a][0],
+                entry_point_offsets=[])
+            if cfg.slices > 1:
+                sh_i.sao_luma = 1 if (cfg.sao and fp["sao"]) else 0
+                sh_i.sao_chroma = sh_i.sao_luma
+                sh_i.loop_filter_across_slices =                     1 if fp["lf_across"] else 0
+                if cfg.slice_filter_params:
+                    sh_i.deblocking_filter_override = 1
+                    sh_i.deblocking_filter_disabled =                         1 if fp["disable"] else 0
+                    sh_i.beta_offset = fp["beta_offset"]
+                    sh_i.tc_offset = fp["tc_offset"]
+            if len(pays) > 1:
+                sh_i.entry_point_offsets = self._entry_offsets(
+                    sh_i, nal_type, pays)
+            rbsp = sh_i.write_rbsp(sps, pps, nal_type, pay,
+                                   nuh_layer_id=self.layer_id,
+                                   vps=self.vps)
+            if a == 0:
+                slice_rbsp = rbsp
+            else:
+                dep_rbsps.append(rbsp)
         au = []
         if self.frames_encoded == 0 and self.include_headers_in_first_au:
             au += [
@@ -726,7 +859,10 @@ class IntraEncoder:
 
     # ---- SAO (random parameter policy, mirrors decoder parse) ------------
     def _sao_mergeable(self, xn, yn, xc, yc):
-        return (self.pps.tile_of_ctb[yn, xn]
+        # SAO merge candidates must share slice AND tile (the decoder
+        # only reads the merge flag when the neighbour is available)
+        return (self.pic.slice_idx[yn, xn] == self.pic.slice_idx[yc, xc]
+                and self.pps.tile_of_ctb[yn, xn]
                 == self.pps.tile_of_ctb[yc, xc])
 
     def _encode_sao(self, xc, yc):
@@ -1850,6 +1986,16 @@ class IntraEncoder:
                 and pic.skip_flag[(y0 - 1) >> 2, x0 >> 2]:
             ctx += 1
         return ctx
+
+    def _slice_fp(self, si):
+        """Effective filter params of slice si (defaults + overrides)."""
+        base = dict(beta_offset=0, tc_offset=0,
+                    disable=not self.cfg.deblocking,
+                    sao=bool(self.cfg.sao), lf_across=True)
+        fps = self.cfg.slice_filter_params
+        if fps:
+            base.update(fps[si % len(fps)])
+        return base
 
     def _entry_offsets(self, sh, nal_type, seg_payloads):
         """Slice-header entry_point_offsets (7.4.7.1): byte distances

@@ -112,18 +112,31 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
     """In-place deblocking of one frame.
 
     planes: [Y, Cb, Cr] arrays; qp_map: int [h4, w4] luma QP per 4x4;
-    bs_v/bs_h: int [h4, w4] boundary strengths (0..2)."""
+    bs_v/bs_h: int [h4, w4] boundary strengths (0..2).
+
+    beta_offset/tc_offset: scalars, or per-4x4 [h4, w4] maps carrying
+    each slice's offsets at the edge's q-sample position (multi-slice;
+    spec 8.7.2.5: parameters come from the slice containing q0 —
+    reference per-CTB s->deblock[ctb], hevc_filter.c:539)."""
     y = planes[0].astype(np.int32)
     h, w = y.shape
     maxv = (1 << bit_depth) - 1
     sub_w = 2 if chroma_format_idc in (1, 2) else 1
     sub_h = 2 if chroma_format_idc == 1 else 1
+    b_map = isinstance(beta_offset, np.ndarray)
+    t_map = isinstance(tc_offset, np.ndarray)
 
-    def luma_params(qp_p, qp_q, bs):
+    def offs(y4, x4):
+        bo = int(beta_offset[y4, x4]) if b_map else beta_offset
+        to = int(tc_offset[y4, x4]) if t_map else tc_offset
+        return bo, to
+
+    def luma_params(qp_p, qp_q, bs, y4, x4):
+        bo, to = offs(y4, x4)
         qp = (qp_p + qp_q + 1) >> 1
-        beta = int(BETA_TABLE[min(max(qp + beta_offset, 0), 51)]
+        beta = int(BETA_TABLE[min(max(qp + bo, 0), 51)]
                    ) << (bit_depth - 8)
-        tc = int(TC_TABLE[min(max(qp + 2 * (bs - 1) + tc_offset, 0), 53)]
+        tc = int(TC_TABLE[min(max(qp + 2 * (bs - 1) + to, 0), 53)]
                  ) << (bit_depth - 8)
         return beta, tc
 
@@ -135,7 +148,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 continue
             qp_p = int(qp_map[y0 >> 2, (x - 1) >> 2])
             qp_q = int(qp_map[y0 >> 2, x >> 2])
-            beta, tc = luma_params(qp_p, qp_q, bs)
+            beta, tc = luma_params(qp_p, qp_q, bs, y0 >> 2, x >> 2)
             if tc == 0 and beta == 0:
                 continue
             win = y[y0:y0 + 4, x - 4:x + 4]
@@ -160,7 +173,9 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 qp_q = int(qp_map[yl >> 2, xl >> 2])
                 qpi = ((qp_p + qp_q + 1) >> 1) + off
                 qpc = R.chroma_qp(qpi - off, off, chroma_format_idc)
-                tc = int(TC_TABLE[min(max(qpc + 2 + tc_offset, 0), 53)]
+                to = int(tc_offset[yl >> 2, xl >> 2]) if t_map \
+                    else tc_offset
+                tc = int(TC_TABLE[min(max(qpc + 2 + to, 0), 53)]
                          ) << (bit_depth - 8)
                 if tc == 0:
                     continue
@@ -178,7 +193,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 continue
             qp_p = int(qp_map[(ye - 1) >> 2, x0 >> 2])
             qp_q = int(qp_map[ye >> 2, x0 >> 2])
-            beta, tc = luma_params(qp_p, qp_q, bs)
+            beta, tc = luma_params(qp_p, qp_q, bs, ye >> 2, x0 >> 2)
             if tc == 0 and beta == 0:
                 continue
             win = y[ye - 4:ye + 4, x0:x0 + 4].T  # direction-major
@@ -202,7 +217,9 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 qp_q = int(qp_map[yle >> 2, xl >> 2])
                 qpi = ((qp_p + qp_q + 1) >> 1) + off
                 qpc = R.chroma_qp(qpi - off, off, chroma_format_idc)
-                tc = int(TC_TABLE[min(max(qpc + 2 + tc_offset, 0), 53)]
+                to = int(tc_offset[yle >> 2, xl >> 2]) if t_map \
+                    else tc_offset
+                tc = int(TC_TABLE[min(max(qpc + 2 + to, 0), 53)]
                          ) << (bit_depth - 8)
                 if tc == 0:
                     continue

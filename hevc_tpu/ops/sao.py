@@ -82,12 +82,46 @@ class SaoParams:
         return p
 
 
+def _edge_restrict_mask(bh, bw, flags, eo, at_l, at_t, at_r, at_b):
+    """Pixels of one EDGE-SAO CTB left UNFILTERED due to restricted
+    slice/tile borders (reference: hevcdsp_template.c:438
+    sao_edge_restore_1 — full border rows/columns restored except the
+    corner pixels whose diagonal class stays legal)."""
+    from .boundaries import (SAO_D0, SAO_D1, SAO_D2, SAO_D3, SAO_HE0,
+                             SAO_HE1, SAO_VE0, SAO_VE1)
+    m = np.zeros((bh, bw), bool)
+    s_ul = (not flags & SAO_D0) and eo == 2 and not at_l and not at_t
+    s_ur = (not flags & SAO_D1) and eo == 3 and not at_t and not at_r
+    s_lr = (not flags & SAO_D2) and eo == 2 and not at_r and not at_b
+    s_ll = (not flags & SAO_D3) and eo == 3 and not at_l and not at_b
+    if flags & SAO_VE0 and eo != 1:
+        m[int(s_ul):bh - int(s_ll), 0] = True
+    if flags & SAO_VE1 and eo != 1:
+        m[int(s_ur):bh - int(s_lr), bw - 1] = True
+    if flags & SAO_HE0 and eo != 0:
+        m[0, int(s_ul):bw - int(s_ur)] = True
+    if flags & SAO_HE1 and eo != 0:
+        m[bh - 1, int(s_ll):bw - int(s_lr)] = True
+    if flags & SAO_D0 and eo == 2:
+        m[0, 0] = True
+    if flags & SAO_D1 and eo == 3:
+        m[0, bw - 1] = True
+    if flags & SAO_D2 and eo == 2:
+        m[bh - 1, bw - 1] = True
+    if flags & SAO_D3 and eo == 3:
+        m[bh - 1, 0] = True
+    return m
+
+
 def apply_sao_frame(planes, sao_map, ctb_size: int, bit_depth: int,
-                    sub_w: int, sub_h: int):
+                    sub_w: int, sub_h: int, edge_flags=None):
     """Apply SAO in place.  sao_map: dict (ctb_x, ctb_y) -> SaoParams
-    (missing entries = off)."""
+    (missing entries = off).  edge_flags: optional per-CTB uint8 map of
+    boundaries.SAO_* bits restricting edge SAO at slice/tile edges."""
     snap = [p.copy() for p in planes]
     h, w = planes[0].shape
+    cty = -(-h // ctb_size)
+    ctx = -(-w // ctb_size)
     for (cx, cy), prm in sao_map.items():
         for c_idx in range(3):
             t = prm.type_idx[c_idx]
@@ -111,5 +145,13 @@ def apply_sao_frame(planes, sao_map, ctb_size: int, bit_depth: int,
                 out = sao_edge(snap[c_idx], x0, y0, bw, bh,
                                prm.eo_class[c_idx], prm.offsets[c_idx],
                                bit_depth)
+                fl = int(edge_flags[cy, cx]) if edge_flags is not None \
+                    else 0
+                if fl:
+                    cur = snap[c_idx][y0:y0 + bh, x0:x0 + bw]
+                    m = _edge_restrict_mask(
+                        bh, bw, fl, prm.eo_class[c_idx],
+                        cx == 0, cy == 0, cx == ctx - 1, cy == cty - 1)
+                    out = np.where(m, cur, out)
             planes[c_idx][y0:y0 + bh, x0:x0 + bw] = \
                 out.astype(planes[c_idx].dtype)

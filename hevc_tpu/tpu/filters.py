@@ -127,6 +127,12 @@ def _luma_pass(y, qp4, bs4, beta_off, tc_off, bd):
     qp_p = qp4[:, 1::2][:, :n_e]
     qp_q = qp4[:, 2::2][:, :n_e]
     qp = (qp_p + qp_q + 1) >> 1
+    # per-slice offsets: [h4, w4] maps sampled at the edge's q position
+    # (multi-slice; scalars otherwise)
+    if getattr(beta_off, "ndim", 0) == 2:
+        beta_off = beta_off[:, 2::2][:, :n_e]
+    if getattr(tc_off, "ndim", 0) == 2:
+        tc_off = tc_off[:, 2::2][:, :n_e]
     beta = jnp.asarray(_BETA)[jnp.clip(qp + beta_off, 0, 51)] << (bd - 8)
     tc = jnp.asarray(_TC)[jnp.clip(qp + 2 * (bs - 1) + tc_off, 0, 53)] \
         << (bd - 8)
@@ -160,6 +166,8 @@ def _chroma_pass(c, qp4, bs4, tc_off, qp_off, bd, sub):
     qp_q = qp4[:: sub, :][: s, :][:, 2 * sub:: 2 * sub][:, :n_e]
     qpi = ((qp_p + qp_q + 1) >> 1) + qp_off
     qpc = jnp.asarray(_QPC_LUT)[jnp.clip(qpi, 0, 57)]
+    if getattr(tc_off, "ndim", 0) == 2:
+        tc_off = tc_off[:: sub, :][: s, :][:, 2 * sub:: 2 * sub][:, :n_e]
     tc = jnp.asarray(_TC)[jnp.clip(qpc + 2 + tc_off, 0, 53)] << (bd - 8)
     outs = _chroma_filter_segments(seg, tc, maxv)
     outs = jnp.where((bs == 2)[..., None, None], outs, seg)
@@ -178,9 +186,11 @@ def deblock_jax(y, cb, cr, qp4, bs_v4, bs_h4, beta_off, tc_off,
     cb = _chroma_pass(cb, qp4, bs_v4, tc_off, cb_qp_off, bd, sub_w)
     cr = _chroma_pass(cr, qp4, bs_v4, tc_off, cr_qp_off, bd, sub_w)
     # horizontal edges = vertical pass on the transposed plane
-    y = _luma_pass(y.T, qp4.T, bs_h4.T, beta_off, tc_off, bd).T
-    cb = _chroma_pass(cb.T, qp4.T, bs_h4.T, tc_off, cb_qp_off, bd, sub_h).T
-    cr = _chroma_pass(cr.T, qp4.T, bs_h4.T, tc_off, cr_qp_off, bd, sub_h).T
+    bo_t = beta_off.T if getattr(beta_off, "ndim", 0) == 2 else beta_off
+    to_t = tc_off.T if getattr(tc_off, "ndim", 0) == 2 else tc_off
+    y = _luma_pass(y.T, qp4.T, bs_h4.T, bo_t, to_t, bd).T
+    cb = _chroma_pass(cb.T, qp4.T, bs_h4.T, to_t, cb_qp_off, bd, sub_h).T
+    cr = _chroma_pass(cr.T, qp4.T, bs_h4.T, to_t, cr_qp_off, bd, sub_h).T
     return y, cb, cr
 
 
@@ -198,13 +208,17 @@ def _upsample(m, cs, h, w):
 
 @partial(jax.jit, static_argnames=("ctb_log2", "bd"))
 def sao_plane_jax(plane, type_map, band_pos, offs4, eo_class, ctb_log2,
-                  bd):
+                  bd, edge_flags=None):
     """SAO for one plane — gather-free (masked sums over upsampled maps).
 
     plane: int32 [h, w]; type_map: int32 [cty, ctx] (0 off / 1 band /
     2 edge); band_pos: int32 [cty, ctx]; offs4: int32 [cty, ctx, 4]
     (band offsets k=0..3, or signed edge offsets for categories 1..4);
-    eo_class: int32 [cty, ctx]; ctb_log2 in plane samples."""
+    eo_class: int32 [cty, ctx]; ctb_log2 in plane samples.
+
+    edge_flags (optional): per-CTB int32 of ops.boundaries.SAO_* bits —
+    restricted slice/tile borders whose edge-SAO pixels stay unfiltered
+    (reference: hevcdsp_template.c:438 sao_edge_restore_1)."""
     h, w = plane.shape
     cs = 1 << ctb_log2
     maxv = (1 << bd) - 1
@@ -227,6 +241,20 @@ def sao_plane_jax(plane, type_map, band_pos, offs4, eo_class, ctb_log2,
     def shifted(dy, dx):
         return jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
 
+    if edge_flags is not None:
+        fl = _upsample(edge_flags, cs, h, w)
+        xm, ym = xx % cs, yy % cs
+        cond_l = xm == 0
+        cond_r = (xm == cs - 1) | (xx == w - 1)
+        cond_t = ym == 0
+        cond_b = (ym == cs - 1) | (yy == h - 1)
+        at_l = xx < cs
+        at_t = yy < cs
+        at_r = (xx >> ctb_log2) == ((w - 1) >> ctb_log2)
+        at_b = (yy >> ctb_log2) == ((h - 1) >> ctb_log2)
+        bit = [(fl & (1 << i)) != 0 for i in range(8)]
+        ve0, ve1, he0, he1, d0, d1, d2, d3 = bit
+
     edge_out = plane
     for k, (ay, ax, by, bx) in enumerate(_EO):
         a = shifted(ay, ax)
@@ -239,6 +267,32 @@ def sao_plane_jax(plane, type_map, band_pos, offs4, eo_class, ctb_log2,
         valid = ((yy + ay >= 0) & (yy + ay < h) & (xx + ax >= 0)
                  & (xx + ax < w) & (yy + by >= 0) & (yy + by < h)
                  & (xx + bx >= 0) & (xx + bx < w))
+        if edge_flags is not None:
+            # restricted borders: the reference restores full border
+            # rows/columns except corners whose diagonal class stays
+            # legal (sao_edge_restore_1 save_upper_left etc.)
+            s_ul = (k == 2) & ~d0 & ~at_l & ~at_t
+            s_ur = (k == 3) & ~d1 & ~at_t & ~at_r
+            s_lr = (k == 2) & ~d2 & ~at_r & ~at_b
+            s_ll = (k == 3) & ~d3 & ~at_l & ~at_b
+            restr = jnp.zeros((h, w), bool)
+            if k != 1:
+                restr |= ve0 & cond_l & ~(cond_t & s_ul) \
+                    & ~(cond_b & s_ll)
+                restr |= ve1 & cond_r & ~(cond_t & s_ur) \
+                    & ~(cond_b & s_lr)
+            if k != 0:
+                restr |= he0 & cond_t & ~(cond_l & s_ul) \
+                    & ~(cond_r & s_ur)
+                restr |= he1 & cond_b & ~(cond_l & s_ll) \
+                    & ~(cond_r & s_lr)
+            if k == 2:
+                restr |= d0 & cond_t & cond_l
+                restr |= d2 & cond_b & cond_r
+            if k == 3:
+                restr |= d1 & cond_t & cond_r
+                restr |= d3 & cond_b & cond_l
+            valid = valid & ~restr
         res = jnp.where(valid, jnp.clip(plane + off, 0, maxv), plane)
         edge_out = jnp.where(cls == k, res, edge_out)
     out = jnp.where(t == 1, band_out,

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pack import DUMP, PAD_REF, region_offsets
+
+DUMP16 = 30000  # int16-safe OOB scatter sentinel for padding MC rows
 from .recon import _residuals
 from .transforms import residual_batch  # noqa: F401  (re-export surface)
 
@@ -107,13 +109,18 @@ def _mc_tile_phase(canvas, refs_l, refs_c, groups, bd):
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
-                    refs_y, refs_cb, refs_cr, spec):
-    """One frame's full stage B from the packed metadata buffer.
+def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
+                    canvas0, refs_y, refs_cb, refs_cr, spec):
+    """One frame's full stage B from the packed metadata buffers.
 
-    spec (static): dict-as-tuple — see _make_spec.  Returns
-    (out_y, out_cb, out_cr [output dtype], pad_y, pad_cb, pad_cr
-    [int32, PAD_REF replication-padded])."""
+    meta: int32 (prediction scalars / residual meta / SAO / dboff);
+    meta16: int16 MC rows; meta8: int8 QP + BS maps — split by dtype to
+    minimise host->device bytes (this rig's device link is ~25 MB/s
+    shared both ways, so upload size is decode throughput).
+
+    spec (static): dict-as-tuple — see pack_frame_pipeline.  Returns
+    (fused output buffer, pad_y, pad_cb, pad_cr [int32, PAD_REF
+    replication-padded])."""
     from .filters import deblock_jax, sao_plane_jax
     from .intra import reconstruct_wavefront
     S = dict(spec)
@@ -138,11 +145,16 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
     for c in range(4):
         nlv = S["nlv"][c]
         rmeta.append(take(nlv * 9, (nlv, 9)))
+    pos16 = 0
     mc_groups = []
     for (is_ch, bi, wp, w, h, nrow) in S["mc_groups"]:
-        rows = take(nrow * 17, (nrow, 17))
+        rows16 = jax.lax.dynamic_slice(meta16, (pos16,),
+                                       (max(nrow * 17, 1),))
+        pos16 += nrow * 17
         if nrow:
-            mc_groups.append((is_ch, bi, wp, w, h, rows))
+            mc_groups.append((is_ch, bi, wp, w, h,
+                              rows16[:nrow * 17].reshape(nrow, 17)
+                              .astype(jnp.int32)))
     resid_fields = []
     for c in range(4):
         nrow = S["resid_rows"][c]
@@ -151,9 +163,22 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
     sao_b = take(3 * cth * ctw, (3, cth, ctw))
     sao_e = take(3 * cth * ctw, (3, cth, ctw))
     sao_o = take(3 * cth * ctw * 4, (3, cth, ctw, 4))
-    qp4 = take(h4 * w4, (h4, w4))
-    bs_v = take(h4 * w4, (h4, w4))
-    bs_h = take(h4 * w4, (h4, w4))
+    pos8 = 0
+
+    def take8(n, shape):
+        nonlocal pos8
+        out = jax.lax.dynamic_slice(meta8, (pos8,), (max(n, 1),))
+        pos8 += n
+        return out[:n].reshape(shape).astype(jnp.int32)
+
+    qp4 = take8(h4 * w4, (h4, w4))
+    bs_v = take8(h4 * w4, (h4, w4))
+    bs_h = take8(h4 * w4, (h4, w4))
+    beta4 = tc4 = sao_flags = None
+    if S["per_slice"]:
+        beta4 = take8(h4 * w4, (h4, w4))
+        tc4 = take8(h4 * w4, (h4, w4))
+        sao_flags = take8(cth * ctw, (cth, ctw)) & 0xFF
     dboff = take(4, (4,))
 
     # avail bitmaps (uint8 -> bool), per class
@@ -195,8 +220,10 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
         planes.append(jax.lax.dynamic_slice(out, (oy, ox), (h, w)))
     y, cb, cr = planes
     if S["do_deblock"]:
-        y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, dboff[0],
-                                dboff[1], dboff[2], dboff[3], bd=bd,
+        bo = beta4 if S["per_slice"] else dboff[0]
+        to = tc4 if S["per_slice"] else dboff[1]
+        y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, bo,
+                                to, dboff[2], dboff[3], bd=bd,
                                 sub_w=S["sub_w"], sub_h=S["sub_h"])
     if S["do_sao"]:
         outp = []
@@ -204,7 +231,8 @@ def _pipeline_frame(meta, avail_u8, levels16, scale_bank, canvas0,
             lg = S["ctb_log2"] - (0 if plane == 0 else
                                   (S["sub_w"].bit_length() - 1))
             outp.append(sao_plane_jax(p, sao_t[plane], sao_b[plane],
-                                      sao_o[plane], sao_e[plane], lg, bd))
+                                      sao_o[plane], sao_e[plane], lg, bd,
+                                      edge_flags=sao_flags))
         y, cb, cr = outp
     odt = jnp.uint8 if bd <= 8 else jnp.uint16
     pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
@@ -387,6 +415,7 @@ def pack_frame_pipeline(pic):
     _t_mc = trace.span("pack.mc")
     _t_mc.__enter__()
     mcr = mcrow[:nm]
+    parts16 = []      # int16 meta (MC rows)
     mc_groups = []
     if nm:
         wp_flag = (mcr[:, 20] >= 0).astype(np.int32)
@@ -399,12 +428,14 @@ def pack_frame_pipeline(pic):
         for a, b in zip(bounds[:-1], bounds[1:]):
             is_ch, bi, wp, w, h = (int(v) for v in keys[a])
             n_g = _pow2_at_least(b - a)
-            rows = np.zeros((n_g, 17), np.int32)
+            rows = np.zeros((n_g, 17), np.int16)
             rows[:b - a] = srt[a:b][:, 4:21]
-            rows[b - a:, 10] = DUMP  # padding rows scatter nowhere
-            rows[b - a:, 11] = DUMP
+            # padding rows scatter out of canvas bounds (dropped);
+            # int16-safe sentinel (canvas dims stay far below it)
+            rows[b - a:, 10] = DUMP16
+            rows[b - a:, 11] = DUMP16
             mc_groups.append((bool(is_ch), bool(bi), bool(wp), w, h, n_g))
-            parts.append(rows.reshape(-1))
+            parts16.append(rows.reshape(-1))
 
     _t_mc.__exit__(None, None, None)
     rr = residr[:nr]
@@ -431,25 +462,62 @@ def pack_frame_pipeline(pic):
     parts += [sao_t.reshape(-1), sao_b.reshape(-1), sao_e.reshape(-1),
               sao_o.reshape(-1)]
     dbp = getattr(pic, "deblock_params", None)
-    do_deblock = dbp is not None
-    if do_deblock:
+    slice_params = getattr(pic, "slice_params", None) or []
+    pps = pic.pps
+    per_slice = len(slice_params) > 1 or (
+        pps.tiles_enabled and not pps.loop_filter_across_tiles)
+    if per_slice:
+        # multi-slice filter semantics: gated BS + per-4x4 offset maps
+        # + per-CTB SAO edge-restriction flags travel in meta8
+        from ..ops.boundaries import (gate_bs, sao_edge_flag_map,
+                                      slice_param_arrays, upsample4)
+        cs = 1 << sps.log2_ctb_size
+        beta_c, tc_c, dis_c, lfa_c = slice_param_arrays(
+            pic.slice_idx, slice_params or [{}])
+        tiles_m = np.asarray(pps.tile_of_ctb) if pps.tiles_enabled \
+            else np.zeros_like(pic.slice_idx)
+        do_deblock = not (dis_c == 1).all()
+        if do_deblock:
+            pic.compute_bs()
+            gv, gh = gate_bs(pic.bs_v, pic.bs_h, pic.slice_idx,
+                             tiles_m, lfa_c, dis_c,
+                             bool(pps.loop_filter_across_tiles), cs)
+        else:
+            gv = gh = np.zeros((pic.h4, pic.w4), np.int8)
+        flags = sao_edge_flag_map(pic.slice_idx, tiles_m, lfa_c,
+                                  bool(pps.loop_filter_across_tiles),
+                                  bool(pps.tiles_enabled))
+        parts8 = [pic.qp_y.astype(np.int8).reshape(-1),
+                  gv.astype(np.int8).reshape(-1),
+                  gh.astype(np.int8).reshape(-1),
+                  upsample4(beta_c, cs, pic.h4, pic.w4)
+                  .astype(np.int8).reshape(-1),
+                  upsample4(tc_c, cs, pic.h4, pic.w4)
+                  .astype(np.int8).reshape(-1),
+                  flags.view(np.int8).reshape(-1)]
+        parts.append(np.array([0, 0, pps.cb_qp_offset,
+                               pps.cr_qp_offset], np.int32))
+    elif dbp is not None:
+        do_deblock = True
         pic.compute_bs()
-        parts += [pic.qp_y.astype(np.int32).reshape(-1),
-                  pic.bs_v.astype(np.int32).reshape(-1),
-                  pic.bs_h.astype(np.int32).reshape(-1),
-                  np.array([dbp["beta_offset"], dbp["tc_offset"],
-                            dbp["cb_qp_offset"], dbp["cr_qp_offset"]],
-                           np.int32)]
+        parts8 = [pic.qp_y.astype(np.int8).reshape(-1),
+                  pic.bs_v.astype(np.int8).reshape(-1),
+                  pic.bs_h.astype(np.int8).reshape(-1)]
+        parts.append(np.array([dbp["beta_offset"], dbp["tc_offset"],
+                               dbp["cb_qp_offset"], dbp["cr_qp_offset"]],
+                              np.int32))
     else:
-        parts += [np.zeros(pic.h4 * pic.w4, np.int32),
-                  np.zeros(pic.h4 * pic.w4, np.int32),
-                  np.zeros(pic.h4 * pic.w4, np.int32),
-                  np.zeros(4, np.int32)]
+        do_deblock = False
+        parts8 = [np.zeros(pic.h4 * pic.w4 * 3, np.int8)]
+        parts.append(np.zeros(4, np.int32))
 
     # meta order matches _pipeline_frame's reads: scal0..3, rmeta0..3,
     # mc groups, resid groups, sao (t, b, e, o), qp4, bs_v, bs_h, dboff
     with trace.span("pack.cat"):
         meta = np.concatenate(parts)
+        meta16 = np.concatenate(parts16) if parts16 \
+            else np.zeros(1, np.int16)
+        meta8 = np.concatenate(parts8)
         avail_u8 = np.concatenate(avail_parts) if any(B) \
             else np.zeros(1, np.uint8)
         levels16 = np.concatenate(lvl_parts)
@@ -457,6 +525,7 @@ def pack_frame_pipeline(pic):
     do_sao = bool(getattr(pic, "has_sao", False)) \
         or bool(getattr(pic, "sao_map", None))
     spec = (
+        ("per_slice", per_slice),
         ("bd", sps.bit_depth_luma),
         ("n_chunks", n_chunks),
         ("B", tuple(B)),
@@ -471,7 +540,7 @@ def pack_frame_pipeline(pic):
         ("do_deblock", do_deblock), ("do_sao", do_sao),
         ("n_refs", n_refs),
     )
-    return meta, avail_u8, levels16, canvas0, spec
+    return meta, meta16, meta8, avail_u8, levels16, canvas0, spec
 
 
 class LazyPlanes:
@@ -555,7 +624,8 @@ def finish_frame_pipeline(pic, lay, poc: int):
     wraps them in LazyPlanes instead of blocking on a fetch."""
     from .. import trace
     with trace.span("pack_native"):
-        meta, avail_u8, levels16, canvas0, spec = pack_frame_pipeline(pic)
+        (meta, meta16, meta8, avail_u8, levels16, canvas0,
+         spec) = pack_frame_pipeline(pic)
     dpb_dev = getattr(lay, "dpb_dev", None)
     if dpb_dev is None:
         dpb_dev = lay.dpb_dev = {}
@@ -579,7 +649,8 @@ def finish_frame_pipeline(pic, lay, poc: int):
             refs_cr.append(pcr)
 
     with trace.span("device_dispatch"):
-        out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(avail_u8),
+        out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(meta16),
+                              jnp.asarray(meta8), jnp.asarray(avail_u8),
                               jnp.asarray(levels16), _dev_scale_bank(pic),
                               canvas0, tuple(refs_y), tuple(refs_cb),
                               tuple(refs_cr), spec)
