@@ -49,23 +49,65 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _bucket_rows(n):
+    """Row-count bucket: multiples of 2^(log2(n)-2), min 16 — bounds
+    padding waste to ~25% and distinct shapes to 4 per octave."""
+    if n <= 16:
+        return 16
+    m = 1 << max(2, (n - 1).bit_length() - 2)
+    return -(-n // m) * m
+
+
 # ---------------------------------------------------------------------------
 # device program
 # ---------------------------------------------------------------------------
 
 def _mc_tile_phase(canvas, refs_l, refs_c, groups, bd):
-    """MC over per-PU groups: groups = tuple of (is_ch, bi, wp, w, h,
-    rows[N, 17]) with row layout (sel, by, bx, fx, fy, sel1, by1, bx1,
-    fx1, fy1, cy, cx, w0, o0, w1, o1, log2wd); padding rows scatter to
-    DUMP and are dropped."""
+    """MC over per-PU groups: groups = tuple of (is_ch, bi, wp, kind,
+    w, h, rows[N, 17]) with row layout (sel, by, bx, fx, fy, sel1, by1,
+    bx1, fx1, fy1, cy, cx, w0, o0, w1, o1, log2wd); padding rows
+    scatter to DUMP and are dropped.
+
+    kind specializes the interpolation like the reference's
+    [pel|h|v|hv] kernel grid (hevcdsp.h:98): 0 = full-pel copy (both
+    refs for bi), 1 = horizontal-only, 2 = vertical-only, 3 = full
+    separable.  Specialized kinds read smaller windows and skip the
+    identity convolution passes (bit-exact: frac-0 taps are a pure
+    64-weight at the centre)."""
     from .mc import EPEL_TAPS, QPEL_TAPS, _interp_raw
     maxv = (1 << bd) - 1
-    for is_ch, bi, wp, w, h, rows in groups:
+    for is_ch, bi, wp, kind, w, h, rows in groups:
         refs = refs_c if is_ch else refs_l
         ntaps = 4 if is_ch else 8
+        pre = ntaps // 2 - 1  # centre-tap offset (3 luma / 1 chroma)
         taps = jnp.asarray(EPEL_TAPS if is_ch else QPEL_TAPS)
+        shift1 = bd - 8
 
         def raw(f, o):
+            if kind == 0:      # full-pel: pure window copy, 14-bit
+                win = jax.lax.dynamic_slice(
+                    refs, (f[o], f[o + 1] + pre, f[o + 2] + pre),
+                    (1, h, w))[0]
+                return win << (14 - bd)
+            if kind == 1:      # horizontal only
+                win = jax.lax.dynamic_slice(
+                    refs, (f[o], f[o + 1] + pre, f[o + 2]),
+                    (1, h, w + ntaps - 1))[0]
+                th = taps[f[o + 3]]
+                tmp = jnp.zeros((h, w), jnp.int32)
+                for i in range(ntaps):
+                    tmp = tmp + th[i] * win[:, i:i + w]
+                return tmp >> shift1 if shift1 else tmp
+            if kind == 2:      # vertical only
+                win = jax.lax.dynamic_slice(
+                    refs, (f[o], f[o + 1], f[o + 2] + pre),
+                    (1, h + ntaps - 1, w))[0]
+                t = win << (6 - shift1)
+                tv = taps[f[o + 4]]
+                out = jnp.zeros((h, w), jnp.int32)
+                for i in range(ntaps):
+                    out = out + tv[i] * t[i:i + h, :]
+                return out >> 6
             win = jax.lax.dynamic_slice(
                 refs, (f[o], f[o + 1], f[o + 2]),
                 (1, h + ntaps - 1, w + ntaps - 1))[0]
@@ -147,12 +189,12 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
         rmeta.append(take(nlv * 9, (nlv, 9)))
     pos16 = 0
     mc_groups = []
-    for (is_ch, bi, wp, w, h, nrow) in S["mc_groups"]:
+    for (is_ch, bi, wp, kind, w, h, nrow) in S["mc_groups"]:
         rows16 = jax.lax.dynamic_slice(meta16, (pos16,),
                                        (max(nrow * 17, 1),))
         pos16 += nrow * 17
         if nrow:
-            mc_groups.append((is_ch, bi, wp, w, h,
+            mc_groups.append((is_ch, bi, wp, kind, w, h,
                               rows16[:nrow * 17].reshape(nrow, 17)
                               .astype(jnp.int32)))
     resid_fields = []
@@ -411,7 +453,9 @@ def pack_frame_pipeline(pic):
         parts.append(rms[c].reshape(-1))
         lvl_parts.append(lv16s[c].reshape(-1))
     _t_lvl.__exit__(None, None, None)
-    # MC groups keyed (is_ch, bi, wp, w, h), pow2-bucketed rows
+    # MC groups keyed (is_ch, bi, wp, kind, w, h): kind = the
+    # reference's pel/h/v/hv kernel-grid class (hevcdsp.h:98); rows
+    # bucketed to <=25% padding (4 shape classes per octave)
     _t_mc = trace.span("pack.mc")
     _t_mc.__enter__()
     mcr = mcrow[:nm]
@@ -419,22 +463,43 @@ def pack_frame_pipeline(pic):
     mc_groups = []
     if nm:
         wp_flag = (mcr[:, 20] >= 0).astype(np.int32)
-        order = np.lexsort((mcr[:, 3], mcr[:, 2], wp_flag, mcr[:, 1],
-                            mcr[:, 0]))
+        uni_kind = ((mcr[:, 7] != 0) + 2 * (mcr[:, 8] != 0))
+        bi_zero = (mcr[:, 7] | mcr[:, 8]
+                   | mcr[:, 12] | mcr[:, 13]) == 0
+        kind = np.where(mcr[:, 1] == 1, np.where(bi_zero, 0, 3),
+                        uni_kind).astype(np.int32)
+        # fold sparse specializations back into the generic kernel:
+        # per-kernel launch overhead outweighs the specialized win for
+        # small groups (kind 3 is correct for every frac)
+        base = (mcr[:, 0] * 8 + mcr[:, 1] * 4 + wp_flag) * (1 << 20) \
+            + mcr[:, 2] * 1024 + mcr[:, 3]
+        for k in (0, 1, 2):
+            sel = kind == k
+            if not sel.any():
+                continue
+            ids, cnt = np.unique(base[sel], return_counts=True)
+            small = set(ids[cnt < 256].tolist())
+            if small:
+                fold = sel & np.isin(base, list(small))
+                kind[fold] = 3
+        order = np.lexsort((mcr[:, 3], mcr[:, 2], kind, wp_flag,
+                            mcr[:, 1], mcr[:, 0]))
         srt = mcr[order]
-        keys = np.column_stack([srt[:, :2], wp_flag[order], srt[:, 2:4]])
+        keys = np.column_stack([srt[:, :2], wp_flag[order],
+                                kind[order], srt[:, 2:4]])
         bounds = [0] + (np.nonzero(np.any(np.diff(keys, axis=0) != 0,
                                           axis=1))[0] + 1).tolist() + [nm]
         for a, b in zip(bounds[:-1], bounds[1:]):
-            is_ch, bi, wp, w, h = (int(v) for v in keys[a])
-            n_g = _pow2_at_least(b - a)
+            is_ch, bi, wp, knd, w, h = (int(v) for v in keys[a])
+            n_g = _bucket_rows(b - a)
             rows = np.zeros((n_g, 17), np.int16)
             rows[:b - a] = srt[a:b][:, 4:21]
             # padding rows scatter out of canvas bounds (dropped);
             # int16-safe sentinel (canvas dims stay far below it)
             rows[b - a:, 10] = DUMP16
             rows[b - a:, 11] = DUMP16
-            mc_groups.append((bool(is_ch), bool(bi), bool(wp), w, h, n_g))
+            mc_groups.append((bool(is_ch), bool(bi), bool(wp), knd,
+                              w, h, n_g))
             parts16.append(rows.reshape(-1))
 
     _t_mc.__exit__(None, None, None)
