@@ -35,11 +35,13 @@ class DecodedPictureHash:
         return bytes([0]) + b"".join(self.md5)
 
     @classmethod
-    def parse(cls, data: bytes, num_planes: int = 3) -> "DecodedPictureHash":
+    def parse(cls, data: bytes, num_planes: int = 0) -> "DecodedPictureHash":
         h = cls()
         h.hash_type = data[0]
         if h.hash_type == 0:
-            h.md5 = [data[1 + 16 * i:1 + 16 * (i + 1)] for i in range(num_planes)]
+            # plane count from the payload length (1 for monochrome)
+            n = num_planes or (len(data) - 1) // 16
+            h.md5 = [data[1 + 16 * i:1 + 16 * (i + 1)] for i in range(n)]
         return h
 
 

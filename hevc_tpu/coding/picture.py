@@ -42,9 +42,10 @@ class PictureState:
         w, h = sps.width, sps.height
         cw, ch = w // sps.sub_w, h // sps.sub_h
         dt = np.uint8 if sps.bit_depth_luma <= 8 else np.uint16
-        self.planes = [np.zeros((h, w), dt),
-                       np.zeros((ch, cw), dt),
-                       np.zeros((ch, cw), dt)]
+        self.planes = [np.zeros((h, w), dt)]
+        if sps.chroma_format_idc:
+            self.planes += [np.zeros((ch, cw), dt),
+                            np.zeros((ch, cw), dt)]
         self.w4 = -(-w // 4)
         self.h4 = -(-h // 4)
         # z-order map is a pure function of the SPS/PPS geometry and is

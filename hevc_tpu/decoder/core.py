@@ -517,13 +517,14 @@ class SliceDecoder:
                     w1 = o1 = 0
                 return (w0, o0, w1, o1, denom + 14 - bdx)
 
+            chroma_cs = (1, 2) if sps.chroma_format_idc else ()
             if bi:
                 self.plan.append(BlockRecord(
                     plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
                     levels=None, kind="mc", bi=True, mv=mi.mv0,
                     ref_idx=mi.ref0, mv1=mi.mv1, ref_idx1=mi.ref1,
                     wp=wp_rec(0)))
-                for c in (1, 2):
+                for c in chroma_cs:
                     self.plan.append(BlockRecord(
                         plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
                         levels=None, kind="mc", bi=True, mv=mi.mv0,
@@ -537,7 +538,7 @@ class SliceDecoder:
                     plane=0, x=x_pb, y=y_pb, size=n_w, h=n_h, mode=0, qp=0,
                     levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx,
                     wp=wp_rec(0)))
-                for c in (1, 2):
+                for c in chroma_cs:
                     self.plan.append(BlockRecord(
                         plane=c, x=xc, y=yc, size=wc, h=hc, mode=0, qp=0,
                         levels=None, kind="mc", mv=mv, ref_idx=ridx, lx=lx,
@@ -545,7 +546,7 @@ class SliceDecoder:
         else:
             hs, vs = sps.sub_w - 1, sps.sub_h - 1
             planes_pred = []
-            for c in range(3):
+            for c in range(3 if sps.chroma_format_idc else 1):
                 bdx = bd if c == 0 else bdc
                 px, py = (x_pb, y_pb) if c == 0 else (xc, yc)
                 pw, ph = (n_w, n_h) if c == 0 else (wc, hc)
@@ -599,7 +600,7 @@ class SliceDecoder:
                 planes_pred.append(out)
             pic.planes[0][y_pb:y_pb + n_h, x_pb:x_pb + n_w] = \
                 planes_pred[0].astype(pic.planes[0].dtype)
-            for c in (1, 2):
+            for c in ((1, 2) if sps.chroma_format_idc else ()):
                 pic.planes[c][yc:yc + hc, xc:xc + wc] = \
                     planes_pred[c].astype(pic.planes[c].dtype)
         y4, x4 = y_pb >> 2, x_pb >> 2
@@ -802,9 +803,13 @@ class SliceDecoder:
                              xp >> 2:(xp >> 2) + g4] = mode
             pic.is_intra[yp >> 2:(yp >> 2) + g4,
                          xp >> 2:(xp >> 2) + g4] = True
-        # chroma mode (4:2:0 / 4:4:4-single): one per CU
+        # chroma mode (4:2:0 / 4:4:4-single): one per CU; absent for
+        # monochrome (ChromaArrayType == 0, 7.3.8.5)
         if sps.chroma_format_idc in (1, 2):
             n_cpb = 1
+        elif sps.chroma_format_idc == 0:
+            n_cpb = 0
+            cu.chroma_mode = 0
         else:
             n_cpb = n_pb
         chroma_modes = []
@@ -819,7 +824,8 @@ class SliceDecoder:
             chroma_modes.append(chroma_mode_from_idx(idx, luma_ref))
             if i == 0:
                 cu.chroma_dm = idx == 4  # DM: CCP intra gate
-        cu.chroma_mode = chroma_modes[0]
+        if chroma_modes:
+            cu.chroma_mode = chroma_modes[0]
 
         # bookkeeping for neighbour contexts
         gq = size >> 2
@@ -934,7 +940,8 @@ class SliceDecoder:
         else:
             split = 1 if (log2_size > sps.log2_max_tb_size
                           or intra_split_here or inter_split_here) else 0
-        chroma_here = log2_size > 2 or sps.chroma_format_idc == 3
+        chroma_here = sps.chroma_format_idc != 0 \
+            and (log2_size > 2 or sps.chroma_format_idc == 3)
         is422 = sps.chroma_format_idc == 2
         cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par  # (first, second) pairs
         if chroma_here:
@@ -1157,8 +1164,9 @@ class SliceDecoder:
         rec_y = self._recon_block(0, x0, y0, size, mode_y, lv_y, ts_y, cu,
                                   rdpcm=rd_y, rot=rot_y)
         # ---- chroma ----
-        chroma_here = (log2_size > 2 or sps.chroma_format_idc == 3
-                       or blk_idx == 3)
+        chroma_here = sps.chroma_format_idc != 0 \
+            and (log2_size > 2 or sps.chroma_format_idc == 3
+                 or blk_idx == 3)
         if not chroma_here:
             return
         fmt = sps.chroma_format_idc
@@ -1565,6 +1573,7 @@ class Decoder:
                 lay.cur_pic.plan = []
                 if self.recon_backend == "jax" and _native_slice() \
                         and not pps.dependent_slice_segments_enabled \
+                        and sps.chroma_format_idc != 0 \
                         and os.environ.get("HEVC_TPU_NATIVE_PACK",
                                            "1") != "0":
                     # raw record chunks feed the native packer directly
@@ -1861,7 +1870,13 @@ class Decoder:
         plan = getattr(pic, "plan", None)
         dev_out = None
         if plan is not None:
-            if self.recon_backend == "jax":
+            if self.recon_backend == "jax" \
+                    and pic.sps.chroma_format_idc == 0:
+                # monochrome: the device pipeline's 3-plane layout does
+                # not apply; use the NumPy executor (gray streams are a
+                # niche; the reference's own gray inter path is broken)
+                execute_plan_numpy(pic, plan)
+            elif self.recon_backend == "jax":
                 if getattr(pic, "native_chunks", None) is not None \
                         and os.environ.get("HEVC_TPU_PIPELINE",
                                            "1") != "0":

@@ -657,7 +657,9 @@ class IntraEncoder:
                          collocated_ref_idx=cfg.tmvp_col_ref_idx,
                          qp_delta=cfg.qp - pps.init_qp,
                          sao_luma=1 if cfg.sao else 0,
-                         sao_chroma=1 if cfg.sao else 0,
+                         sao_chroma=1 if (cfg.sao
+                                          and cfg.chroma_format_idc)
+                         else 0,
                          pic_order_cnt_lsb=self.poc & (sps.max_poc_lsb - 1),
                          short_term_rps_sps_flag=1,
                          short_term_rps_idx=(
@@ -737,16 +739,21 @@ class IntraEncoder:
         sei_msgs = []
         if self.frames_encoded == 0 and cfg.sei_side_data:
             sei_msgs += [(t, m.payload()) for t, m in cfg.sei_side_data]
-        if cfg.sei_hash:
-            md5s = picture_md5(self.pic.planes, sps.bit_depth_luma)
-            sei = DecodedPictureHash(hash_type=0, md5=md5s)
-            sei_msgs.append((SEI_TYPE_DECODED_PICTURE_HASH, sei.payload()))
         if sei_msgs:
             au.append((nalmod.NAL_SEI_PREFIX, self.layer_id,
                        self._temporal_id, write_sei_rbsp(sei_msgs)))
         au.append((nal_type, self.layer_id, self._temporal_id, slice_rbsp))
         for rbsp in dep_rbsps:
             au.append((nal_type, self.layer_id, self._temporal_id, rbsp))
+        if cfg.sei_hash:
+            # decoded-picture-hash is a SUFFIX SEI (D.2.1; the reference
+            # only consumes it there — hevc_sei.c:307)
+            md5s = picture_md5(self.pic.planes, sps.bit_depth_luma)
+            sei = DecodedPictureHash(hash_type=0, md5=md5s)
+            au.append((nalmod.NAL_SEI_SUFFIX, self.layer_id,
+                       self._temporal_id, write_sei_rbsp(
+                           [(SEI_TYPE_DECODED_PICTURE_HASH,
+                             sei.payload())])))
         self.frames_encoded += 1
         self.dpb.append((self.poc, [p.astype(np.int32)
                                     for p in self.pic.planes]))
@@ -886,7 +893,7 @@ class IntraEncoder:
             return
         prm = SaoParams()
         cmax = (1 << (min(sps.bit_depth_luma, 10) - 5)) - 1
-        for c_idx in range(3):
+        for c_idx in range(3 if sps.chroma_format_idc else 1):
             if c_idx in (0, 1):
                 t = int(rng.choice([0, SAO_BAND, SAO_EDGE],
                                    p=[0.4, 0.3, 0.3]))
@@ -1061,9 +1068,11 @@ class IntraEncoder:
             else:
                 e.encode_bypass_bits(payload, 5)
 
-        # chroma mode: derived (DM); binarization '0'
+        # chroma mode: derived (DM); binarization '0' (absent for
+        # monochrome, 7.3.8.5)
         chroma_mode = modes[0]
-        e.encode_bin(cm.at("intra_chroma_pred_mode", 0), 0)
+        if sps.chroma_format_idc:
+            e.encode_bin(cm.at("intra_chroma_pred_mode", 0), 0)
 
         # ---- transform tree: plan, compute (z-order), then emit ----------
         max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
@@ -1273,6 +1282,8 @@ class IntraEncoder:
                 self._compute_chroma(
                     node, [(xb >> 1, yb, 2), (xb >> 1, yb + 4, 2)],
                     chroma_mode)
+        elif fmt == 0:
+            pass  # monochrome: no chroma TBs
         elif node.log2 > 2:
             node.chroma_leaf = True
             self._compute_chroma(node, [(x0 >> 1, y0 >> 1, node.log2 - 1)],
@@ -1355,7 +1366,8 @@ class IntraEncoder:
                 and depth < max_trafo_depth and not intra_split_here):
             e.encode_bin(cm.at("split_transform_flag", 5 - log2),
                          1 if node.split else 0)
-        chroma_here = log2 > 2 or sps.chroma_format_idc == 3
+        chroma_here = sps.chroma_format_idc != 0 \
+            and (log2 > 2 or sps.chroma_format_idc == 3)
         is422 = sps.chroma_format_idc == 2
         if chroma_here:
             second = is422 and (not node.split or log2 == 3)
@@ -1491,7 +1503,7 @@ class IntraEncoder:
         wc, hc = w // sps.sub_w, h // sps.sub_h
         hs, vs = sps.sub_w - 1, sps.sub_h - 1
         out = []
-        for c in range(3):
+        for c in range(3 if sps.chroma_format_idc else 1):
             if c == 0:
                 fn = MC.mc_luma
             else:
@@ -1576,7 +1588,9 @@ class IntraEncoder:
         sps, pps = self.sps, self.pps
         size = 1 << log2_size
         bd = sps.bit_depth_luma
-        py, pcb, pcr = preds
+        py = preds[0]
+        pcb, pcr = (preds[1], preds[2]) if sps.chroma_format_idc \
+            else (None, None)
         res_y = self.src[0][y0:y0 + size, x0:x0 + size] - py
         self._inter_ts = (0, 0)  # (ts_flag, rdpcm_dir) for this CU
         if self.cfg.rext_explicit_rdpcm:
@@ -1596,6 +1610,8 @@ class IntraEncoder:
         lv_y = quantize(coef, self.cur_qp + sps.qp_bd_offset, log2_size, bd,
                         intra=False)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
+        if not sps.chroma_format_idc:
+            return (lv_y if lv_y.any() else None), [None], [None]
         out_c = []
         for c_idx, pred in ((1, pcb), (2, pcr)):
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
@@ -1631,7 +1647,9 @@ class IntraEncoder:
         size = 1 << log2_size
         bd = sps.bit_depth_luma
         lv_y, lv_cb, lv_cr = levels
-        py, pcb, pcr = preds
+        py = preds[0]
+        pcb, pcr = (preds[1], preds[2]) if sps.chroma_format_idc \
+            else (None, None)
         xc, yc = x0 // sps.sub_w, y0 // sps.sub_h
         if lv_y is not None:
             ts_y, rd_dir = getattr(self, "_inter_ts", (0, 0))
@@ -1648,6 +1666,8 @@ class IntraEncoder:
                          x0 >> 2:(x0 + size) >> 2] = True
         pic.planes[0][y0:y0 + size, x0:x0 + size] = \
             py.astype(pic.planes[0].dtype)
+        if not sps.chroma_format_idc:
+            return
         blocks = self._inter_chroma_blocks(x0, y0, log2_size)
         for c_idx, (pred, lvs) in ((1, (pcb, lv_cb)), (2, (pcr, lv_cr))):
             if not lvs:
@@ -1942,12 +1962,17 @@ class IntraEncoder:
             e.encode_bin(cm.at("split_transform_flag", 5 - log2_size), 0)
         any_cb = any(lv is not None for lv in lv_cb)
         any_cr = any(lv is not None for lv in lv_cr)
-        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb[0] is None else 1)
-        if is422:
-            e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cb[1] is None else 1)
-        e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr[0] is None else 1)
-        if is422:
-            e.encode_bin(cm.at("cbf_cbcr", 0), 0 if lv_cr[1] is None else 1)
+        if sps.chroma_format_idc:
+            e.encode_bin(cm.at("cbf_cbcr", 0),
+                         0 if lv_cb[0] is None else 1)
+            if is422:
+                e.encode_bin(cm.at("cbf_cbcr", 0),
+                             0 if lv_cb[1] is None else 1)
+            e.encode_bin(cm.at("cbf_cbcr", 0),
+                         0 if lv_cr[0] is None else 1)
+            if is422:
+                e.encode_bin(cm.at("cbf_cbcr", 0),
+                             0 if lv_cr[1] is None else 1)
         if any_cb or any_cr:
             e.encode_bin(cm.at("cbf_luma", 1), 0 if lv_y is None else 1)
         else:
@@ -1965,7 +1990,8 @@ class IntraEncoder:
                             rext=self.rext_enc, pred_inter=True,
                             rdpcm_flag=1 if ts_y else 0,
                             rdpcm_dir=rd_dir)
-        blocks = self._inter_chroma_blocks(x0, y0, log2_size)
+        blocks = self._inter_chroma_blocks(x0, y0, log2_size) \
+            if sps.chroma_format_idc else []
         for c_idx, lvs in ((1, lv_cb), (2, lv_cr)):
             for (bx, by, log2c), lv in zip(blocks, lvs):
                 if lv is not None:

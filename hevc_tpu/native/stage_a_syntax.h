@@ -194,7 +194,9 @@ static void transform_unit(Dec& d, int x0, int y0, int xb, int yb,
     int64_t rec_y = recon_block(d, 0, x0, y0, size, mode_y, lv_y, ts_y,
                                 cu, rd_y, rot_y);
     // ---- chroma ----
-    bool chroma_here = log2_size > 2 || P.chroma_fmt == 3 || blk_idx == 3;
+    bool chroma_here = P.chroma_fmt != 0
+                       && (log2_size > 2 || P.chroma_fmt == 3
+                           || blk_idx == 3);
     if (!chroma_here)
         return;
     int fmt = P.chroma_fmt;
@@ -272,7 +274,8 @@ static void transform_tree(Dec& d, int x0, int y0, int xb, int yb,
                     ? 1
                     : 0;
     }
-    bool chroma_here = log2_size > 2 || P.chroma_fmt == 3;
+    bool chroma_here = P.chroma_fmt != 0
+                       && (log2_size > 2 || P.chroma_fmt == 3);
     bool is422 = P.chroma_fmt == 2;
     int cbf_cb[2] = {cbf_cb_par[0], cbf_cb_par[1]};
     int cbf_cr[2] = {cbf_cr_par[0], cbf_cr_par[1]};
@@ -400,7 +403,7 @@ static void inter_pb(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
     int xc = x_pb / P.sub_w, yc = y_pb / P.sub_h;
     int wc = n_w / P.sub_w, hc = n_h / P.sub_h;
     bool bi = mi.uses_l0() && mi.uses_l1();
-    for (int c = 0; c < 3; c++) {
+    for (int c = 0; c < (P.chroma_fmt ? 3 : 1); c++) {
         int32_t* r = d.new_rec();
         if (!r)
             return;
@@ -807,8 +810,10 @@ static void coding_unit(Dec& d, int x0, int y0, int log2_size, int depth) {
         d.fill4<int8_t>(d.intra_mode_y, xp, yp, g4, (int8_t)mode);
         d.fill4<uint8_t>(d.is_intra, xp, yp, g4, 1);
     }
-    // chroma mode: one per CU for 4:2:0/4:2:2, per PB for 4:4:4
-    int n_cpb = (P.chroma_fmt == 1 || P.chroma_fmt == 2) ? 1 : n_pb;
+    // chroma mode: one per CU for 4:2:0/4:2:2, per PB for 4:4:4,
+    // absent for monochrome (7.3.8.5)
+    int n_cpb = (P.chroma_fmt == 1 || P.chroma_fmt == 2) ? 1
+                : (P.chroma_fmt == 0 ? 0 : n_pb);
     int chroma_modes[4];
     cu.chroma_dm = false;
     for (int i = 0; i < n_cpb; i++) {
@@ -831,7 +836,7 @@ static void coding_unit(Dec& d, int x0, int y0, int log2_size, int depth) {
         }
         chroma_modes[i] = m;
     }
-    cu.chroma_mode = chroma_modes[0];
+    cu.chroma_mode = n_cpb ? chroma_modes[0] : 0;
 
     // bookkeeping for neighbour contexts
     d.fill4<int8_t>(d.ct_depth, x0, y0, gq, (int8_t)depth);

@@ -157,7 +157,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 y[y0:y0 + 4, x - 4:x + 4] = out
     # ---- pass 1b: vertical chroma edges ------------------------------
     cplanes = []
-    for c_idx in (1, 2):
+    for c_idx in ((1, 2) if chroma_format_idc else ()):
         c = planes[c_idx].astype(np.int32)
         ch, cw = c.shape
         off = cb_qp_offset if c_idx == 1 else cr_qp_offset
@@ -201,7 +201,7 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
             if out is not None:
                 y[ye - 4:ye + 4, x0:x0 + 4] = out.T
     # ---- pass 2b: horizontal chroma edges ----------------------------
-    for k, c_idx in enumerate((1, 2)):
+    for k, c_idx in enumerate((1, 2) if chroma_format_idc else ()):
         c = cplanes[k]
         ch, cw = c.shape
         off = cb_qp_offset if c_idx == 1 else cr_qp_offset
@@ -229,5 +229,6 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                     _filter_chroma_segment(win.copy(), tc, maxv).T
     dt = planes[0].dtype
     planes[0][:] = y.astype(dt)
-    planes[1][:] = cplanes[0].astype(dt)
-    planes[2][:] = cplanes[1].astype(dt)
+    if chroma_format_idc:
+        planes[1][:] = cplanes[0].astype(dt)
+        planes[2][:] = cplanes[1].astype(dt)

@@ -123,7 +123,7 @@ def apply_sao_frame(planes, sao_map, ctb_size: int, bit_depth: int,
     cty = -(-h // ctb_size)
     ctx = -(-w // ctb_size)
     for (cx, cy), prm in sao_map.items():
-        for c_idx in range(3):
+        for c_idx in range(len(planes)):
             t = prm.type_idx[c_idx]
             if t == SAO_OFF:
                 continue

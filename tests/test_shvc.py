@@ -176,3 +176,43 @@ def test_shvc_jax_backend():
         assert a.layer == b.layer and a.poc == b.poc
         for pa, pb in zip(a.planes, b.planes):
             assert (np.asarray(pa) == np.asarray(pb)).all()
+
+
+@needs_oracle
+def test_shvc_bit_depth_8_to_10(tmp_path):
+    """Bit-depth scalability: 8-bit BL -> 10-bit EL (the upsampler's
+    shift-up path; reference: per-depth US init hevcdsp.c:589)."""
+    bl = EncoderConfig(width=64, height=64, qp=30, log2_ctb_size=5,
+                       log2_cu_size=5, gop="ipp", search_range=2, seed=3,
+                       bit_depth=8)
+    el = EncoderConfig(width=128, height=128, qp=30, log2_ctb_size=5,
+                       log2_cu_size=5, gop="ipp", search_range=2, seed=4,
+                       bit_depth=10)
+    enc = ShvcEncoder(bl, el)
+    blb = synth_frame("gradient", 64, 64, 0)
+    elb = [(p.astype(np.int32) << 2)
+           for p in synth_frame("zoneplate", 128, 128, 0)]
+    stream = bytearray()
+    recons = []
+    for t in range(3):
+        b = [np.roll(p, (t * 2, t * 3), (0, 1)) for p in blb]
+        e = [np.roll(p, (t * 4, t * 6), (0, 1)) for p in elb]
+        stream += enc.encode_frame(b, e)
+        recons.append(([p.copy() for p in enc.bl.recon_planes],
+                       [p.copy() for p in enc.el.recon_planes]))
+    frames = Decoder().decode_bytes(bytes(stream))
+    assert len(frames) == 6
+    for f in frames:
+        assert f.md5_ok, f"layer {f.layer} poc {f.poc}"
+        for a, b in zip(f.planes, recons[f.poc][f.layer]):
+            assert (np.asarray(a) == b).all()
+    sfile = str(tmp_path / "bd10.265")
+    with open(sfile, "wb") as fh:
+        fh.write(stream)
+    subprocess.run([ORACLE, "-l", "1", "-i", sfile,
+                    "-o", str(tmp_path / "o")],
+                   capture_output=True, timeout=120, check=False)
+    out = open(str(tmp_path / "o_128x128.yuv"), "rb").read()
+    ours = b"".join(p.astype("<u2").tobytes()
+                    for rec in recons for p in rec[1])
+    assert out == ours, "oracle 10-bit EL output differs"
