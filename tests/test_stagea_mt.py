@@ -53,6 +53,15 @@ CONFIGS = {
                       deblocking=True, sao=True, search_range=3),
     "wpp_10bit": dict(width=192, height=96, qp=30, log2_ctb_size=5,
                       log2_cu_size=5, gop="ipp", wpp=True, bit_depth=10),
+    # combined WPP-inside-tiles through the MT fan-out (one unit per
+    # tile x tile-row, tile-relative 2-CTU lag)
+    "wit_2x2_mt": dict(width=192, height=128, qp=30, log2_ctb_size=5,
+                       log2_cu_size=5, wpp=True, tiles=(2, 2),
+                       deblocking=True, sao=True),
+    "wit_3x1_ipp_mt": dict(width=288, height=128, qp=30,
+                           log2_ctb_size=5, log2_cu_size=5, wpp=True,
+                           tiles=(3, 1), gop="ipp", search_range=2,
+                           deblocking=True),
 }
 
 
