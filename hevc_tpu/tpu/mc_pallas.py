@@ -53,8 +53,9 @@ def _round_up(x, m):
 # resid :  slot, covy, py, covx, px
 
 
-def _split_mc_fields(fields, bi):
-    """[N, 7|12] device-layout fields -> transposed aligned-split rows."""
+def _split_mc_fields(fields, bi, wp=False):
+    """[N, 7|12 (+5 wp)] device-layout fields -> transposed
+    aligned-split rows (wp appends w0, o0, w1, o1, log2wd)."""
     f = np.asarray(fields)
     npred = 2 if bi else 1
     rows = []
@@ -64,6 +65,10 @@ def _split_mc_fields(fields, bi):
         rows += [sel, by & ~7, by & 7, bx & ~127, bx & 127, fx, fy]
     cy, cx = f[:, npred * 5], f[:, npred * 5 + 1]
     rows += [cy & ~7, cy & 7, cx & ~127, cx & 127]
+    if wp:
+        b = npred * 5 + 2
+        rows += [f[:, b], f[:, b + 1], f[:, b + 2], f[:, b + 3],
+                 f[:, b + 4]]
     return np.stack(rows).astype(np.int32)
 
 
@@ -148,7 +153,7 @@ def _filter_placed(buf, taps_ref, fx, fy, ry, py, rx, px,
 
 def _mc_kernel(ft, refs, canvas_in, taps_ref, canvas_out,
                cvs, bufs, fsm, fsems, wsems, csem,
-               *, bi, w, h, ntaps, bd, wh, covh):
+               *, bi, wp, w, h, ntaps, bd, wh, covh):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     npred = 2 if bi else 1
@@ -189,13 +194,33 @@ def _mc_kernel(ft, refs, canvas_in, taps_ref, canvas_out,
         p1 = _filter_placed(bufs[slot, 1], taps_ref, F(i, 12), F(i, 13),
                             F(i, 9), py, F(i, 11), px, w, h, ntaps, covh,
                             bd)
-        shift = 15 - bd
-        val = jnp.clip((p0 + p1 + (1 << (shift - 1))) >> shift, 0, maxv)
+        if wp:
+            # explicit bi weighting (8.5.4.3.3)
+            w0, o0 = F(i, cb + 4), F(i, cb + 5)
+            w1, o1 = F(i, cb + 6), F(i, cb + 7)
+            lwd = F(i, cb + 8)
+            val = jnp.clip(
+                (p0 * w0 + p1 * w1 + ((o0 + o1 + 1) << lwd))
+                >> (lwd + 1), 0, maxv)
+        else:
+            shift = 15 - bd
+            val = jnp.clip((p0 + p1 + (1 << (shift - 1))) >> shift,
+                           0, maxv)
     else:
         p0 = _filter_placed(bufs[slot, 0], taps_ref, F(i, 5), F(i, 6),
                             F(i, 2), py, F(i, 4), px, w, h, ntaps, covh, bd)
-        shift = 14 - bd
-        val = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
+        if wp:
+            # explicit uni weighting (8.5.4.3.2)
+            w0, o0 = F(i, cb + 4), F(i, cb + 5)
+            lwd = F(i, cb + 8)
+            rnd = 1 << jnp.maximum(lwd - 1, 0)
+            val = jnp.where(lwd >= 1,
+                            ((p0 * w0 + rnd) >> lwd) + o0,
+                            p0 * w0 + o0)
+            val = jnp.clip(val, 0, maxv)
+        else:
+            shift = 14 - bd
+            val = jnp.clip((p0 + (1 << (shift - 1))) >> shift, 0, maxv)
 
     # blend the block's pixels into the canvas covering region
     covy = _hint(F(i, cb + 0), 8)
@@ -219,17 +244,17 @@ def _mc_kernel(ft, refs, canvas_in, taps_ref, canvas_out,
         cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bi", "w", "h",
+@functools.partial(jax.jit, static_argnames=("n", "bi", "wp", "w", "h",
                                              "is_chroma", "bd", "interpret"))
 def _mc_group_pallas(canvas, refs, ft_arr, *, n, is_chroma, bi, w, h, bd,
-                     interpret=False):
+                     wp=False, interpret=False):
     ntaps = 4 if is_chroma else 8
     taps = jnp.asarray(EPEL_TAPS if is_chroma else QPEL_TAPS)
     npred = 2 if bi else 1
     wh = _round_up(7 + h + ntaps - 1, 8)
     covh = _round_up(7 + h, 8)
-    kern = functools.partial(_mc_kernel, bi=bi, w=w, h=h, ntaps=ntaps,
-                             bd=bd, wh=wh, covh=covh)
+    kern = functools.partial(_mc_kernel, bi=bi, wp=wp, w=w, h=h,
+                             ntaps=ntaps, bd=bd, wh=wh, covh=covh)
     frows = ft_arr.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -271,9 +296,9 @@ class _FT:
 def prepare_mc_fields(mc_groups):
     """Host-side: device-layout groups -> pallas field structs."""
     out = []
-    for is_chroma, bi, w, h, fields in mc_groups:
-        ft = _pad_ft(_split_mc_fields(fields, bi))
-        out.append((is_chroma, bi, w, h, _FT(ft, fields.shape[0])))
+    for is_chroma, bi, wp, w, h, fields in mc_groups:
+        ft = _pad_ft(_split_mc_fields(fields, bi, wp))
+        out.append((is_chroma, bi, wp, w, h, _FT(ft, fields.shape[0])))
     return tuple(out)
 
 
@@ -306,13 +331,13 @@ def pad_canvas(canvas):
 
 def mc_phase_pallas(canvas, refs_l, refs_c, groups, bd, interpret=False):
     """groups: from prepare_mc_fields; canvas/refs already padded."""
-    for is_chroma, bi, w, h, ft in groups:
+    for is_chroma, bi, wp, w, h, ft in groups:
         if ft.n == 0:
             continue
         refs = refs_c if is_chroma else refs_l
         canvas = _mc_group_pallas(canvas, refs, ft.arr, n=ft.n,
-                                  is_chroma=is_chroma, bi=bi, w=w, h=h,
-                                  bd=bd, interpret=interpret)
+                                  is_chroma=is_chroma, bi=bi, wp=wp,
+                                  w=w, h=h, bd=bd, interpret=interpret)
     return canvas
 
 

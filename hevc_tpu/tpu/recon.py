@@ -116,10 +116,11 @@ def _pallas_args(pf: PackedFrame):
     field slabs (+ static block counts)."""
     from . import mc_pallas as MP
     pg = MP.prepare_mc_fields(
-        tuple((ic, bi, w, h, f) for ic, bi, w, h, _wp, f
+        tuple((ic, bi, wp, w, h, f) for ic, bi, w, h, wp, f
               in pf.mc_groups))
     mc_ft = tuple(ft.arr for *_m, ft in pg)
-    mc_meta = tuple((ic, bi, w, h, ft.n) for ic, bi, w, h, ft in pg)
+    mc_meta = tuple((ic, bi, wp, w, h, ft.n)
+                    for ic, bi, wp, w, h, ft in pg)
     rf = MP.prepare_resid_fields(pf.resid_groups)
     resid_ft = tuple(ft.arr for ft in rf)
     resid_ns = tuple(ft.n for ft in rf)
@@ -129,12 +130,11 @@ def _pallas_args(pf: PackedFrame):
 def _pallas_kwargs(pf: PackedFrame):
     """kwargs bundle for decode_frame_device's Pallas inter path.
 
-    Explicit-WP groups fall back to the XLA MC path (the Pallas kernels
-    do not weight yet)."""
+    Covers uni/bi and explicit-WP groups (the Pallas kernel weights
+    in-register; tests/test_mc_pallas.py cross-checks vs XLA)."""
     use_pallas = use_pallas_default() and bool(pf.mc_groups or
                                               any(g.shape[0]
-                                                  for g in pf.resid_groups)) \
-        and not any(wp for *_k, wp, _f in pf.mc_groups)
+                                                  for g in pf.resid_groups))
     if not use_pallas:
         return dict(use_pallas=False)
     mc_ft, mc_meta, resid_ft, resid_ns = _pallas_args(pf)
@@ -156,8 +156,8 @@ def _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
     from . import mc_pallas as MP
     ch, cw = canvas.shape
     canvas = MP.pad_canvas(canvas)
-    groups = tuple((ic, bi, w, h, MP._FT(arr, n))
-                   for (ic, bi, w, h, n), arr in zip(mc_meta, mc_ft))
+    groups = tuple((ic, bi, wp, w, h, MP._FT(arr, n))
+                   for (ic, bi, wp, w, h, n), arr in zip(mc_meta, mc_ft))
     if any(n for *_m, n in mc_meta):
         canvas = MP.mc_phase_pallas(canvas, MP.pad_refs(refs_l),
                                     MP.pad_refs(refs_c), groups, bit_depth)
@@ -174,8 +174,7 @@ def run_packed(pf: PackedFrame):
     mc_fields, refs_l, refs_c, resid_fields, mc_shapes = _mc_args(pf)
     use_pallas = use_pallas_default() and bool(pf.mc_groups or
                                               any(g.shape[0]
-                                                  for g in pf.resid_groups)) \
-        and not any(wp for *_k, wp, _f in pf.mc_groups)
+                                                  for g in pf.resid_groups))
     mc_ft, mc_meta, resid_ft, resid_ns = (
         _pallas_args(pf) if use_pallas else ((), (), (), ()))
     canvas = reconstruct_device(

@@ -26,8 +26,10 @@ def _mk_refs(rng, n, h, w, bd):
                         dtype=np.int64).astype(np.int32)
 
 
-def _mk_fields(rng, n_blk, bi, w, h, ch, cw, nref, rh, rw, ntaps):
-    """Random non-overlapping MC rows in device layout [N, 7|12]."""
+def _mk_fields(rng, n_blk, bi, w, h, ch, cw, nref, rh, rw, ntaps,
+               wp=False, bd=8):
+    """Random non-overlapping MC rows in device layout
+    [N, 7|12 (+5 wp)]."""
     rows = []
     # lay blocks on a grid so canvas writes never overlap
     cols = max(1, cw // (w + 8))
@@ -43,33 +45,47 @@ def _mk_fields(rng, n_blk, bi, w, h, ch, cw, nref, rh, rw, ntaps):
             fx = int(rng.integers(0, 4 if ntaps == 8 else 8))
             fy = int(rng.integers(0, 4 if ntaps == 8 else 8))
             preds += [sel, by, bx, fx, fy]
-        rows.append(preds + [cy, cx])
+        row = preds + [cy, cx]
+        if wp:
+            denom = 6
+            lwd = denom + 14 - bd
+            row += [int(rng.integers(50, 80)),
+                    int(rng.integers(-8, 8)) << (bd - 8),
+                    int(rng.integers(50, 80)),
+                    int(rng.integers(-8, 8)) << (bd - 8), lwd]
+        rows.append(row)
     return np.asarray(rows, np.int32)
 
 
-@pytest.mark.parametrize("is_ch,bi,w,h,bd", [
-    (False, False, 16, 8, 8),
-    (False, True, 8, 16, 8),
-    (False, False, 4, 4, 10),
-    (True, False, 8, 4, 8),
-    (True, True, 4, 8, 10),
-    (False, True, 32, 24, 8),
+@pytest.mark.parametrize("is_ch,bi,w,h,bd,wp", [
+    (False, False, 16, 8, 8, False),
+    (False, True, 8, 16, 8, False),
+    (False, False, 4, 4, 10, False),
+    (True, False, 8, 4, 8, False),
+    (True, True, 4, 8, 10, False),
+    (False, True, 32, 24, 8, False),
+    # explicit weighted prediction in-kernel (8.5.4.3.2/.3)
+    (False, False, 16, 8, 8, True),
+    (False, True, 8, 8, 8, True),
+    (True, False, 8, 4, 10, True),
+    (True, True, 4, 8, 8, True),
 ])
-def test_mc_pallas_interpret_matches_xla(is_ch, bi, w, h, bd):
-    rng = np.random.default_rng(hash((is_ch, bi, w, h, bd)) % 2**32)
+def test_mc_pallas_interpret_matches_xla(is_ch, bi, w, h, bd, wp):
+    rng = np.random.default_rng(hash((is_ch, bi, w, h, bd, wp)) % 2**32)
     rh, rw = 96, 160
     ch, cw = 160, 260
     nref = 2
     ntaps = 4 if is_ch else 8
     refs = _mk_refs(rng, nref, rh, rw, bd)
-    fields = _mk_fields(rng, 7, bi, w, h, ch, cw, nref, rh, rw, ntaps)
+    fields = _mk_fields(rng, 7, bi, w, h, ch, cw, nref, rh, rw, ntaps,
+                        wp=wp, bd=bd)
     canvas = np.zeros((ch, cw), np.int32)
 
     want = mc_phase(jnp.asarray(canvas), jnp.asarray(refs),
                     jnp.asarray(refs),
-                    ((is_ch, bi, w, h, False, jnp.asarray(fields)),), bd)
+                    ((is_ch, bi, w, h, wp, jnp.asarray(fields)),), bd)
 
-    pg = MP.prepare_mc_fields(((is_ch, bi, w, h, fields),))
+    pg = MP.prepare_mc_fields(((is_ch, bi, wp, w, h, fields),))
     pc = MP.pad_canvas(jnp.asarray(canvas))
     pr = MP.pad_refs(jnp.asarray(refs))
     got = MP.mc_phase_pallas(pc, pr, pr, pg, bd, interpret=True)
