@@ -339,12 +339,24 @@ def bench_stage_b_720p():
     cb = jnp.asarray(b["ref"][1].astype(np.int32))
     cr = jnp.asarray(b["ref"][2].astype(np.int32))
     kus = {}
+    kgb = {}  # achieved GB/s (minimal in+out traffic / time)
+    ypix = y.shape[0] * y.shape[1]
+    frame_mb = ypix * 1.5 * 4 * 2 / 1e6  # int32 planes in+out
+    # measured elementwise ceiling of THIS device (one full-plane
+    # read-modify-write) — the honest roofline for these filters
+    ew_us = timeit(jax.jit(lambda p: p + 1), y)
+    kgb["roofline_elementwise"] = round(ypix * 4 * 2 / 1e6
+                                        / (ew_us / 1e3), 2)
     kus["deblock_720p"] = timeit(
         deblock_jax, y, cb, cr, args[5], args[6], args[7], 0, 0, 0, 0,
         bd=pf.bit_depth, sub_w=sub_w, sub_h=sub_h)
+    kgb["deblock_720p"] = round(frame_mb / (kus["deblock_720p"] / 1e3),
+                                2)
     kus["sao_luma_720p"] = timeit(
         sao_plane_jax, y, args[12][0], args[13][0], args[14][0],
         args[15][0], log2_ctb, pf.bit_depth)
+    kgb["sao_luma_720p"] = round(ypix * 4 * 2 / 1e6
+                                 / (kus["sao_luma_720p"] / 1e3), 2)
     resids = jax.jit(_residuals, static_argnames=("bit_depth",))(
         tuple(jnp.asarray(v) for v in pf.levels),
         tuple(jnp.asarray(v) for v in pf.rmeta), pf.bit_depth,
@@ -359,7 +371,7 @@ def bench_stage_b_720p():
                 static_argnames=("bd", "n_chunks")),
         args[0], args[1], args[2], resids, bd=pf.bit_depth,
         n_chunks=pf.n_chunks)
-    return fps, kus
+    return fps, kus, kgb
 
 
 def _enable_jit_cache():
@@ -395,7 +407,7 @@ def main():
     tun_1080 = tunnel_probe(E2E_W * E2E_H * 3 // 2)
     tun_4k = tunnel_probe(K4_W * K4_H * 3 // 2)
 
-    stage_b_720, kernel_us = bench_stage_b_720p()
+    stage_b_720, kernel_us, kernel_gbps = bench_stage_b_720p()
 
     vs = round(e2e_fps / base, 3) if base else None
     print(json.dumps({
@@ -432,6 +444,11 @@ def main():
             "stage_ms_per_frame_4k": k4_split,
             "stageB_720p_device_fps": round(stage_b_720, 2),
             "kernel_us": kernel_us,
+            # achieved GB/s (minimal int32 in+out traffic / time) next
+            # to the measured elementwise ceiling of THIS device — the
+            # rig's chip tunnels to a device with ~4.5 GB/s effective
+            # bandwidth, so "roofline_elementwise" IS the local 100%
+            "kernel_gbps": kernel_gbps,
         },
     }))
 
