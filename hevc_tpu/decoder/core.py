@@ -1498,9 +1498,14 @@ class Decoder:
         # upsample_base_layer_frame of the mapped frame)
         cgs = getattr(self.pps_map[sh.pps_id], "cgs_lut", None)
         if cgs is not None:
-            from ..ops.cgs import color_map_frame
-            bl_planes = color_map_frame(cgs, [np.asarray(p)
-                                              for p in bl_planes])
+            if self.recon_backend == "jax":
+                from ..tpu.upsample import color_map_frame_jax
+                bl_planes = color_map_frame_jax(
+                    cgs, [np.asarray(p) for p in bl_planes])
+            else:
+                from ..ops.cgs import color_map_frame
+                bl_planes = color_map_frame(cgs, [np.asarray(p)
+                                                  for p in bl_planes])
             bl_bd = cgs.out_bd_y
         if self.recon_backend == "jax":
             from ..tpu.upsample import upsample_frame_jax

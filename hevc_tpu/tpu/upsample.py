@@ -67,3 +67,80 @@ def upsample_frame_jax(bl_planes, el_w, el_h, *, sub_w=2, sub_h=2,
             el_h // sub_h, el_w // sub_w, bl_bit_depth, el_bit_depth,
             chroma=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# CGS colour mapping (device mirror of ops.cgs.color_map_frame)
+# ---------------------------------------------------------------------------
+
+def color_map_frame_jax(cgs, planes):
+    """Device 3D-LUT colour mapping for 4:2:0 (reference:
+    hevcdsp_template.c:4511 map_color_block semantics — see
+    ops/cgs.py).  cgs: ops.cgs.CgsLut; planes: int arrays.  The LUT is
+    tiny (<= 16x4x4 cuboids); per-pixel cuboid selection is a flat
+    gather of the 12 vertex coefficients."""
+    import jax.numpy as jnp
+
+    y = jnp.asarray(planes[0], jnp.int32)
+    u = jnp.asarray(planes[1], jnp.int32)
+    v = jnp.asarray(planes[2], jnp.int32)
+
+    lut = jnp.asarray(cgs.lut.reshape(-1, 4, 3))  # [Y*C*C, 4, 3]
+    csz = cgs.c_size
+
+    def cub_index(y_val, u_val, v_val):
+        yi = y_val >> cgs.y_shift2idx
+        if cgs.octant_depth == 1:
+            ui = (u_val >= cgs.adapt_threshold_u).astype(jnp.int32)
+            vi = (v_val >= cgs.adapt_threshold_v).astype(jnp.int32)
+        else:
+            ui = u_val >> cgs.c_shift2idx
+            vi = v_val >> cgs.c_shift2idx
+        return (yi * csz + ui) * csz + vi
+
+    def map_comp(comp, y_val, u_val, v_val):
+        cub = lut[cub_index(y_val, u_val, v_val)]    # [..., 4, 3]
+        p = cub[..., comp]
+        return ((p[..., 0] * y_val + p[..., 1] * u_val
+                 + p[..., 2] * v_val + cgs.mapping_offset)
+                >> cgs.mapping_shift) + p[..., 3]
+
+    def wrap16(x):
+        return ((x + (1 << 15)) & 0xFFFF) - (1 << 15)
+
+    up = jnp.concatenate([u[:1], u[:-1]], 0)
+    vp = jnp.concatenate([v[:1], v[:-1]], 0)
+    un = jnp.concatenate([u[1:], u[-1:]], 0)
+    vn = jnp.concatenate([v[1:], v[-1:]], 0)
+    ur = jnp.concatenate([u[:, 1:], u[:, -1:]], 1)
+    vr = jnp.concatenate([v[:, 1:], v[:, -1:]], 1)
+    upr = jnp.concatenate([up[:, 1:], up[:, -1:]], 1)
+    vpr = jnp.concatenate([vp[:, 1:], vp[:, -1:]], 1)
+    unr = jnp.concatenate([un[:, 1:], un[:, -1:]], 1)
+    vnr = jnp.concatenate([vn[:, 1:], vn[:, -1:]], 1)
+    a_u, a_v = ur + u, vr + v
+    tmp = [
+        ((up + 3 * u + 2) >> 2, (vp + 3 * v + 2) >> 2),
+        ((3 * a_u + up + upr + 4) >> 3, (3 * a_v + vp + vpr + 4) >> 3),
+        ((un + 3 * u + 2) >> 2, (vn + 3 * v + 2) >> 2),
+        ((3 * a_u + un + unr + 4) >> 3, (3 * a_v + vn + vnr + 4) >> 3),
+    ]
+    max_y = (1 << cgs.out_bd_y) - 1
+    quads = []
+    for quad, (tu, tv) in enumerate(tmp):
+        yy, xx = quad >> 1, quad & 1
+        val = y[yy::2, xx::2]
+        quads.append(jnp.clip(wrap16(map_comp(0, val, tu, tv)),
+                              0, max_y))
+    ch, cw = u.shape
+    # interleave the quadrants: order (0,0),(0,1),(1,0),(1,1)
+    out_y = jnp.zeros((ch * 2, cw * 2), jnp.int32)
+    out_y = out_y.at[0::2, 0::2].set(quads[0])
+    out_y = out_y.at[0::2, 1::2].set(quads[1])
+    out_y = out_y.at[1::2, 0::2].set(quads[2])
+    out_y = out_y.at[1::2, 1::2].set(quads[3])
+    y_aver = (y[0::2, 0::2] + y[1::2, 0::2] + 1) >> 1
+    max_c = (1 << cgs.out_bd_c) - 1
+    out_u = jnp.clip(wrap16(map_comp(1, y_aver, u, v)), 0, max_c)
+    out_v = jnp.clip(wrap16(map_comp(2, y_aver, u, v)), 0, max_c)
+    return [out_y, out_u, out_v]

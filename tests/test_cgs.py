@@ -150,3 +150,23 @@ def test_cgs_vs_oracle(tmp_path):
             ours += p.astype(np.uint8).tobytes()
     assert out == bytes(ours), "oracle EL output differs"
     assert "Incorrect MD5" not in (r.stdout + r.stderr)
+
+
+def test_cgs_device_kernel_matches_oracle():
+    """Device colour-mapping kernel vs the NumPy oracle across octant
+    depths (reference: hevcdsp_template.c:4511)."""
+    from hevc_tpu.tpu.upsample import color_map_frame_jax
+    for depth, ypl in ((1, 1), (0, 2), (2, 0)):
+        cgs = CgsLut(octant_depth=depth, y_part_num_log2=ypl,
+                     res_quant_bit=1, flc_bits=2,
+                     adapt_threshold_u_delta=5)
+        w = BitWriter()
+        write_cgs_lut(w, cgs, deltas=DELTAS1)
+        rng = np.random.default_rng(depth * 3 + ypl)
+        y = rng.integers(0, 256, (32, 48), np.int32)
+        u = rng.integers(0, 256, (16, 24), np.int32)
+        v = rng.integers(0, 256, (16, 24), np.int32)
+        want = color_map_frame(cgs, [y, u, v])
+        got = color_map_frame_jax(cgs, [y, u, v])
+        for a, b in zip(got, want):
+            assert (np.asarray(a) == b).all(), (depth, ypl)
