@@ -1453,6 +1453,18 @@ class Decoder:
         elif t == nalmod.NAL_SPS:
             s = SPS.parse_rbsp(nal.rbsp, nuh_layer_id=nal.layer_id,
                                vps_map=self.vps_map)
+            # profile gate (reference: hevc_ps.c parse_ptl "Main/Main10/
+            # RExt profile bitstream" logs; log-and-continue policy)
+            names = {1: "Main", 2: "Main 10", 3: "Main Still Picture",
+                     4: "Range extensions", 7: "Scalable Main"}
+            prof = s.ptl.profile_idc
+            if prof in names:
+                ohlog.log(ohlog.OH_LOG_INFO,
+                          f"{names[prof]} profile bitstream")
+            else:
+                ohlog.log(ohlog.OH_LOG_WARNING,
+                          f"Unknown HEVC profile: {prof} — decoding "
+                          "anyway (conformance not guaranteed)")
             self.sps_map[s.sps_id] = s
         elif t == nalmod.NAL_PPS:
             p = PPS.parse_rbsp(nal.rbsp)
