@@ -1473,6 +1473,12 @@ class Decoder:
             for ptype, payload in parse_sei_rbsp(nal.rbsp):
                 lay = self._layer(nal.layer_id)
                 if ptype == SEI_TYPE_DECODED_PICTURE_HASH:
+                    if t == nalmod.NAL_SEI_SUFFIX \
+                            and lay.cur_pic is None:
+                        # suffix hash of a picture that was skipped
+                        # (e.g. a discarded RASL) — must not attach to
+                        # the next decoded picture
+                        continue
                     lay.pending_sei = DecodedPictureHash.parse(payload)
                 elif ptype in SIDE_DATA_PARSERS:
                     key, parser = SIDE_DATA_PARSERS[ptype]

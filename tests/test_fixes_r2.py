@@ -122,15 +122,16 @@ def test_pts_follows_picture_in_display_order():
     n = 5
     stream = enc.encode([synth_frame("gradient", 64, 64, t)
                          for t in range(n)])
-    # split the decode-order stream into AUs (an AU starts at a VPS or at
-    # a slice following another NAL group's slice)
+    # split the decode-order stream into AUs: an AU ends after its
+    # slices and their SUFFIX SEI (the picture hash rides a suffix NAL)
     aus, cur = [], []
+
+    def _ends(t):
+        return nalmod.is_slice_nal(t) or t == nalmod.NAL_SEI_SUFFIX
+
     for nl in nalmod.split_annexb(stream):
-        if cur and (nl.type == nalmod.NAL_VPS
-                    or (nalmod.is_slice_nal(cur[-1][0])
-                        and not nalmod.is_slice_nal(nl.type))
-                    or (nalmod.is_slice_nal(cur[-1][0])
-                        and nalmod.is_slice_nal(nl.type))):
+        if cur and _ends(cur[-1][0]) \
+                and nl.type != nalmod.NAL_SEI_SUFFIX:
             aus.append(cur)
             cur = []
         cur.append((nl.type, nl.layer_id, nl.temporal_id, nl.rbsp))

@@ -24,18 +24,24 @@ def _cra_stream(frames=9, w=64, h=64):
     enc = RaEncoder(cfg)
     stream = enc.encode([synth_frame("gradient", w, h, t)
                          for t in range(frames)])
-    # split back into per-AU chunks at slice/irap boundaries
+    # split back into per-AU chunks: an AU ends after its slices and
+    # their SUFFIX SEI (the picture hash rides a suffix NAL)
     aus, cur = [], []
+
+    def ends_au(t):
+        return nalmod.is_slice_nal(t) or t == nalmod.NAL_SEI_SUFFIX
+
     for n in nalmod.split_annexb(stream):
-        if nalmod.is_slice_nal(n.type) or n.type in (
-                nalmod.NAL_VPS, nalmod.NAL_SPS, nalmod.NAL_PPS):
-            pass
-        cur.append(n)
-        if nalmod.is_slice_nal(n.type):
+        if cur and ends_au(cur[-1].type) \
+                and n.type != nalmod.NAL_SEI_SUFFIX:
             aus.append(nalmod.write_annexb(
                 [(x.type, x.layer_id, x.temporal_id, x.rbsp)
                  for x in cur]))
             cur = []
+        cur.append(n)
+    if cur:
+        aus.append(nalmod.write_annexb(
+            [(x.type, x.layer_id, x.temporal_id, x.rbsp) for x in cur]))
     return enc, aus
 
 
