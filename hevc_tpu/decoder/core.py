@@ -1404,8 +1404,39 @@ class Decoder:
         return fut
 
     def decode_bytes(self, data: bytes) -> List[DecodedFrame]:
-        for nal in nalmod.split_annexb(data):
-            self.decode_nal(nal)
+        import os as _os
+        nals = list(nalmod.split_annexb(data))
+        # slice-parallel stage A: groups of consecutive slice NALs
+        # decode their independent slices on worker threads (native
+        # path; SURVEY §2.2 slice parallelism)
+        par = (self.recon_backend == "jax"
+               and _os.environ.get("HEVC_TPU_SLICE_MT", "1") != "0")
+        i = 0
+        while i < len(nals):
+            n = nals[i]
+            if par and nalmod.is_slice_nal(n.type):
+                j = i
+                while j < len(nals) \
+                        and nalmod.is_slice_nal(nals[j].type):
+                    j += 1
+                group = nals[i:j]
+                if len(group) > 1:
+                    import os as _os2
+                    cpus = _os2.cpu_count() or 1
+                    self._batch_threads = max(1, cpus // len(group))
+                    self._slice_batch = []
+                    try:
+                        for nl in group:
+                            self.decode_nal(nl)
+                        self._run_slice_batch()
+                    finally:
+                        self._slice_batch = None
+                else:
+                    self.decode_nal(n)
+                i = j
+                continue
+            self.decode_nal(n)
+            i += 1
         self.flush()
         out = self.frames
         self.frames = []
@@ -1423,7 +1454,26 @@ class Decoder:
         for lid in sorted(self.layers):
             self._drain_output(self.layers[lid])
 
+    def _run_slice_batch(self):
+        """Execute deferred slice-parallel stage-A jobs concurrently
+        (all jobs belong to pictures still pending)."""
+        jobs = getattr(self, "_slice_batch", None)
+        if not jobs:
+            return
+        self._slice_batch = []
+        from .. import trace
+        with trace.span("stage_a_native"):
+            if len(jobs) == 1:
+                jobs[0]()
+            else:
+                import concurrent.futures
+                with concurrent.futures.ThreadPoolExecutor(
+                        max_workers=len(jobs)) as ex:
+                    for f in [ex.submit(j) for j in jobs]:
+                        f.result()
+
     def _finish_all_pending(self):
+        self._run_slice_batch()
         for lid in sorted(self.layers):
             lay = self.layers[lid]
             if lay.cur_pic is not None:
@@ -1724,10 +1774,25 @@ class Decoder:
             # full-native stage A (hevc_tpu/native/stage_a.cpp): CTU
             # syntax + MV derivation in C++, bit-exact with SliceDecoder
             from .. import trace
-            with trace.span("stage_a_native"):
-                nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp,
+            batch = getattr(self, "_slice_batch", None)
+            chunks = getattr(lay.cur_pic, "native_chunks", None)
+            if batch is not None and chunks is not None \
+                    and not sh.dependent_slice_segment:
+                # slice-parallel fan-out: defer the native call; jobs of
+                # one picture run concurrently (reference analogue:
+                # PARALLEL_SLICE jobs, hevcdec.c:2909)
+                slot = len(chunks)
+                chunks.append(None)
+                batch.append(nat(
+                    lay.cur_pic, sps, pps, sh, init_type, nal.rbsp,
                     seg_starts, seg_slice_idx, ref_list, ref_list_l1,
-                    lt0, lt1, tc, lay.cur_poc)
+                    lt0, lt1, tc, lay.cur_poc, chunk_slot=slot,
+                    n_threads=self._batch_threads, defer=True))
+            else:
+                with trace.span("stage_a_native"):
+                    nat(lay.cur_pic, sps, pps, sh, init_type, nal.rbsp,
+                        seg_starts, seg_slice_idx, ref_list,
+                        ref_list_l1, lt0, lt1, tc, lay.cur_poc)
         else:
             sd = SliceDecoder(lay.cur_pic, sps, pps, sh, d, cm,
                               seg_slice_idx,

@@ -365,12 +365,22 @@ def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
 
 def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
                         seg_starts, slice_idx: int, ref_list, ref_list_l1,
-                        lt0, lt1, tmvp, cur_poc: int) -> int:
+                        lt0, lt1, tmvp, cur_poc: int, chunk_slot=None,
+                        n_threads=None, defer=False):
     """Full-native stage A for one slice segment chain.
 
     Appends BlockRecords to pic.plan, fills pic.sao_arrays, and updates
     the per-4x4 picture maps in place.  Returns the last decoded CTB
-    address (raster scan)."""
+    address (raster scan).
+
+    Slice-parallel mode (the analogue of the reference's PARALLEL_SLICE
+    jobs, hevcdec.c:2909): defer=True returns a zero-argument callable
+    that performs the native call — safe to run on a worker thread
+    concurrently with other slices of the SAME picture (independent
+    slices touch disjoint CTBs; record chunks land at `chunk_slot` in
+    pic.native_chunks so tile-scan order is preserved).  The deferred
+    form allocates private record buffers and uses `n_threads` workers
+    inside the native call."""
     from ..cabac.ctx import TOTAL_CONTEXTS, init_context_states
 
     lib = _lib()
@@ -501,44 +511,64 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
     stat = np.zeros(4, np.int32)
     scans, scan_off = _scan_bank()
     tabs = _pps_tables(pps)
-    rec, lvl = _buffers(pic.w4, pic.h4, sps.chroma_format_idc)
+    if defer:
+        # private buffers: the shared geometry-keyed cache would race
+        # across concurrent slice jobs
+        n44 = pic.w4 * pic.h4
+        cfrac = {0: 0, 1: 8, 2: 16, 3: 32}[sps.chroma_format_idc]
+        rec = np.empty((4 * n44 + 1024, REC_NCOLS), np.int32)
+        lvl = np.empty(16 * n44 + cfrac * n44 + 4096, np.int32)
+    else:
+        rec, lvl = _buffers(pic.w4, pic.h4, sps.chroma_format_idc)
     out_counts = np.zeros(4, np.int64)
     segs = np.ascontiguousarray(seg_starts, np.int64)
+    threads = n_threads if n_threads else stagea_threads()
 
-    rc = lib.hevc_native_decode_slice(
-        rbsp, len(rbsp), segs, C.byref(P),
-        fresh, ctx, stat, _full_ctx_offsets(), scans, scan_off,
-        tabs[0], tabs[1], tabs[2], tabs[3],
-        pic.intra_mode_y, pic.is_intra.view(np.uint8), pic.ct_depth,
-        pic.skip_flag.view(np.uint8), pic.qp_y, pic.slice_idx,
-        pic.tq_bypass.view(np.uint8), pic.no_filter.view(np.uint8),
-        pic.edge_v.view(np.uint8), pic.edge_h.view(np.uint8),
-        pic.tu_edge_v.view(np.uint8), pic.tu_edge_h.view(np.uint8),
-        pic.cbf_luma.view(np.uint8),
-        pic.mv_l0.reshape(-1), pic.ref_l0, pic.ref_poc_l0.reshape(-1),
-        pic.mv_l1.reshape(-1), pic.ref_l1, pic.ref_poc_l1.reshape(-1),
-        pic.z_order.reshape(-1),
-        pocs0, lts0, pocs1, lts1,
-        col_mv0, col_poc0, col_mv1, col_poc1, col_poc, cur_poc,
-        wp_w.reshape(-1), wp_o.reshape(-1),
-        sao_t.reshape(-1), sao_b.reshape(-1), sao_o.reshape(-1),
-        sao_e.reshape(-1), cb_list, cr_list,
-        rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0],
-        stagea_threads(), out_counts)
-    if rc != 0:
-        raise RuntimeError(f"native slice decode failed (rc={rc})")
-    n_rec, lvl_used, last_rs = (int(out_counts[0]), int(out_counts[1]),
-                                int(out_counts[2]))
-    # copy out the used slices so the cached buffers can be reused
-    rec_out = rec[:n_rec].copy()
-    lvl_out = lvl[:lvl_used].copy()
-    chunks = getattr(pic, "native_chunks", None)
-    if chunks is not None:
-        # fast path: raw record chunks straight into the native packer
-        chunks.append((rec_out, lvl_out))
-    else:
-        records_to_plan(rec_out, lvl_out, pic.plan)
-    return last_rs
+    def run():
+        rc = lib.hevc_native_decode_slice(
+            rbsp, len(rbsp), segs, C.byref(P),
+            fresh, ctx, stat, _full_ctx_offsets(), scans, scan_off,
+            tabs[0], tabs[1], tabs[2], tabs[3],
+            pic.intra_mode_y, pic.is_intra.view(np.uint8), pic.ct_depth,
+            pic.skip_flag.view(np.uint8), pic.qp_y, pic.slice_idx,
+            pic.tq_bypass.view(np.uint8), pic.no_filter.view(np.uint8),
+            pic.edge_v.view(np.uint8), pic.edge_h.view(np.uint8),
+            pic.tu_edge_v.view(np.uint8), pic.tu_edge_h.view(np.uint8),
+            pic.cbf_luma.view(np.uint8),
+            pic.mv_l0.reshape(-1), pic.ref_l0,
+            pic.ref_poc_l0.reshape(-1),
+            pic.mv_l1.reshape(-1), pic.ref_l1,
+            pic.ref_poc_l1.reshape(-1),
+            pic.z_order.reshape(-1),
+            pocs0, lts0, pocs1, lts1,
+            col_mv0, col_poc0, col_mv1, col_poc1, col_poc, cur_poc,
+            wp_w.reshape(-1), wp_o.reshape(-1),
+            sao_t.reshape(-1), sao_b.reshape(-1), sao_o.reshape(-1),
+            sao_e.reshape(-1), cb_list, cr_list,
+            rec.reshape(-1), rec.shape[0], lvl, lvl.shape[0],
+            threads, out_counts)
+        if rc != 0:
+            raise RuntimeError(f"native slice decode failed (rc={rc})")
+        n_rec, lvl_used, last_rs = (int(out_counts[0]),
+                                    int(out_counts[1]),
+                                    int(out_counts[2]))
+        # copy out the used slices so cached buffers can be reused
+        rec_out = rec[:n_rec].copy()
+        lvl_out = lvl[:lvl_used].copy()
+        chunks = getattr(pic, "native_chunks", None)
+        if chunks is not None:
+            # fast path: raw record chunks straight into the packer
+            if chunk_slot is None:
+                chunks.append((rec_out, lvl_out))
+            else:
+                chunks[chunk_slot] = (rec_out, lvl_out)
+        else:
+            records_to_plan(rec_out, lvl_out, pic.plan)
+        return last_rs
+
+    if defer:
+        return run
+    return run()
 
 
 def sao_arrays_to_map(pic) -> dict:

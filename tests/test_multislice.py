@@ -145,3 +145,19 @@ def test_multislice_inter_gop():
     oracle_check(stream, recons)
     for backend in ("inline", "jax"):
         check(stream, recons, backend)
+
+
+def test_slice_parallel_stage_a_bit_exact():
+    """Slice-parallel native stage A (deferred jobs on worker threads;
+    SURVEY §2.2 slice parallelism, reference PARALLEL_SLICE
+    hevcdec.c:2909): jax-backend decode of a multi-slice inter stream
+    equals the sequential decode and the encoder recon."""
+    import os
+    stream, recons = encode(n=4, slices=4, deblocking=True, sao=True,
+                            slice_filter_params=PER_SLICE)
+    check(stream, recons, "jax")  # parallel (default HEVC_TPU_SLICE_MT)
+    os.environ["HEVC_TPU_SLICE_MT"] = "0"
+    try:
+        check(stream, recons, "jax")  # sequential reference
+    finally:
+        os.environ.pop("HEVC_TPU_SLICE_MT", None)
