@@ -37,7 +37,7 @@ K4_W, K4_H, K4_QP, K4_FRAMES = 3840, 2160, 30, 4
 K4_TAG = f"e2e_{K4_W}x{K4_H}_qp{K4_QP}_ctb64_wpp"
 
 
-def _synth_stream(path, w, h, qp, frames, wpp):
+def _synth_stream(path, w, h, qp, frames, wpp, kind="gradient"):
     from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
     from hevc_tpu.encoder.generate import synth_frame
 
@@ -46,7 +46,7 @@ def _synth_stream(path, w, h, qp, frames, wpp):
         deblocking=True, sao=True, seed=1, gop="ipp", search_range=3,
         wpp=wpp))
     data = bytearray()
-    base = synth_frame("gradient", w, h, 0)
+    base = synth_frame(kind, w, h, 0, seed=9)
     for t in range(frames):
         y = np.roll(base[0], (t * 4, t * 7), (0, 1))
         cb = np.roll(base[1], (t * 2, t * 3), (0, 1))
@@ -56,11 +56,11 @@ def _synth_stream(path, w, h, qp, frames, wpp):
         f.write(data)
 
 
-def ensure_stream(tag, w, h, qp, frames, wpp):
+def ensure_stream(tag, w, h, qp, frames, wpp, kind="gradient"):
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, tag + ".265")
     if not os.path.exists(path):
-        _synth_stream(path, w, h, qp, frames, wpp)
+        _synth_stream(path, w, h, qp, frames, wpp, kind)
     return path
 
 
@@ -400,6 +400,14 @@ def main():
     k4_base = oracle_fps(k4, K4_TAG, K4_FRAMES)
     k4_compute = bench_compute(k4)
 
+    # harder content: high-entropy noise at 720p (VERDICT r3 weak 7 —
+    # the gradient stream flatters stage A and MC)
+    nz = ensure_stream("e2e_1280x720_qp28_noise_wpp", 1280, 720, 28, 6,
+                       wpp=True, kind="noise")
+    nz_e2e, _nz_split = bench_e2e(nz)
+    nz_base = oracle_fps(nz, "e2e_1280x720_qp28_noise_wpp", 6)
+    nz_compute = bench_compute(nz)
+
     dev_1080 = bench_device_stage_b(stream)
     dev_4k = bench_device_stage_b(k4, iters=6)
 
@@ -438,6 +446,10 @@ def main():
             # measured device->host transfer of one frame's YUV over
             # this rig's remote-chip RPC tunnel — the hard floor under
             # every e2e (md5-on) number on this machine
+            "e2e_fps_720p_noise": round(nz_e2e, 2),
+            "compute_fps_720p_noise": round(nz_compute, 2),
+            "oracle_fps_720p_noise":
+                round(nz_base, 2) if nz_base else None,
             "tunnel_ms_per_frame_1080p": round(tun_1080, 1),
             "tunnel_ms_per_frame_4k": round(tun_4k, 1),
             "stage_ms_per_frame": split,
