@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .mc import EPEL_TAPS, QPEL_TAPS
 
 NBUF = 4      # reference-window DMAs in flight
+VMEM_LIMIT = 100 * 1024 * 1024  # scoped VMEM cap (v5e has 128 MiB);
+# the frame canvas lives in VMEM for the whole kernel, which exceeds
+# the 16 MiB default at 4K (54.5 MB canvas)
 CHUNK = 256   # per-block field records per SMEM slab
 LANES = 256   # superwindow / covering width (two 128-lane tiles)
 
@@ -72,11 +75,15 @@ def _split_mc_fields(fields, bi, wp=False):
     return np.stack(rows).astype(np.int32)
 
 
-def _split_resid_fields(fields):
+def _split_resid_fields(fields, s):
+    """(cy, cx, slot) rows -> [row, covy, py, covx, px, off]: the pool
+    is lane-packed k = 128 // s blocks per row (pack_resid_pool), so a
+    block lives at pool[slot // k, :, off:off + s], off = (slot % k)*s."""
     f = np.asarray(fields)
+    k = 128 // s
     cy, cx, slot = f[:, 0], f[:, 1], f[:, 2]
-    return np.stack([slot, cy & ~7, cy & 7,
-                     cx & ~127, cx & 127]).astype(np.int32)
+    return np.stack([slot // k, cy & ~7, cy & 7,
+                     cx & ~127, cx & 127, (slot % k) * s]).astype(np.int32)
 
 
 def _pad_ft(ft):
@@ -280,7 +287,8 @@ def _mc_group_pallas(canvas, refs, ft_arr, *, n, is_chroma, bi, w, h, bd,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
         input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(ft_arr, refs, canvas, taps)
 
@@ -304,8 +312,8 @@ def prepare_mc_fields(mc_groups):
 
 def prepare_resid_fields(resid_groups):
     out = []
-    for fields in resid_groups:
-        ft = _pad_ft(_split_resid_fields(fields)) \
+    for c, fields in enumerate(resid_groups):
+        ft = _pad_ft(_split_resid_fields(fields, 4 << c)) \
             if fields.shape[0] else np.zeros((8, CHUNK), np.int32)
         out.append(_FT(ft, fields.shape[0]))
     return tuple(out)
@@ -346,7 +354,7 @@ def mc_phase_pallas(canvas, refs_l, refs_c, groups, bd, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _resid_kernel(ft, pool, canvas_in, canvas_out,
-                  cvs, bufs, fsm, fsems, rsems, csem, *, s, sp, bd):
+                  cvs, bufs, place, fsm, fsems, rsems, csem, *, s, sp, bd):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -358,6 +366,11 @@ def _resid_kernel(ft, pool, canvas_in, canvas_out,
 
     F = _slab_machinery(ft, fsm, fsems, i, n)
 
+    # pool is lane-packed [ceil(N/k), s, 128] (pack_resid_pool): DMA
+    # lane dims stay 128-aligned with no per-block padding; the block
+    # sits at lanes off..off+s of its row and the placement roll
+    # compensates.  Stale lanes outside the blend mask are ignored, so
+    # no zero-fill is needed.
     def r_dma(j, slot):
         return pltpu.make_async_copy(
             pool.at[F(j, 0)], bufs.at[slot], rsems.at[slot])
@@ -376,9 +389,10 @@ def _resid_kernel(ft, pool, canvas_in, canvas_out,
     covy = _hint(F(i, 1), 8)
     covx = _hint(F(i, 3), 128)
     maxv = (1 << bd) - 1
-    res = bufs[slot]                       # [sp, LANES], block at (0, 0)
+    place[pl.ds(0, max(s, 8)), pl.ds(0, 128)] = bufs[slot]
+    res = place[...]            # [sp, LANES], block at (0, off)
     res = pltpu.roll(res, py, axis=0)
-    res = pltpu.roll(res, px, axis=1)
+    res = pltpu.roll(res, px - F(i, 5) + LANES, axis=1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (sp, LANES), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (sp, LANES), 1)
     mask = ((rows >= py) & (rows < py + s)
@@ -398,6 +412,20 @@ def _resid_kernel(ft, pool, canvas_in, canvas_out,
         cp.wait()
 
 
+def pack_resid_pool(pool, s):
+    """[N, s, s] pool -> lane-packed [ceil(N/k), max(s,8), 128] with
+    k = 128 // s blocks per row (XLA fuses the transpose into the
+    producer: measured +0.45 ms/frame vs +13 ms for a scatter plane)."""
+    k = 128 // s
+    N = pool.shape[0]
+    nr = -(-max(N, 1) // k)
+    p = jnp.pad(pool, ((0, nr * k - N), (0, 0), (0, 0)))
+    p = p.reshape(nr, k, s, s).transpose(0, 2, 1, 3).reshape(nr, s, 128)
+    if s < 8:
+        p = jnp.pad(p, ((0, 0), (0, 8 - s), (0, 0)))
+    return p
+
+
 @functools.partial(jax.jit, static_argnames=("n", "s", "bd", "interpret"))
 def _resid_class_pallas(canvas, ft_arr, pool, *, n, s, bd, interpret=False):
     sp = _round_up(7 + s, 8)
@@ -408,13 +436,14 @@ def _resid_class_pallas(canvas, ft_arr, pool, *, n, s, bd, interpret=False):
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # fields
-            pl.BlockSpec(memory_space=pltpu.HBM),  # resid pool (padded)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pool (lane-packed)
             pl.BlockSpec(memory_space=pltpu.HBM),  # canvas (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM(canvas.shape, jnp.int32),
-            pltpu.VMEM((NBUF, sp, LANES), jnp.int32),
+            pltpu.VMEM((NBUF, max(s, 8), 128), jnp.int32),
+            pltpu.VMEM((sp, LANES), jnp.int32),
             pltpu.SMEM((2, frows, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
@@ -426,22 +455,20 @@ def _resid_class_pallas(canvas, ft_arr, pool, *, n, s, bd, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
         input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(ft_arr, pool, canvas)
 
 
-def pad_resid_pool(pool, s):
-    """[N, s, s] residual pool -> [N, roundup(7+s,8), LANES] (device)."""
-    sp = _round_up(7 + s, 8)
-    return jnp.pad(pool, ((0, 0), (0, sp - s), (0, LANES - s)))
-
-
 def resid_phase_pallas(canvas, fts, pools, bd, interpret=False):
-    """fts: from prepare_resid_fields; pools: padded per class."""
+    """fts: from prepare_resid_fields; pools: RAW [N, s, s] per class
+    (lane-packed here)."""
     for c, ft in enumerate(fts):
         if ft.n == 0:
             continue
-        canvas = _resid_class_pallas(canvas, ft.arr, pools[c], n=ft.n,
-                                     s=4 << c, bd=bd, interpret=interpret)
+        canvas = _resid_class_pallas(canvas, ft.arr,
+                                     pack_resid_pool(pools[c], 4 << c),
+                                     n=ft.n, s=4 << c, bd=bd,
+                                     interpret=interpret)
     return canvas

@@ -49,6 +49,22 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _use_pallas_pipeline():
+    """Pallas inter kernels (MC + resid) in the production pipeline on
+    real TPUs; the XLA formulation elsewhere.  Measured on this rig the
+    per-block Pallas DMA pipeline is ~7x the vmapped-dynamic_slice XLA
+    path (tools/probe_mc_prod.py: 5.2 vs 36.7 ms at 1080p)."""
+    from .recon import use_pallas_default
+    return use_pallas_default()
+
+
+def _aligned_shape(h, w):
+    """Pad a plane/canvas shape so every Pallas superwindow / covering
+    region (8-sublane/128-lane aligned, up to 256 lanes + 72 rows) of an
+    in-bounds block stays in bounds (see mc_pallas.pad_refs)."""
+    return _round_up(h, 8) + 48, _round_up(w, 128) + 256
+
+
 def _bucket_rows(n):
     """Row-count bucket: multiples of 2^(log2(n)-2), min 16 — bounds
     padding waste to ~25% and distinct shapes to 4 per octave."""
@@ -61,6 +77,75 @@ def _bucket_rows(n):
 # ---------------------------------------------------------------------------
 # device program
 # ---------------------------------------------------------------------------
+
+_PIPELINE_INTERPRET = False  # test hook: run the Pallas path interpreted
+
+
+def _slab_pad(ft):
+    """[F, n] int32 -> [ru(F,8), ru(n,CHUNK)] for the kernel slab DMA."""
+    from .mc_pallas import CHUNK
+    F, n = ft.shape
+    return jnp.pad(ft, ((0, _round_up(F, 8) - F),
+                        (0, _round_up(max(n, 1), CHUNK) - n)))
+
+
+def _mc_slab(rows, bi, wp):
+    """Production 17-col MC rows -> transposed Pallas field slab.
+
+    Padding rows (cy == DUMP16) keep valid window coords (0) but get
+    py=127, which empties the blend mask — the covering RMW then writes
+    the canvas back unchanged, so bucket-padded groups need no grid
+    specialization per true row count."""
+    pad = rows[:, 10] == DUMP16
+    fields = []
+    for p in range(2 if bi else 1):
+        sel, by, bx = rows[:, 5 * p], rows[:, 5 * p + 1], rows[:, 5 * p + 2]
+        fields += [sel, by & ~7, by & 7, bx & ~127, bx & 127,
+                   rows[:, 5 * p + 3], rows[:, 5 * p + 4]]
+    cy = jnp.where(pad, 0, rows[:, 10])
+    cx = jnp.where(pad, 0, rows[:, 11])
+    fields += [cy & ~7, jnp.where(pad, 127, cy & 7), cx & ~127, cx & 127]
+    if wp:
+        fields += [rows[:, 12], rows[:, 13], rows[:, 14], rows[:, 15],
+                   rows[:, 16]]
+    return _slab_pad(jnp.stack(fields))
+
+
+def _mc_phase_pallas_prod(canvas, refs_l, refs_c, groups, bd, interpret):
+    """Pallas MC over production groups; canvas/refs pre-aligned
+    (_aligned_shape), so no per-frame pad/crop passes."""
+    from . import mc_pallas as MP
+    for is_ch, bi, wp, _kind, w, h, rows in groups:
+        refs = refs_c if is_ch else refs_l
+        ft = _mc_slab(rows, bi, wp)
+        canvas = MP._mc_group_pallas(canvas, refs, ft, n=rows.shape[0],
+                                     is_chroma=is_ch, bi=bi, w=w, h=h,
+                                     bd=bd, wp=wp, interpret=interpret)
+    return canvas
+
+
+def _resid_phase_pallas_prod(canvas, resid_fields, resids, bd, interpret):
+    """Pallas inter-residual add; pools lane-packed in-jit (the
+    transpose fuses into the residual producer)."""
+    from . import mc_pallas as MP
+    for c, f in enumerate(resid_fields):
+        n = f.shape[0]
+        if n == 0:
+            continue
+        s = 4 << c
+        k = 128 // s
+        pad = f[:, 0] < 0
+        cy = jnp.where(pad, 0, f[:, 0])
+        cx = jnp.where(pad, 0, f[:, 1])
+        slot = jnp.where(pad, 0, f[:, 2])
+        ft = _slab_pad(jnp.stack(
+            [slot // k, cy & ~7, jnp.where(pad, 127, cy & 7),
+             cx & ~127, cx & 127, (slot % k) * s]))
+        canvas = MP._resid_class_pallas(
+            canvas, ft, MP.pack_resid_pool(resids[c], s), n=n,
+            s=s, bd=bd, interpret=interpret)
+    return canvas
+
 
 def _mc_tile_phase(canvas, refs_l, refs_c, groups, bd):
     """MC over per-PU groups: groups = tuple of (is_ch, bi, wp, kind,
@@ -248,13 +333,23 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
                         tuple(scale_bank))
 
     canvas = canvas0.astype(jnp.int32)
+    use_pl = S.get("pallas", 0)
+    interp = use_pl == 2
     if S["n_refs"]:
         refs_l = jnp.stack(refs_y)
         refs_c = jnp.stack(refs_cb + refs_cr)
-        canvas = _mc_tile_phase(canvas, refs_l, refs_c,
-                                tuple(mc_groups), bd)
-    from .mc import resid_phase
-    canvas = resid_phase(canvas, tuple(resid_fields), resids, bd)
+        if use_pl:
+            canvas = _mc_phase_pallas_prod(canvas, refs_l, refs_c,
+                                           tuple(mc_groups), bd, interp)
+        else:
+            canvas = _mc_tile_phase(canvas, refs_l, refs_c,
+                                    tuple(mc_groups), bd)
+    if use_pl:
+        canvas = _resid_phase_pallas_prod(canvas, tuple(resid_fields),
+                                          resids, bd, interp)
+    else:
+        from .mc import resid_phase
+        canvas = resid_phase(canvas, tuple(resid_fields), resids, bd)
     out = reconstruct_wavefront(canvas, tuple(scal), avail, resids, bd,
                                 n_chunks)
     planes = []
@@ -277,7 +372,18 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
                                       edge_flags=sao_flags))
         y, cb, cr = outp
     odt = jnp.uint8 if bd <= 8 else jnp.uint16
-    pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
+    if use_pl:
+        # DPB refs live at the Pallas-aligned shape so MC superwindow
+        # DMAs never need a per-frame pad/crop of the ref stacks
+        pads = []
+        for p in (y, cb, cr):
+            ph, pw = p.shape
+            ah, aw = _aligned_shape(ph + 2 * PAD_REF, pw + 2 * PAD_REF)
+            pads.append(jnp.pad(p, ((PAD_REF, ah - ph - PAD_REF),
+                                    (PAD_REF, aw - pw - PAD_REF)),
+                                mode="edge"))
+    else:
+        pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
     # one fused output buffer: a single device->host transfer per frame
     # (each fetch over a remote-chip tunnel pays a full RTT)
     flat = jnp.concatenate([y.astype(odt).ravel(), cb.astype(odt).ravel(),
@@ -317,10 +423,19 @@ def _dev_scale_bank(pic):
     return got
 
 
-def _pad_np(planes):
-    pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
-    return tuple(jax.device_put(np.pad(p, pad, mode="edge")
-                                .astype(np.int32)) for p in planes)
+def _pad_np(planes, aligned=False):
+    out = []
+    for p in planes:
+        ph, pw = p.shape
+        if aligned:
+            ah, aw = _aligned_shape(ph + 2 * PAD_REF, pw + 2 * PAD_REF)
+            pad = ((PAD_REF, ah - ph - PAD_REF),
+                   (PAD_REF, aw - pw - PAD_REF))
+        else:
+            pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
+        out.append(jax.device_put(np.pad(p, pad, mode="edge")
+                                  .astype(np.int32)))
+    return tuple(out)
 
 
 def pack_frame_pipeline(pic):
@@ -396,15 +511,18 @@ def pack_frame_pipeline(pic):
         assert ok.all(), "MV exceeds PAD_REF"
 
     _t_guard.__exit__(None, None, None)
+    use_pl = 2 if _PIPELINE_INTERPRET else \
+        (1 if _use_pallas_pipeline() else 0)
+    cshape = _aligned_shape(chh, cww) if use_pl else (chh, cww)
     # canvas: device zeros unless PCM samples need pre-filling
     if npcm:
-        canvas = np.zeros((chh, cww), np.int16)
+        canvas = np.zeros(cshape, np.int16)
         for plane, cy, cx, w, h, off in pcmrow[:npcm].tolist():
             canvas[cy:cy + h, cx:cx + w] = lvl[off:off + w * h].reshape(
                 h, w)
         canvas0 = jnp.asarray(canvas)
     else:
-        canvas0 = _zero_canvas(chh, cww)
+        canvas0 = _zero_canvas(*cshape)
 
     n_chunks = _round_up(max(1, n_chunks_raw), 16)
     im, iv, lm = imeta[:ni], iavail[:ni], lmeta[:nl]
@@ -463,25 +581,30 @@ def pack_frame_pipeline(pic):
     mc_groups = []
     if nm:
         wp_flag = (mcr[:, 20] >= 0).astype(np.int32)
-        uni_kind = ((mcr[:, 7] != 0) + 2 * (mcr[:, 8] != 0))
-        bi_zero = (mcr[:, 7] | mcr[:, 8]
-                   | mcr[:, 12] | mcr[:, 13]) == 0
-        kind = np.where(mcr[:, 1] == 1, np.where(bi_zero, 0, 3),
-                        uni_kind).astype(np.int32)
-        # fold sparse specializations back into the generic kernel:
-        # per-kernel launch overhead outweighs the specialized win for
-        # small groups (kind 3 is correct for every frac)
-        base = (mcr[:, 0] * 8 + mcr[:, 1] * 4 + wp_flag) * (1 << 20) \
-            + mcr[:, 2] * 1024 + mcr[:, 3]
-        for k in (0, 1, 2):
-            sel = kind == k
-            if not sel.any():
-                continue
-            ids, cnt = np.unique(base[sel], return_counts=True)
-            small = set(ids[cnt < 256].tolist())
-            if small:
-                fold = sel & np.isin(base, list(small))
-                kind[fold] = 3
+        if use_pl:
+            # the Pallas kernel handles every frac via unit taps —
+            # a single generic kind maximizes group merging
+            kind = np.full(nm, 3, np.int32)
+        else:
+            uni_kind = ((mcr[:, 7] != 0) + 2 * (mcr[:, 8] != 0))
+            bi_zero = (mcr[:, 7] | mcr[:, 8]
+                       | mcr[:, 12] | mcr[:, 13]) == 0
+            kind = np.where(mcr[:, 1] == 1, np.where(bi_zero, 0, 3),
+                            uni_kind).astype(np.int32)
+            # fold sparse specializations back into the generic kernel:
+            # per-kernel launch overhead outweighs the specialized win
+            # for small groups (kind 3 is correct for every frac)
+            base = (mcr[:, 0] * 8 + mcr[:, 1] * 4 + wp_flag) * (1 << 20) \
+                + mcr[:, 2] * 1024 + mcr[:, 3]
+            for k in (0, 1, 2):
+                sel = kind == k
+                if not sel.any():
+                    continue
+                ids, cnt = np.unique(base[sel], return_counts=True)
+                small = set(ids[cnt < 256].tolist())
+                if small:
+                    fold = sel & np.isin(base, list(small))
+                    kind[fold] = 3
         order = np.lexsort((mcr[:, 3], mcr[:, 2], kind, wp_flag,
                             mcr[:, 1], mcr[:, 0]))
         srt = mcr[order]
@@ -604,6 +727,7 @@ def pack_frame_pipeline(pic):
         ("sub_w", sps.sub_w), ("sub_h", sps.sub_h),
         ("do_deblock", do_deblock), ("do_sao", do_sao),
         ("n_refs", n_refs),
+        ("pallas", use_pl),
     )
     return meta, meta16, meta8, avail_u8, levels16, canvas0, spec
 
@@ -695,10 +819,12 @@ def finish_frame_pipeline(pic, lay, poc: int):
     if dpb_dev is None:
         dpb_dev = lay.dpb_dev = {}
 
+    aligned = bool(dict(spec)["pallas"])
+
     def dev_ref(entry, dev):
         if dev is not None:
             return dev
-        return _pad_np([np.asarray(p) for p in entry[1]])
+        return _pad_np([np.asarray(p) for p in entry[1]], aligned)
 
     # device ref resolution happens HERE (on the ordered pack worker):
     # by the time frame n packs, every preceding frame's device DPB

@@ -162,10 +162,8 @@ def _inter_phases(canvas, refs_l, refs_c, resids, bit_depth,
         canvas = MP.mc_phase_pallas(canvas, MP.pad_refs(refs_l),
                                     MP.pad_refs(refs_c), groups, bit_depth)
     if any(resid_ns):
-        pools = tuple(MP.pad_resid_pool(resids[c], 4 << c)
-                      for c in range(4))
         fts = tuple(MP._FT(a, n) for a, n in zip(resid_ft, resid_ns))
-        canvas = MP.resid_phase_pallas(canvas, fts, pools, bit_depth)
+        canvas = MP.resid_phase_pallas(canvas, fts, resids, bit_depth)
     return canvas[:ch, :cw]
 
 

@@ -121,7 +121,6 @@ def test_resid_pallas_interpret_matches_xla(cls, bd):
                        tuple(resids), bd)
 
     fts = MP.prepare_resid_fields(tuple(np.asarray(f) for f in rfields))
-    pools = tuple(MP.pad_resid_pool(resids[c], 4 << c) for c in range(4))
     pc = MP.pad_canvas(jnp.asarray(canvas))
-    got = MP.resid_phase_pallas(pc, fts, pools, bd, interpret=True)
+    got = MP.resid_phase_pallas(pc, fts, tuple(resids), bd, interpret=True)
     assert (np.asarray(got[:ch, :cw]) == np.asarray(want)).all()

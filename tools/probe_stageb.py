@@ -13,8 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-STREAM = os.path.join(os.path.dirname(__file__), "..", ".bench",
-                      "e2e_1920x1080_qp30_ctb64_wpp.265")
+STREAM = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(__file__), "..", ".bench",
+    "e2e_1920x1080_qp30_ctb64_wpp.265")
 
 
 def main():
