@@ -104,12 +104,14 @@ def bench_e2e(stream_path):
         run()
     best = 0.0
     split = {}
+    errors = []
     for _ in range(3):
         trace.reset()
         t0 = time.time()
         try:
             n = run()
-        except Exception:
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
             time.sleep(5)
             continue
         dt = time.time() - t0
@@ -118,6 +120,10 @@ def bench_e2e(stream_path):
             r = trace.report()
             split = {k: round(v["total_s"] / n * 1e3, 2)
                      for k, v in r.items()}
+    if best == 0.0:
+        # fail LOUDLY: a silent 0.0 would reach the driver as a real
+        # (catastrophic) number instead of a broken run
+        raise RuntimeError(f"bench_e2e: all iterations failed: {errors}")
     return best, split
 
 
@@ -146,15 +152,20 @@ def bench_compute(stream_path):
         time.sleep(5)
         run()
     best = 0.0
+    errors = []
     for _ in range(3):
         t0 = time.time()
         try:
             n = run()
-        except Exception:
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
             time.sleep(5)
             continue
         dt = time.time() - t0
         best = max(best, n / dt)
+    if best == 0.0:
+        raise RuntimeError(
+            f"bench_compute: all iterations failed: {errors}")
     return best
 
 
@@ -206,7 +217,8 @@ def bench_device_stage_b(stream_path, iters=16):
     timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
     t0 = time.time()
     timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
-    return iters / (time.time() - t0)
+    return iters / (time.time() - t0), (spec, canvas.shape,
+                                        int(levels.size))
 
 
 def tunnel_probe(nbytes):
@@ -220,6 +232,61 @@ def tunnel_probe(nbytes):
     t0 = time.time()
     np.asarray(buf)
     return (time.time() - t0) * 1e3  # ms
+
+
+def link_report(tun_ms, nbytes):
+    """Link MB/s + a flag when this run's tunnel is >1.5x off the
+    rolling median of past runs (VERDICT r4: a 2x-slower tunnel made an
+    e2e regression look like a code regression)."""
+    mbps = nbytes / 1e6 / max(tun_ms / 1e3, 1e-9)
+    hist_path = os.path.join(CACHE, "tunnel_history.json")
+    hist = []
+    if os.path.exists(hist_path):
+        try:
+            hist = json.load(open(hist_path))
+        except Exception:
+            hist = []
+    baseline = sorted(hist)[len(hist) // 2] if hist else None
+    flagged = bool(baseline
+                   and (mbps < baseline / 1.5 or mbps > baseline * 1.5))
+    json.dump((hist + [round(mbps, 2)])[-20:], open(hist_path, "w"))
+    return round(mbps, 2), flagged, baseline
+
+
+def _round8(x):
+    return -(-x // 8) * 8
+
+
+def stageb_bytes_model(spec, canvas_shape, levels_n, width, height):
+    """Analytic HBM-bytes-per-frame account of the device stage-B
+    program (VERDICT r4 next-1a): canvas round-trips per Pallas kernel,
+    per-block window DMAs, residual pools, filter + output passes —
+    vs the ~1.5*W*H minimum an ideal decoder would write once."""
+    S = dict(spec)
+    cb = canvas_shape[0] * canvas_shape[1] * 4
+    total = 0
+    for (is_ch, bi, wp, _kind, w, h, nrow) in S["mc_groups"]:
+        ntaps = 4 if is_ch else 8
+        wh = _round8(7 + h + ntaps - 1)
+        total += 2 * cb                                  # canvas in+out
+        total += nrow * wh * 256 * 4 * (2 if bi else 1)  # window DMAs
+    pools = sum(n * (4 << c) * (4 << c) * 4
+                for c, n in enumerate(S["nlv"]))
+    total += levels_n * 2          # levels16 read
+    total += 2 * pools             # residual pools write + lane-pack
+    for c, n in enumerate(S["resid_rows"]):
+        if n:
+            s = 4 << c
+            total += 2 * cb + n * max(s, 8) * 128 * 4 + pools // 4
+    plane = width * height * 4
+    frame32 = plane * 3 // 2       # int32 4:2:0 planes
+    if S["do_deblock"]:
+        total += 4 * frame32       # v pass + h pass (RMW each)
+    if S["do_sao"]:
+        total += 2 * frame32
+    total += 2 * frame32           # region slice + output cast/pads
+    minimum = width * height * 3 // 2
+    return total, minimum
 
 
 B720_TAG = "v2ipp_1280x720_qp30_ctb64_filt"
@@ -424,12 +491,16 @@ def main():
     nz_base = oracle_fps(nz, "e2e_1280x720_qp28_noise_wpp", 6)
     nz_compute = bench_compute(nz)
 
-    dev_1080 = bench_device_stage_b(stream)
-    dev_4k = bench_device_stage_b(k4, iters=6)
+    dev_1080, cap_1080 = bench_device_stage_b(stream)
+    dev_4k, cap_4k = bench_device_stage_b(k4, iters=6)
+    by_1080, min_1080 = stageb_bytes_model(*cap_1080, E2E_W, E2E_H)
+    by_4k, min_4k = stageb_bytes_model(*cap_4k, K4_W, K4_H)
 
     # rig tunnel cost for one frame of 4:2:0 8-bit output
     tun_1080 = tunnel_probe(E2E_W * E2E_H * 3 // 2)
     tun_4k = tunnel_probe(K4_W * K4_H * 3 // 2)
+    link_mbps, link_flagged, link_base = link_report(
+        tun_1080, E2E_W * E2E_H * 3 // 2)
 
     stage_b_720, kernel_us, kernel_gbps = bench_stage_b_720p()
 
@@ -468,6 +539,17 @@ def main():
                 round(nz_base, 2) if nz_base else None,
             "tunnel_ms_per_frame_1080p": round(tun_1080, 1),
             "tunnel_ms_per_frame_4k": round(tun_4k, 1),
+            # measured link bandwidth + drift flag vs rolling median of
+            # past runs (>1.5x off => e2e numbers are link artifacts)
+            "link_MBps": link_mbps,
+            "link_flagged": link_flagged,
+            "link_rolling_median_MBps": link_base,
+            # analytic HBM bytes/frame of the stage-B program vs the
+            # 1.5*W*H 8-bit minimum an ideal decoder writes once
+            "stageB_bytes_per_frame_1080p": by_1080,
+            "stageB_bytes_per_frame_4k": by_4k,
+            "stageB_bytes_vs_min_1080p": round(by_1080 / min_1080, 1),
+            "stageB_bytes_vs_min_4k": round(by_4k / min_4k, 1),
             "stage_ms_per_frame": split,
             "stage_ms_per_frame_4k": k4_split,
             "stageB_720p_device_fps": round(stage_b_720, 2),

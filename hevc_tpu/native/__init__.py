@@ -38,6 +38,7 @@ _HDRS = (os.path.join(_DIR, "stage_a_engine.h"),
 _SO = os.path.join(_DIR, "_stagea.so")
 
 _I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _I64P = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 _U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -108,7 +109,7 @@ def _lib():
         C.c_int32, C.c_int32, C.c_int32,             # log2_size, c_idx, scan
         C.c_int32, C.c_int32, C.c_int32,             # sdh, ts_allowed, tqb
         _I32P, _I32P, _I32P,                         # sub/coef scan, pos map
-        _I32P, C.POINTER(C.c_int32),                 # levels, ts_flag
+        _I16P, C.POINTER(C.c_int32),                 # levels, ts_flag
     ]
     fs = lib.hevc_native_decode_slice
     fs.restype = C.c_int64
@@ -128,7 +129,7 @@ def _lib():
         _I32P, _I32P,                                # wp_w, wp_o
         _I32P, _I32P, _I32P, _I32P,                  # sao out
         _I32P, _I32P,                                # chroma offset lists
-        _I32P, C.c_int64, _I32P, C.c_int64,          # rec, cap, lvl, cap
+        _I32P, C.c_int64, _I16P, C.c_int64,          # rec, cap, lvl, cap
         C.c_int32,                                   # n_threads
         _I64P,                                       # out_counts
     ]
@@ -138,13 +139,14 @@ def _lib():
 def stagea_threads() -> int:
     """Worker threads for the parallel stage-A paths (WPP rows / tiles).
 
-    HEVC_TPU_STAGEA_THREADS overrides; default = CPU count (the MT path
-    engages only when the stream's segment layout allows a bit-exact
-    fan-out — single-slice whole-picture WPP or tiles)."""
+    HEVC_TPU_STAGEA_THREADS overrides; default = CPU count - 1 (one
+    core stays free for the pack/dispatch worker), min 1.  Measured on
+    a 2-core host, 2 WPP threads run ~1.3x SLOWER than 1 (the 2-CTU-lag
+    spin-wait burns the sibling core), so small hosts get 1."""
     v = os.environ.get("HEVC_TPU_STAGEA_THREADS")
     if v is not None:
         return max(1, int(v))
-    return os.cpu_count() or 1
+    return max(1, (os.cpu_count() or 2) - 1)
 
 
 def available() -> bool:
@@ -233,7 +235,7 @@ def decode_residual(d, cm, log2_size: int, c_idx: int, scan_idx: int, *,
     size = 1 << log2_size
     ctx = np.array(cm.states, np.uint8)
     sub_scan, coef_scan, pos_of_xy = _scan_tables(scan_idx, log2_size)
-    levels = np.empty((size, size), np.int32)
+    levels = np.empty((size, size), np.int16)
 
     bytepos = C.c_int64(d.bytepos)
     rng = C.c_int32(d.range)
@@ -279,7 +281,7 @@ def _buffers(w4: int, h4: int, fmt: int):
         cfrac = {0: 0, 1: 8, 2: 16, 3: 32}[fmt]
         cap_lvl = 16 * n44 + (cfrac * n44 * 16) // 16 + 4096
         _BUF_CACHE[key] = (np.empty((cap_rec, REC_NCOLS), np.int32),
-                           np.empty(cap_lvl, np.int32))
+                           np.empty(cap_lvl, np.int16))
     return _BUF_CACHE[key]
 
 
@@ -320,7 +322,8 @@ def _wp_tables(sh, sps):
 
 def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
     """Convert the native record stream into BlockRecords (decode order),
-    appending to `plan`.  Level arrays are views into the pool."""
+    appending to `plan`.  Level arrays are int32 copies of the int16
+    pool slices (the NumPy oracle does int32 arithmetic)."""
     from ..decoder.core import BlockRecord
     rows = rec.tolist()
     made = [None] * len(rows)  # row index -> record (CCP luma refs)
@@ -338,7 +341,8 @@ def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
                      r[REC_LOG2WD]) if r[REC_LOG2WD] >= 0 else None)))
         elif kind == KIND_PCM:
             n = r[REC_W] * r[REC_H]
-            blk = lvl[r[REC_LVL]:r[REC_LVL] + n].reshape(r[REC_H], r[REC_W])
+            blk = lvl[r[REC_LVL]:r[REC_LVL] + n].reshape(
+                r[REC_H], r[REC_W]).astype(np.int32)
             plan.append(BlockRecord(
                 plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=r[REC_W],
                 h=r[REC_H], mode=0, qp=0, levels=blk, kind="pcm"))
@@ -347,7 +351,8 @@ def records_to_plan(rec: np.ndarray, lvl: np.ndarray, plan: list) -> None:
             loff = r[REC_LVL]
             levels = None
             if loff >= 0:
-                levels = lvl[loff:loff + size * size].reshape(size, size)
+                levels = lvl[loff:loff + size * size].reshape(
+                    size, size).astype(np.int32)
             f = r[REC_FLAGS]
             obj = BlockRecord(
                 plane=r[REC_PLANE], x=r[REC_X], y=r[REC_Y], size=size,
@@ -517,7 +522,7 @@ def decode_slice_native(pic, sps, pps, sh, init_type: int, rbsp: bytes,
         n44 = pic.w4 * pic.h4
         cfrac = {0: 0, 1: 8, 2: 16, 3: 32}[sps.chroma_format_idc]
         rec = np.empty((4 * n44 + 1024, REC_NCOLS), np.int32)
-        lvl = np.empty(16 * n44 + cfrac * n44 + 4096, np.int32)
+        lvl = np.empty(16 * n44 + cfrac * n44 + 4096, np.int16)
     else:
         rec, lvl = _buffers(pic.w4, pic.h4, sps.chroma_format_idc)
     out_counts = np.zeros(4, np.int64)
@@ -617,15 +622,12 @@ def _pack_fn():
     return fn
 
 
-_I16P = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-
-
 @lru_cache(maxsize=1)
 def _gather_levels_fn():
     lib = _lib()
     fn = lib.hevc_native_gather_levels
     fn.restype = None
-    fn.argtypes = [_I32P, _I32P, C.c_int64,
+    fn.argtypes = [_I16P, _I32P, C.c_int64,
                    _I32P, _I32P, _I32P, _I32P,   # rmeta per class
                    _I16P, _I16P, _I16P, _I16P]   # int16 levels per class
     return fn

@@ -21,6 +21,11 @@
 
 #include "stage_a_engine.h"
 
+namespace hevc_native {
+int64_t g_prof[16];
+bool g_prof_on = false;
+}  // namespace hevc_native
+
 #include <cstdint>
 #include <cstring>
 
@@ -186,7 +191,7 @@ struct Dec {
     // outputs
     int32_t* rec;
     int64_t cap_rec, n_rec = 0;
-    int32_t* lvl;
+    int16_t* lvl;
     int64_t cap_lvl, lvl_used = 0;
     int err = 0;
     // QP state machine (coding/qp.py QpState)
@@ -218,10 +223,10 @@ struct Dec {
         return r;
     }
 
-    int32_t* alloc_lvl(int n, int64_t* off_out) {
+    int16_t* alloc_lvl(int n, int64_t* off_out) {
         if (lvl_used + n > cap_lvl) { err = -2; return nullptr; }
         *off_out = lvl_used;
-        int32_t* p = lvl + lvl_used;
+        int16_t* p = lvl + lvl_used;
         lvl_used += n;
         return p;
     }
@@ -812,3 +817,10 @@ struct Dec {
 }  // namespace
 }  // namespace hevc_native
 #include "stage_a_syntax.h"
+
+extern "C" const int64_t* hevc_native_prof(int enable, int reset) {
+    if (reset)
+        memset(hevc_native::g_prof, 0, sizeof(hevc_native::g_prof));
+    hevc_native::g_prof_on = enable != 0;
+    return hevc_native::g_prof;
+}

@@ -18,6 +18,35 @@
 
 namespace hevc_native {
 
+// ---- coarse phase profiling (tools/probe_stagea.py) -----------------------
+// rdtsc accumulators, enabled via hevc_native_prof(); single-threaded
+// measurement only (plain stores).  slots: 0 residual_core, 1 sao,
+// 2 inter_pb, 3 decode_ctus, 4 level memset; +8 = call counts.
+extern int64_t g_prof[16];
+extern bool g_prof_on;
+
+static inline uint64_t prof_tick() {
+#if defined(__x86_64__)
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+#else
+    return 0;
+#endif
+}
+
+struct ProfSpan {
+    int slot;
+    uint64_t t0;
+    explicit ProfSpan(int s) : slot(s), t0(g_prof_on ? prof_tick() : 0) {}
+    ~ProfSpan() {
+        if (g_prof_on) {
+            g_prof[slot] += (int64_t)(prof_tick() - t0);
+            g_prof[slot + 8]++;
+        }
+    }
+};
+
 // Table 9-46: rangeTabLps[pStateIdx][qRangeIdx] (spec constant)
 static const uint8_t RANGE_TAB_LPS[64][4] = {
     {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
@@ -94,6 +123,47 @@ struct Cabac {
         return (bitbuf >> nbits) & 1;
     }
 
+    // Read n <= 56 bits at once, keeping (bytepos, nbits, bitbuf)
+    // CANONICAL — i.e. bit-for-bit the state n read_bit() calls would
+    // leave (the Python engine mirror contract, tests/test_native.py).
+    // When the read stays inside the current byte, bitbuf is untouched
+    // (preserving the init-time 0x7F mask); when it crosses a byte
+    // boundary, bitbuf becomes the full last byte, exactly as the
+    // per-byte refill would produce.
+    inline uint32_t read_bits_fast(int n) {  // n <= 31
+        if (n == 0)
+            return 0;
+        if (n <= nbits) {  // stays within the buffered byte (bitbuf
+            nbits -= n;    //  untouched, incl. the stale nbits==0 case)
+            return (bitbuf >> nbits) & ((1u << n) - 1);
+        }
+        uint64_t acc = (uint64_t)(bitbuf & ((1 << nbits) - 1));
+        int have = nbits;
+        while (have < n) {
+            acc = (acc << 8) | (uint32_t)next_byte();
+            have += 8;
+        }
+        nbits = have - n;
+        // bitbuf is the full last byte consumed (init mask only ever
+        // applies before the first byte boundary is crossed)
+        bitbuf = (bytepos >= 1 && bytepos - 1 < nbytes)
+                     ? data[bytepos - 1] : 0;
+        return (uint32_t)(acc >> nbits) & ((1u << n) - 1);
+    }
+
+    // Peek n <= 48 bits ahead without consuming.
+    inline uint64_t peek_bits(int n) const {
+        uint64_t acc = (uint64_t)(bitbuf & ((1 << nbits) - 1));
+        int have = nbits;
+        int64_t bp = bytepos;
+        while (have < n) {
+            acc = (acc << 8) | (uint32_t)(bp < nbytes ? data[bp] : 0);
+            bp++;
+            have += 8;
+        }
+        return acc >> (have - n);
+    }
+
     inline int decode_bin(uint8_t* ctx) {
         int s = *ctx;
         int p = s >> 1;
@@ -115,9 +185,10 @@ struct Cabac {
                 nxt = 63;
             *ctx = (uint8_t)((nxt << 1) | mps);
         }
-        while (range < 256) {
-            range <<= 1;
-            offset = (offset << 1) | read_bit();
+        if (range < 256) {  // renormalize in one multi-bit step
+            int k = 9 - (32 - __builtin_clz((uint32_t)range));
+            offset = (offset << k) | (int32_t)read_bits_fast(k);
+            range <<= k;
         }
         return bit;
     }
@@ -131,20 +202,35 @@ struct Cabac {
         return 0;
     }
 
+    // n bypass bins in one step (9.3.4.3.4 applied n times is binary
+    // long division): (offset << n | bits) = q * range + offset', with
+    // q's binary digits being exactly the n decoded bins.  n <= 22
+    // keeps offset<<n within uint64 comfortably (offset < 512).
+    inline uint32_t decode_bypass_n(int n) {
+        if (n == 0)
+            return 0;
+        uint64_t ext = ((uint64_t)(uint32_t)offset << n)
+                       | read_bits_fast(n);
+        uint32_t q = (uint32_t)(ext / (uint32_t)range);
+        offset = (int32_t)(ext % (uint32_t)range);
+        return q;
+    }
+
     inline int decode_bypass_bits(int n) {
-        int v = 0;
-        for (int i = 0; i < n; i++)
-            v = (v << 1) | decode_bypass();
-        return v;
+        if (n <= 22)
+            return (int)decode_bypass_n(n);
+        int v = (int)decode_bypass_n(22);
+        return (v << (n - 22)) | (int)decode_bypass_n(n - 22);
     }
 
     inline int decode_terminate() {
         range -= 2;
         if (offset >= range)
             return 1;
-        while (range < 256) {
-            range <<= 1;
-            offset = (offset << 1) | read_bit();
+        if (range < 256) {
+            int k = 9 - (32 - __builtin_clz((uint32_t)range));
+            offset = (offset << k) | (int32_t)read_bits_fast(k);
+            range <<= k;
         }
         return 0;
     }
@@ -160,11 +246,19 @@ struct Cabac {
     }
 };
 
-// coeff_abs_level_remaining (9.3.3.13): TR prefix + EGk escape
+// coeff_abs_level_remaining (9.3.3.13): TR prefix + EGk escape.
+// The unary prefix is found by PEEKING 25 bypass bins via the long-
+// division identity and counting leading ones, then consuming exactly
+// the bins the bit-at-a-time loop would have (prefix+1, capped at 24).
 static inline int decode_remaining(Cabac* c, int rice) {
-    int prefix = 0;
-    while (prefix < 24 && c->decode_bypass())
-        prefix++;
+    uint64_t ext = ((uint64_t)(uint32_t)c->offset << 25)
+                   | c->peek_bits(25);
+    uint32_t q = (uint32_t)(ext / (uint32_t)c->range);
+    uint32_t inv = (~q) & ((1u << 25) - 1);
+    int prefix = inv ? 25 - (32 - __builtin_clz(inv)) : 25;
+    if (prefix > 24)
+        prefix = 24;
+    c->decode_bypass_n(prefix < 24 ? prefix + 1 : 24);
     if (prefix < 3)
         return (prefix << rice) + c->decode_bypass_bits(rice);
     int nbits = prefix - 3 + rice;
@@ -237,16 +331,19 @@ struct RextP {
 // Mirrors coding/residual.py decode_residual exactly, including the
 // rext tools (persistent rice via `stat`, skip sig contexts, explicit
 // RDPCM flags returned through rdpcm_out = {flag, dir}).
-static inline void decode_residual_core(
+static inline void decode_residual_core_impl(
     Cabac* c, uint8_t* ctx, const int32_t* off,
     int32_t log2_size, int32_t c_idx, int32_t scan_idx,
     int32_t sign_data_hiding, int32_t ts_allowed, int32_t tq_bypass,
     const int32_t* sub_scan, const int32_t* coef_scan,
-    const int32_t* pos_of_xy, int32_t* levels, int32_t* ts_flag_out,
+    const int32_t* pos_of_xy, int16_t* levels, int32_t* ts_flag_out,
     const RextP* rx = nullptr, int pred_inter = 0, int intra_mode = -1,
     int32_t* stat = nullptr, int32_t* rdpcm_out = nullptr) {
     const int size = 1 << log2_size;
-    memset(levels, 0, sizeof(int32_t) * size * size);
+    {
+        ProfSpan _pm(4);
+        memset(levels, 0, sizeof(int16_t) * size * size);
+    }
 
     int ts_flag = 0;
     if (ts_allowed && !tq_bypass)
@@ -399,8 +496,9 @@ static inline void decode_residual_core(
                       && (last_nz - first_nz) >= 4);
         int nsigns = hidden ? nsig - 1 : nsig;
         int signs[16];
+        uint32_t sv = c->decode_bypass_n(nsigns);
         for (int m = 0; m < nsigns; m++)
-            signs[m] = c->decode_bypass();
+            signs[m] = (sv >> (nsigns - 1 - m)) & 1;
 
         // remaining levels (persistent rice: StatCoeff-seeded parameter
         // with unclamped in-CG growth, one stat update per sub-block)

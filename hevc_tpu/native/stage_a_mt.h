@@ -32,13 +32,14 @@ namespace {
 struct RowBuf {
     // uninitialized on purpose: resize()'s zero-fill would cost more
     // than the decode itself at 1080p+ capacities
-    std::unique_ptr<int32_t[]> rec, lvl;
+    std::unique_ptr<int32_t[]> rec;
+    std::unique_ptr<int16_t[]> lvl;
     int64_t cap_rec = 0, cap_lvl = 0;
     int64_t n_rec = 0, lvl_used = 0;
     int err = 0;
     void alloc(int64_t cr, int64_t cl) {
         rec.reset(new int32_t[cr * REC_NCOLS]);
-        lvl.reset(new int32_t[cl]);
+        lvl.reset(new int16_t[cl]);
         cap_rec = cr;
         cap_lvl = cl;
     }
@@ -85,7 +86,7 @@ static int merge_bufs(Dec& d, std::vector<RowBuf>& bufs) {
                     r[REC_LVL] += (int32_t)d.lvl_used;
             }
         memcpy(d.lvl + d.lvl_used, b.lvl.get(),
-               sizeof(int32_t) * b.lvl_used);
+               sizeof(int16_t) * b.lvl_used);
         d.n_rec += b.n_rec;
         d.lvl_used += b.lvl_used;
     }

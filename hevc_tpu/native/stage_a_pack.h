@@ -318,7 +318,7 @@ extern "C" int64_t hevc_native_pack_records(
 // by the caller (padding rows and the class counts are sized by Python
 // from a bincount over lmeta[:, 0]).
 extern "C" void hevc_native_gather_levels(
-    const int32_t* lvl, const int32_t* lmeta, int64_t nl,
+    const int16_t* lvl, const int32_t* lmeta, int64_t nl,
     int32_t* rm0, int32_t* rm1, int32_t* rm2, int32_t* rm3,
     int16_t* lv0, int16_t* lv1, int16_t* lv2, int16_t* lv3) {
     int32_t* rms[4] = {rm0, rm1, rm2, rm3};
@@ -335,11 +335,9 @@ extern "C" void hevc_native_gather_levels(
             rm[k] = o[2 + k];
         int16_t* dst = lvs[c] + j * n;
         int32_t off = o[1];
-        if (off >= 0) {
-            const int32_t* src = lvl + off;
-            for (int k = 0; k < n; k++)
-                dst[k] = (int16_t)src[k];
-        }  // off < 0: CCP-only row keeps the zeroed slot
+        if (off >= 0)
+            memcpy(dst, lvl + off, sizeof(int16_t) * n);
+        // off < 0: CCP-only row keeps the zeroed slot
     }
 }
 

@@ -33,7 +33,7 @@ static int64_t decode_levels(Dec& d, int c_idx, int log2_size, int mode,
                      && log2_size <= d.P.log2_max_ts;
     int size = 1 << log2_size;
     int64_t loff;
-    int32_t* lv = d.alloc_lvl(size * size, &loff);
+    int16_t* lv = d.alloc_lvl(size * size, &loff);
     if (!lv)
         return -1;
     int si = (scan * 4 + (log2_size - 2)) * 3;
@@ -42,7 +42,8 @@ static int64_t decode_levels(Dec& d, int c_idx, int log2_size, int mode,
     int has_rx = rx.persistent_rice || rx.ts_context || rx.implicit_rdpcm
                  || rx.explicit_rdpcm;
     int32_t rd_out[2] = {0, 0};
-    decode_residual_core(&d.cb, d.ctx, d.off, log2_size, c_idx, scan,
+    ProfSpan _ps(0);
+    decode_residual_core_impl(&d.cb, d.ctx, d.off, log2_size, c_idx, scan,
                          d.P.sdh, ts_allowed, cu.tq_bypass,
                          d.scans + d.scan_off[si],
                          d.scans + d.scan_off[si + 1],
@@ -397,7 +398,7 @@ static void wp_of(const Dec& d, int lst, int plane, int ridx, int32_t* w,
 
 // mirror of SliceDecoder._inter_pb (plan mode): emit MC records + update
 // the motion field maps
-static void inter_pb(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
+static void inter_pb_impl(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
                      const MI& mi) {
     const Params& P = d.P;
     int xc = x_pb / P.sub_w, yc = y_pb / P.sub_h;
@@ -459,6 +460,12 @@ static void inter_pb(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
 }
 
 // prediction_unit (7.3.8.6): merge or AMVP; returns true if merge
+static void inter_pb(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
+                     const MI& mi) {
+    ProfSpan _p(2);
+    inter_pb_impl(d, x_pb, y_pb, n_w, n_h, mi);
+}
+
 static bool prediction_unit(Dec& d, int x_pb, int y_pb, int n_w, int n_h,
                             int part_idx, int part_mode, int depth) {
     const Params& P = d.P;
@@ -651,12 +658,12 @@ static void pcm_cu(Dec& d, int x0, int y0, int log2_size, int depth,
         }
         int shift = bd - pbd;
         int64_t loff;
-        int32_t* blk = d.alloc_lvl(w * h, &loff);
+        int16_t* blk = d.alloc_lvl(w * h, &loff);
         if (!blk)
             return;
         for (int yy = 0; yy < h; yy++)
             for (int xx = 0; xx < w; xx++)
-                blk[yy * w + xx] = read(pbd) << shift;
+                blk[yy * w + xx] = (int16_t)(read(pbd) << shift);
         bxs[c] = xs;
         bys[c] = ys;
         bws[c] = w;
@@ -1002,6 +1009,7 @@ static inline bool tile_col_start(const Dec& d, int xc, int yc) {
 }
 
 static int64_t decode_ctus(Dec& d) {
+    ProfSpan _p(3);
     const Params& P = d.P;
     bool wpp = P.wpp != 0;
     bool tiles = P.tiles != 0;
@@ -1020,8 +1028,10 @@ static int64_t decode_ctus(Dec& d) {
             d.first_qp_group = true;
         }
         d.slice_idx[yc * P.ctb_w + xc] = P.slice_idx_val;
-        if (P.sao_enabled && (P.sao_luma || P.sao_chroma))
+        if (P.sao_enabled && (P.sao_luma || P.sao_chroma)) {
+            ProfSpan _p(1);
             decode_sao(d, xc, yc);
+        }
         int x0 = xc << P.log2_ctb, y0 = yc << P.log2_ctb;
         coding_quadtree(d, x0, y0, P.log2_ctb, 0);
         if (d.err)
@@ -1103,7 +1113,7 @@ extern "C" int64_t hevc_native_decode_slice(
     // rext chroma offset lists ([n_chroma_offsets] each, may be null)
     const int32_t* cb_qp_offset_list, const int32_t* cr_qp_offset_list,
     // record outputs
-    int32_t* rec, int64_t cap_rec, int32_t* lvl, int64_t cap_lvl,
+    int32_t* rec, int64_t cap_rec, int16_t* lvl, int64_t cap_lvl,
     int32_t n_threads, int64_t* out_counts) {
     Dec d;
     d.P = *params;
@@ -1200,7 +1210,7 @@ extern "C" int hevc_native_decode_residual(
     int32_t log2_size, int32_t c_idx, int32_t scan_idx,
     int32_t sign_data_hiding, int32_t ts_allowed, int32_t tq_bypass,
     const int32_t* sub_scan, const int32_t* coef_scan,
-    const int32_t* pos_of_xy, int32_t* levels, int32_t* ts_flag_out) {
+    const int32_t* pos_of_xy, int16_t* levels, int32_t* ts_flag_out) {
     Cabac cb = {data, *io_bytepos, nbytes, *io_range, *io_offset,
                 *io_bitbuf, *io_nbits};
     int32_t off[N_CTX_IDS] = {0};
@@ -1211,7 +1221,7 @@ extern "C" int hevc_native_decode_residual(
     off[SIG_COEFF_FLAG] = off7[4];
     off[GREATER1] = off7[5];
     off[GREATER2] = off7[6];
-    decode_residual_core(&cb, ctx, off, log2_size, c_idx, scan_idx,
+    decode_residual_core_impl(&cb, ctx, off, log2_size, c_idx, scan_idx,
                          sign_data_hiding, ts_allowed, tq_bypass, sub_scan,
                          coef_scan, pos_of_xy, levels, ts_flag_out);
     *io_bytepos = cb.bytepos;
