@@ -457,6 +457,75 @@ def bench_stage_b_720p():
     return fps, kus, kgb
 
 
+def ensure_banded_stream(nb):
+    """CTB-64 768p-class IPP GOP with nb column tiles — shared with
+    __graft_entry__.dryrun_multichip's production-scale band case."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"dryrun_720p_ctb64_ipp_t{nb}.265")
+    if not os.path.exists(path):
+        from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
+        from hevc_tpu.encoder.generate import synth_frame
+        enc = IntraEncoder(EncoderConfig(
+            width=1280, height=768, qp=32, log2_ctb_size=6,
+            log2_cu_size=6, gop="ipp", tiles=(nb, 1), deblocking=True,
+            sao=True, seed=3, search_range=3))
+        data = bytearray()
+        for t in range(2):
+            data += enc.encode_frame(synth_frame("gradient", 1280, 768,
+                                                 t, seed=5))
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+def bench_multihost():
+    """Multi-host scaling efficiency (BASELINE: >=80% 1 -> N hosts).
+
+    fps(2 processes x 2 devices) / fps(1 process x 4 devices) on the
+    CTB-64 768p banded GOP, steady-state (reps=2, compile excluded).
+    Constant device count isolates the cross-host boundary cost (the
+    collectives ride grpc between processes instead of staying
+    in-process); on this rig hosts are emulated with virtual CPU
+    devices, so adding per-host compute is not measurable — the
+    boundary overhead is the honest scaling signal."""
+    import socket
+    import subprocess as sp
+    stream = ensure_banded_stream(4)
+    worker = os.path.join(ROOT, "tools", "dist_banded_worker.py")
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    def run(nproc, ldev):
+        port = str(free_port())
+        cmds = [[sys.executable, worker, port, str(pid), str(nproc),
+                 str(ldev), "2", "1280", "768", stream, "2"]
+                for pid in range(nproc)]
+        procs = [sp.Popen(c, stdout=sp.PIPE, stderr=sp.STDOUT)
+                 for c in cmds]
+        outs = [p.communicate(timeout=900)[0].decode(errors="replace")
+                for p in procs]
+        for p, out in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(f"dist worker failed: {out[-800:]}")
+        m = re.search(r"decode_s=([0-9.]+)", outs[0])
+        return float(m.group(1))
+
+    t_single = run(1, 4)
+    t_multi = run(2, 2)
+    return {
+        "multihost_scaling_efficiency": round(t_single / t_multi, 3),
+        "multihost_geometry": "1280x768 ctb64 ipp 2f, 4 bands: "
+                              "1proc x 4dev vs 2proc x 2dev, reps=2",
+        "multihost_decode_s_1host": round(t_single, 3),
+        "multihost_decode_s_2host": round(t_multi, 3),
+    }
+
+
 def _enable_jit_cache():
     """Persist compiled executables under .bench so repeat bench runs
     skip the (minutes-long at 1080p) first-compile cost."""
@@ -503,6 +572,12 @@ def main():
         tun_1080, E2E_W * E2E_H * 3 // 2)
 
     stage_b_720, kernel_us, kernel_gbps = bench_stage_b_720p()
+
+    try:
+        mh = bench_multihost()
+    except Exception as e:  # noqa: BLE001 — auxiliary metric, loud note
+        mh = {"multihost_scaling_efficiency": None,
+              "multihost_error": repr(e)[:300]}
 
     vs = round(e2e_fps / base, 3) if base else None
     print(json.dumps({
@@ -559,6 +634,7 @@ def main():
             # rig's chip tunnels to a device with ~4.5 GB/s effective
             # bandwidth, so "roofline_elementwise" IS the local 100%
             "kernel_gbps": kernel_gbps,
+            **mh,
         },
     }))
 
