@@ -526,6 +526,76 @@ def bench_multihost():
     }
 
 
+def bench_shvc():
+    """SHVC layer-overlap cost: 2-layer (640x384 BL -> 1280x768 EL)
+    decode vs a single-layer stream at EL resolution, compute tier.
+
+    The inter-layer reference is built device-to-device (BL planes ->
+    CGS/upsample -> padded EL device-DPB seed) so the layers queue
+    back-to-back on the chip with no tunnel rendezvous; the residual
+    ratio above 1x is the 2-core host serializing both layers' stage
+    A/pack (a >=4-core host pipelines them)."""
+    import time as _t
+
+    import numpy as np
+
+    from hevc_tpu.decoder.core import Decoder
+    from hevc_tpu.encoder.core import EncoderConfig, IntraEncoder
+    from hevc_tpu.encoder.generate import synth_frame
+    from hevc_tpu.encoder.shvc import ShvcEncoder
+
+    two = os.path.join(CACHE, "shvc_360to720_ipp.265")
+    one = os.path.join(CACHE, "shvc_el_only_720.265")
+    elb = synth_frame("zoneplate", 1280, 768, 0)
+    if not os.path.exists(two):
+        bl = EncoderConfig(width=640, height=384, qp=32, log2_ctb_size=5,
+                           log2_cu_size=5, gop="ipp", search_range=2,
+                           seed=3)
+        el = EncoderConfig(width=1280, height=768, qp=30,
+                           log2_ctb_size=5, log2_cu_size=5, gop="ipp",
+                           search_range=2, seed=4, deblocking=True,
+                           sao=True)
+        enc = ShvcEncoder(bl, el)
+        blb = synth_frame("gradient", 640, 384, 0)
+        s = bytearray()
+        for t in range(6):
+            s += enc.encode_frame(
+                [np.roll(p, (t * 2, t * 3), (0, 1)) for p in blb],
+                [np.roll(p, (t * 4, t * 6), (0, 1)) for p in elb])
+        open(two, "wb").write(bytes(s))
+    if not os.path.exists(one):
+        el1 = EncoderConfig(width=1280, height=768, qp=30,
+                            log2_ctb_size=5, log2_cu_size=5, gop="ipp",
+                            search_range=2, seed=4, deblocking=True,
+                            sao=True)
+        e1 = IntraEncoder(el1)
+        s1 = bytearray()
+        for t in range(6):
+            s1 += e1.encode_frame(
+                [np.roll(p, (t * 4, t * 6), (0, 1)) for p in elb])
+        open(one, "wb").write(bytes(s1))
+
+    def run(path, layer):
+        data = open(path, "rb").read()
+        dec = Decoder(check_md5=False, recon_backend="jax",
+                      target_layer=layer)
+        t0 = _t.time()
+        frames = dec.decode_bytes(data)
+        for f in frames:
+            rd = getattr(f.planes, "device_ready", None)
+            if rd:
+                rd()
+        return _t.time() - t0
+
+    run(two, 1)
+    run(one, 0)  # warm compiles
+    t2 = min(run(two, 1) for _ in range(3))
+    t1 = min(run(one, 0) for _ in range(3))
+    return {"shvc_2layer_s": round(t2, 3),
+            "shvc_el_only_s": round(t1, 3),
+            "shvc_2layer_vs_el_only": round(t2 / t1, 2)}
+
+
 def _enable_jit_cache():
     """Persist compiled executables under .bench so repeat bench runs
     skip the (minutes-long at 1080p) first-compile cost."""
@@ -578,6 +648,10 @@ def main():
     except Exception as e:  # noqa: BLE001 — auxiliary metric, loud note
         mh = {"multihost_scaling_efficiency": None,
               "multihost_error": repr(e)[:300]}
+    try:
+        mh.update(bench_shvc())
+    except Exception as e:  # noqa: BLE001
+        mh["shvc_error"] = repr(e)[:300]
 
     vs = round(e2e_fps / base, 3) if base else None
     print(json.dumps({

@@ -107,6 +107,7 @@ class DecodedFrame:
 
 class _CuState:
     __slots__ = ("pred_intra", "intra_split", "inter_split", "chroma_mode",
+                 "chroma_modes",
                  "tq_bypass", "max_trafo_depth", "x0", "y0", "log2_size",
                  "chroma_dm")
 
@@ -824,6 +825,7 @@ class SliceDecoder:
             chroma_modes.append(chroma_mode_from_idx(idx, luma_ref))
             if i == 0:
                 cu.chroma_dm = idx == 4  # DM: CCP intra gate
+        cu.chroma_modes = chroma_modes
         if chroma_modes:
             cu.chroma_mode = chroma_modes[0]
 
@@ -908,6 +910,7 @@ class SliceDecoder:
         cu.pred_intra = False
         cu.intra_split = False
         cu.chroma_mode = 0
+        cu.chroma_modes = []
         part = self._decode_part_mode_inter(log2_size)
         pbs = part_blocks(part, x0, y0, size)
         first_merge = False
@@ -1190,6 +1193,11 @@ class SliceDecoder:
             blocks = [(x0 >> 1, y0 >> 1, log2_size - 1)]
         for c_idx, cbf_pair in ((1, cbf_cb), (2, cbf_cr)):
             mode_c = cu.chroma_mode
+            if fmt == 3 and len(getattr(cu, "chroma_modes", ())) > 1 \
+                    and log2_size == 2:
+                # 4:4:4 NxN: one chroma mode PER PB (7.3.8.5); the
+                # intra-split TU leaves map 1:1 to the PBs
+                mode_c = cu.chroma_modes[blk_idx]
             if fmt == 2:
                 mode_c = CHROMA_422_MODE[mode_c]
             ccp_val = self._decode_ccp(c_idx - 1) if cross else 0
@@ -1565,24 +1573,40 @@ class Decoder:
         # upsampling (reference: hevcdec.c:3627-3629 colorMapping +
         # upsample_base_layer_frame of the mapped frame)
         cgs = getattr(self.pps_map[sh.pps_id], "cgs_lut", None)
-        if cgs is not None:
-            if self.recon_backend == "jax":
+        if self.recon_backend == "jax":
+            # BL -> EL entirely ON DEVICE: the BL frame's device planes
+            # feed colour mapping + upsampling without a host fetch,
+            # and the padded result seeds the EL's device DPB — so the
+            # BL's stage B, the upsampling, and the EL's stage B just
+            # queue back-to-back on the device (the concurrent-layer
+            # analogue of the reference's il_progress rendezvous,
+            # pthread_frame.c:613-738 / hevcdec.c:3604-3607)
+            from ..tpu.pipeline import (LazyPlanes, _use_pallas_pipeline,
+                                        pad_dev_refs)
+            from ..tpu.upsample import upsample_frame_jax
+            getdev = getattr(bl_planes, "device_planes", None)
+            dev_in = getdev() if getdev is not None else None
+            planes_in = dev_in if dev_in is not None                 else [np.asarray(p) for p in bl_planes]
+            if cgs is not None:
                 from ..tpu.upsample import color_map_frame_jax
-                bl_planes = color_map_frame_jax(
-                    cgs, [np.asarray(p) for p in bl_planes])
-            else:
+                planes_in = color_map_frame_jax(cgs, planes_in)
+                bl_bd = cgs.out_bd_y
+            il_dev = upsample_frame_jax(
+                planes_in, sps.width, sps.height,
+                sub_w=sps.sub_w, sub_h=sps.sub_h,
+                bl_bit_depth=bl_bd,
+                el_bit_depth=sps.bit_depth_luma)
+            dd = getattr(lay, "dpb_dev", None)
+            if dd is None:
+                dd = lay.dpb_dev = {}
+            dd[bl_poc] = pad_dev_refs(il_dev, _use_pallas_pipeline())
+            il = LazyPlanes(list(il_dev))
+        else:
+            if cgs is not None:
                 from ..ops.cgs import color_map_frame
                 bl_planes = color_map_frame(cgs, [np.asarray(p)
                                                   for p in bl_planes])
-            bl_bd = cgs.out_bd_y
-        if self.recon_backend == "jax":
-            from ..tpu.upsample import upsample_frame_jax
-            il = [np.asarray(p) for p in upsample_frame_jax(
-                bl_planes, sps.width, sps.height,
-                sub_w=sps.sub_w, sub_h=sps.sub_h,
-                bl_bit_depth=bl_bd,
-                el_bit_depth=sps.bit_depth_luma)]
-        else:
+                bl_bd = cgs.out_bd_y
             from ..ops.upsample import upsample_frame
             il = upsample_frame(
                 bl_planes, sps.width, sps.height,
@@ -1732,8 +1756,15 @@ class Decoder:
             col_lts = lt0 if sh.collocated_from_l0 else lt1
             col_poc = col_list[sh.collocated_ref_idx][0]
             all_pocs = [p for p, _ in ref_list] + [p for p, _ in ref_list_l1]
-            # collocated == the long-term IL ref -> upscaled BL motion
-            col_motion = (lay.il_motion if col_lts[sh.collocated_ref_idx]
+            # collocated == the long-term IL ref (same poc as the
+            # current picture) -> upscaled BL motion; a REGULAR
+            # long-term ref (e.g. an LT-kept frame 0) is ordinary
+            # dpb motion with the no-scaling LT rules (found by the
+            # fuzz matrix: long_term_ref + tmvp crashed on il_motion)
+            il = getattr(lay, "il_motion", None)
+            col_motion = (il if col_lts[sh.collocated_ref_idx]
+                          and il is not None
+                          and col_poc == lay.cur_poc
                           else lay.dpb_motion[col_poc])
             tc = TemporalCtx(col=col_motion,
                              cur_poc=lay.cur_poc,
@@ -2012,7 +2043,8 @@ class Decoder:
                 pic.pps.cr_qp_offset,
                 bool(pic.pps.loop_filter_across_tiles),
                 bool(pic.pps.tiles_enabled),
-                pic.sps.sub_w, pic.sps.sub_h)
+                pic.sps.sub_w, pic.sps.sub_h,
+                no_filter4=pic.no_filter)
         elif dev_out is None \
                 and getattr(pic, "deblock_params", None) is not None:
             from ..ops.deblock import deblock_frame
@@ -2020,6 +2052,7 @@ class Decoder:
             p = pic.deblock_params
             deblock_frame(pic.planes, pic.qp_y.astype(np.int32),
                           pic.bs_v, pic.bs_h,
+                          no_filter4=pic.no_filter,
                           bit_depth=pic.sps.bit_depth_luma,
                           beta_offset=p["beta_offset"],
                           tc_offset=p["tc_offset"],
@@ -2037,7 +2070,8 @@ class Decoder:
             apply_sao_frame(pic.planes, sao_map,
                             1 << pic.sps.log2_ctb_size,
                             pic.sps.bit_depth_luma,
-                            pic.sps.sub_w, pic.sps.sub_h)
+                            pic.sps.sub_w, pic.sps.sub_h,
+                            no_filter4=pic.no_filter)
         # store the filtered reconstruction + motion for inter prediction
         if dev_out is not None:
             from ..tpu.pipeline import LazyPlanes

@@ -249,6 +249,11 @@ class IntraEncoder:
             dependent_slice_segments_enabled=1 if cfg.dependent_slices
             else 0,
         ).derive(self.sps)
+        if cfg.tiles:
+            assert cfg.tiles[0] <= self.sps.ctb_w \
+                    and cfg.tiles[1] <= self.sps.ctb_h, \
+                "tile grid exceeds the picture's CTB grid (found by the " \
+                "fuzz matrix: degenerate tiles decode asymmetrically)"
         if cfg.slices > 1:
             if cfg.tiles:
                 assert (cfg.tiles[0] * cfg.tiles[1]) % cfg.slices == 0, \
@@ -619,7 +624,8 @@ class IntraEncoder:
                 sps.chroma_format_idc, pps.cb_qp_offset,
                 pps.cr_qp_offset,
                 bool(pps.loop_filter_across_tiles), bool(cfg.tiles),
-                sps.sub_w, sps.sub_h)
+                sps.sub_w, sps.sub_h,
+                no_filter4=self.pic.no_filter)
         elif cfg.deblocking or cfg.sao:
             if cfg.deblocking:
                 from ..ops.deblock import deblock_frame
@@ -627,6 +633,7 @@ class IntraEncoder:
                 deblock_frame(self.pic.planes,
                               self.pic.qp_y.astype(np.int32),
                               self.pic.bs_v, self.pic.bs_h,
+                              no_filter4=self.pic.no_filter,
                               bit_depth=sps.bit_depth_luma,
                               chroma_format_idc=sps.chroma_format_idc,
                               cb_qp_offset=pps.cb_qp_offset,
@@ -636,7 +643,8 @@ class IntraEncoder:
                 apply_sao_frame(self.pic.planes, self.sao_map,
                                 1 << sps.log2_ctb_size,
                                 sps.bit_depth_luma,
-                                sps.sub_w, sps.sub_h)
+                                sps.sub_w, sps.sub_h,
+                                no_filter4=self.pic.no_filter)
 
         from ..bitstream.slice import SLICE_B, SLICE_P
         stype = SLICE_B if self.is_b else (SLICE_P if self.is_p else SLICE_I)
@@ -644,10 +652,15 @@ class IntraEncoder:
         if cfg.weighted_pred and self.is_p:
             from ..bitstream.slice import WeightTable
             wt = WeightTable(luma_log2_denom=6, chroma_log2_denom=6)
-            lw = [(1, (1 << 6) + 8, -2)]
-            cw = [(1, [(1 << 6) - 6, (1 << 6) + 4], [3, -4])]
+            # one row per ACTIVE ref (long_term_ref extends L0 to 2;
+            # the same weights apply to every ref — found by the fuzz
+            # matrix: a 1-row table under-runs the writer at n=2)
+            n_l0 = 2 if cfg.long_term_ref else 1
+            lw = [(1, (1 << 6) + 8, -2) for _ in range(n_l0)]
+            cw = [(1, [(1 << 6) - 6, (1 << 6) + 4], [3, -4])
+                  for _ in range(n_l0)]
             wt.luma_l0, wt.chroma_l0 = lw, cw
-            wt.luma_l1, wt.chroma_l1 = list(lw), [
+            wt.luma_l1, wt.chroma_l1 = [lw[0]], [
                 (1, list(cw[0][1]), list(cw[0][2]))]
         sh = SliceHeader(slice_type=stype,
                          weight_table=wt,
@@ -1069,10 +1082,13 @@ class IntraEncoder:
                 e.encode_bypass_bits(payload, 5)
 
         # chroma mode: derived (DM); binarization '0' (absent for
-        # monochrome, 7.3.8.5)
+        # monochrome; PER PB for 4:4:4 NxN, 7.3.8.5)
         chroma_mode = modes[0]
         if sps.chroma_format_idc:
-            e.encode_bin(cm.at("intra_chroma_pred_mode", 0), 0)
+            n_cpb = (len(modes) if sps.chroma_format_idc == 3
+                     and intra_split else 1)
+            for _ in range(n_cpb):
+                e.encode_bin(cm.at("intra_chroma_pred_mode", 0), 0)
 
         # ---- transform tree: plan, compute (z-order), then emit ----------
         max_trafo_depth = (sps.max_transform_hierarchy_depth_intra
@@ -1268,7 +1284,10 @@ class IntraEncoder:
         fmt = sps.chroma_format_idc
         if fmt == 3:
             node.chroma_leaf = True
-            self._compute_chroma(node, [(x0, y0, node.log2)], chroma_mode)
+            # DM per PB: a 4:4:4 NxN leaf's chroma mode is ITS PB's
+            # luma mode (all signalled modes are DM)
+            cmode = int(self.pic.intra_mode_y[y0 >> 2, x0 >> 2])
+            self._compute_chroma(node, [(x0, y0, node.log2)], cmode)
         elif fmt == 2:
             if node.log2 > 2:
                 node.chroma_leaf = True
@@ -1353,8 +1372,14 @@ class IntraEncoder:
             return
         for ch in node.children:
             self._propagate_cbf(ch)
-        node.cbf_cb = (int(any(any(ch.cbf_cb) for ch in node.children)), 0)
-        node.cbf_cr = (int(any(any(ch.cbf_cr) for ch in node.children)), 0)
+        # elementwise OR: in 4:2:2 a split log2==3 node still signals
+        # the PAIR for its two stacked chroma TBs (coded at blk 3), so
+        # the second flag must survive propagation (found by the fuzz
+        # matrix: (any, 0) dropped the lower TB's cbf)
+        node.cbf_cb = (int(any(ch.cbf_cb[0] for ch in node.children)),
+                       int(any(ch.cbf_cb[1] for ch in node.children)))
+        node.cbf_cr = (int(any(ch.cbf_cr[0] for ch in node.children)),
+                       int(any(ch.cbf_cr[1] for ch in node.children)))
 
     def _emit_tu(self, node: _TuPlan, intra_split, max_trafo_depth,
                  chroma_mode, cbf_cb_par, cbf_cr_par, cu_xy=(0, 0)):
@@ -1369,20 +1394,26 @@ class IntraEncoder:
         chroma_here = sps.chroma_format_idc != 0 \
             and (log2 > 2 or sps.chroma_format_idc == 3)
         is422 = sps.chroma_format_idc == 2
+        eff_cb, eff_cr = node.cbf_cb, node.cbf_cr
         if chroma_here:
             second = is422 and (not node.split or log2 == 3)
+            if not second:
+                # single gate flag covers BOTH stacked TBs of the
+                # subtree (spec: cbf_cb[xBase][yBase] gates children)
+                eff_cb = (node.cbf_cb[0] | node.cbf_cb[1], 0)
+                eff_cr = (node.cbf_cr[0] | node.cbf_cr[1], 0)
             if depth == 0 or cbf_cb_par[0]:
-                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb[0])
+                e.encode_bin(cm.at("cbf_cbcr", depth), eff_cb[0])
                 if second:
-                    e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cb[1])
+                    e.encode_bin(cm.at("cbf_cbcr", depth), eff_cb[1])
             if depth == 0 or cbf_cr_par[0]:
-                e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr[0])
+                e.encode_bin(cm.at("cbf_cbcr", depth), eff_cr[0])
                 if second:
-                    e.encode_bin(cm.at("cbf_cbcr", depth), node.cbf_cr[1])
+                    e.encode_bin(cm.at("cbf_cbcr", depth), eff_cr[1])
         if node.split:
             for ch in node.children:
                 self._emit_tu(ch, intra_split, max_trafo_depth, chroma_mode,
-                              node.cbf_cb, node.cbf_cr, cu_xy)
+                              eff_cb, eff_cr, cu_xy)
             return
         # leaf: cbf_luma is always signalled for intra CUs
         e.encode_bin(cm.at("cbf_luma", 1 if depth == 0 else 0),
@@ -1418,6 +1449,11 @@ class IntraEncoder:
             ccb = node.cbf_cb if log2 > 2 else cbf_cb_par
             ccr = node.cbf_cr if log2 > 2 else cbf_cr_par
             mode_c = chroma_mode
+            if sps.chroma_format_idc == 3:
+                # DM per PB (4:4:4 NxN): residual scan follows the
+                # leaf's own chroma mode
+                mode_c = int(self.pic.intra_mode_y[node.y0 >> 2,
+                                                   node.x0 >> 2])
             if is422:
                 mode_c = CHROMA_422_MODE[chroma_mode]
             scan_c = scan_idx_for_intra(mode_c, log2c, 1,

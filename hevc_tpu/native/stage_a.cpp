@@ -125,6 +125,8 @@ struct CuState {
     int chroma_mode = 0, tq_bypass = 0, max_trafo_depth = 0;
     int x0 = 0, y0 = 0, log2_size = 0;
     bool chroma_dm = false;  // DM chroma mode (CCP intra gate)
+    int chroma_modes[4] = {0, 0, 0, 0};  // per-PB (4:4:4 NxN, 7.3.8.5)
+    int n_chroma_modes = 0;
 };
 
 struct Dec {

@@ -240,6 +240,8 @@ static void transform_unit(Dec& d, int x0, int y0, int xb, int yb,
     for (int ci = 1; ci <= 2; ci++) {
         const int* pair = ci == 1 ? cbf_cb : cbf_cr;
         int mode_c = cu.chroma_mode;
+        if (fmt == 3 && cu.n_chroma_modes > 1 && log2_size == 2)
+            mode_c = cu.chroma_modes[blk_idx];  // 4:4:4 NxN: per PB
         if (fmt == 2)
             mode_c = CHROMA_422_MODE[mode_c];
         int ccp_val = cross ? decode_ccp(d, ci - 1) : 0;
@@ -844,6 +846,9 @@ static void coding_unit(Dec& d, int x0, int y0, int log2_size, int depth) {
         chroma_modes[i] = m;
     }
     cu.chroma_mode = n_cpb ? chroma_modes[0] : 0;
+    cu.n_chroma_modes = n_cpb;
+    for (int i = 0; i < n_cpb; i++)
+        cu.chroma_modes[i] = chroma_modes[i];
 
     // bookkeeping for neighbour contexts
     d.fill4<int8_t>(d.ct_depth, x0, y0, gq, (int8_t)depth);

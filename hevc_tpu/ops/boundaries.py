@@ -99,7 +99,7 @@ def filter_frame_multislice(planes, qp_map, bs_v, bs_h, slice_addr,
                             tile_id, params, sao_map, cs, bit_depth,
                             chroma_format_idc, cb_qp_offset,
                             cr_qp_offset, across_tiles, tiles_enabled,
-                            sub_w, sub_h):
+                            sub_w, sub_h, no_filter4=None):
     """Host (NumPy) in-loop filters with full multi-slice semantics:
     per-slice deblock offsets/disable, slice/tile boundary gating of
     BS, and restricted-border edge SAO.  Shared by the encoder's recon
@@ -111,7 +111,8 @@ def filter_frame_multislice(planes, qp_map, bs_v, bs_h, slice_addr,
     if not (dis_c == 1).all():
         gv, gh = gate_bs(bs_v, bs_h, slice_addr, tile_id, lfa_c, dis_c,
                          across_tiles, cs)
-        deblock_frame(planes, qp_map, gv, gh, bit_depth=bit_depth,
+        deblock_frame(planes, qp_map, gv, gh, no_filter4=no_filter4,
+                      bit_depth=bit_depth,
                       beta_offset=upsample4(beta_c, cs, h4, w4),
                       tc_offset=upsample4(tc_c, cs, h4, w4),
                       chroma_format_idc=chroma_format_idc,
@@ -121,6 +122,7 @@ def filter_frame_multislice(planes, qp_map, bs_v, bs_h, slice_addr,
         flags = sao_edge_flag_map(slice_addr, tile_id, lfa_c,
                                   across_tiles, tiles_enabled)
         apply_sao_frame(planes, sao_map, cs, bit_depth, sub_w, sub_h,
+                        no_filter4=no_filter4,
                         edge_flags=flags)
 
 

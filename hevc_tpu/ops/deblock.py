@@ -108,7 +108,7 @@ def _filter_chroma_segment(w: np.ndarray, tc: int, maxv: int):
 
 def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                   beta_offset=0, tc_offset=0, chroma_format_idc=1,
-                  cb_qp_offset=0, cr_qp_offset=0):
+                  cb_qp_offset=0, cr_qp_offset=0, no_filter4=None):
     """In-place deblocking of one frame.
 
     planes: [Y, Cb, Cr] arrays; qp_map: int [h4, w4] luma QP per 4x4;
@@ -117,7 +117,12 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
     beta_offset/tc_offset: scalars, or per-4x4 [h4, w4] maps carrying
     each slice's offsets at the edge's q-sample position (multi-slice;
     spec 8.7.2.5: parameters come from the slice containing q0 —
-    reference per-CTB s->deblock[ctb], hevc_filter.c:539)."""
+    reference per-CTB s->deblock[ctb], hevc_filter.c:539).
+
+    no_filter4: optional bool [h4, w4] — samples of PCM CUs with
+    pcm_loop_filter_disabled (and transquant-bypass CUs) are never
+    MODIFIED by deblocking (8.7.2 nDp/nDq = 0), though neighbours still
+    read them; implemented as a restore after each directional pass."""
     y = planes[0].astype(np.int32)
     h, w = y.shape
     maxv = (1 << bit_depth) - 1
@@ -139,6 +144,12 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
         tc = int(TC_TABLE[min(max(qp + 2 * (bs - 1) + to, 0), 53)]
                  ) << (bit_depth - 8)
         return beta, tc
+
+    nf_l = nf_cb = None
+    snap_y = snap_c = None
+    if no_filter4 is not None and no_filter4.any():
+        nf_l = np.repeat(np.repeat(no_filter4, 4, 0), 4, 1)[:h, :w]
+        snap_y = y.copy()
 
     # ---- pass 1: vertical edges (8-aligned), luma --------------------
     for x in range(8, w, 8):
@@ -185,6 +196,19 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                     _filter_chroma_segment(win.copy(), tc, maxv)
         cplanes.append(c)
 
+    if nf_l is not None:
+        nf_cb = nf_l[::sub_h, ::sub_w]
+        snap_c = [c.copy() for c in cplanes]
+        # exempt samples keep their pre-deblock values: snap_c was taken
+        # AFTER the vertical chroma pass, so restore chroma from the
+        # untouched input planes instead
+        snap_c = [planes[c_idx].astype(np.int32)
+                  for c_idx in ((1, 2) if chroma_format_idc else ())]
+        y[nf_l] = snap_y[nf_l]
+        for k, c in enumerate(cplanes):
+            m = nf_cb[:c.shape[0], :c.shape[1]]
+            c[m] = snap_c[k][m]
+
     # ---- pass 2: horizontal edges, luma ------------------------------
     for ye in range(8, h, 8):
         for x0 in range(0, w, 4):
@@ -227,6 +251,11 @@ def deblock_frame(planes, qp_map, bs_v, bs_h, *, bit_depth=8,
                 win = c[yce - 2:yce + 2, xc0:xc0 + n].T
                 c[yce - 2:yce + 2, xc0:xc0 + n] = \
                     _filter_chroma_segment(win.copy(), tc, maxv).T
+    if nf_l is not None:
+        y[nf_l] = snap_y[nf_l]
+        for k, c in enumerate(cplanes):
+            m = nf_cb[:c.shape[0], :c.shape[1]]
+            c[m] = snap_c[k][m]
     dt = planes[0].dtype
     planes[0][:] = y.astype(dt)
     if chroma_format_idc:

@@ -114,11 +114,18 @@ def _edge_restrict_mask(bh, bw, flags, eo, at_l, at_t, at_r, at_b):
 
 
 def apply_sao_frame(planes, sao_map, ctb_size: int, bit_depth: int,
-                    sub_w: int, sub_h: int, edge_flags=None):
+                    sub_w: int, sub_h: int, edge_flags=None,
+                    no_filter4=None):
     """Apply SAO in place.  sao_map: dict (ctb_x, ctb_y) -> SaoParams
     (missing entries = off).  edge_flags: optional per-CTB uint8 map of
-    boundaries.SAO_* bits restricting edge SAO at slice/tile edges."""
+    boundaries.SAO_* bits restricting edge SAO at slice/tile edges.
+    no_filter4: bool [h4, w4] — SAO never modifies samples of PCM CUs
+    with pcm_loop_filter_disabled / transquant-bypass CUs (8.7.3)."""
     snap = [p.copy() for p in planes]
+    nf = None
+    if no_filter4 is not None and no_filter4.any():
+        h0, w0 = planes[0].shape
+        nf = np.repeat(np.repeat(no_filter4, 4, 0), 4, 1)[:h0, :w0]
     h, w = planes[0].shape
     cty = -(-h // ctb_size)
     ctx = -(-w // ctb_size)
@@ -155,3 +162,9 @@ def apply_sao_frame(planes, sao_map, ctb_size: int, bit_depth: int,
                     out = np.where(m, cur, out)
             planes[c_idx][y0:y0 + bh, x0:x0 + bw] = \
                 out.astype(planes[c_idx].dtype)
+
+    if nf is not None:
+        for c_idx, p in enumerate(planes):
+            m = nf[::(sub_h if c_idx else 1), ::(sub_w if c_idx else 1)]
+            m = m[:p.shape[0], :p.shape[1]]
+            p[m] = snap[c_idx][m]

@@ -177,20 +177,35 @@ def _chroma_pass(c, qp4, bs4, tc_off, qp_off, bd, sub):
     return cpad[:, :cw]
 
 
-@partial(jax.jit, static_argnames=("bd", "sub_w", "sub_h"))
+@partial(jax.jit, static_argnames=("bd", "sub_w", "sub_h", "has_nf"))
 def deblock_jax(y, cb, cr, qp4, bs_v4, bs_h4, beta_off, tc_off,
-                cb_qp_off, cr_qp_off, bd=8, sub_w=2, sub_h=2):
-    """Full-frame deblocking: vertical pass then horizontal pass."""
+                cb_qp_off, cr_qp_off, bd=8, sub_w=2, sub_h=2,
+                has_nf=False, nf_y=None, nf_c=None):
+    """Full-frame deblocking: vertical pass then horizontal pass.
+
+    nf_y/nf_c (with has_nf=True): bool pixel masks — samples of PCM
+    CUs with pcm_loop_filter_disabled / transquant-bypass CUs are never
+    modified (8.7.2 nDp/nDq = 0), restored after EACH directional pass
+    so the horizontal pass reads the original values."""
+    y_in, cb_in, cr_in = y, cb, cr
     # vertical edges
     y = _luma_pass(y, qp4, bs_v4, beta_off, tc_off, bd)
     cb = _chroma_pass(cb, qp4, bs_v4, tc_off, cb_qp_off, bd, sub_w)
     cr = _chroma_pass(cr, qp4, bs_v4, tc_off, cr_qp_off, bd, sub_w)
+    if has_nf:
+        y = jnp.where(nf_y, y_in, y)
+        cb = jnp.where(nf_c, cb_in, cb)
+        cr = jnp.where(nf_c, cr_in, cr)
     # horizontal edges = vertical pass on the transposed plane
     bo_t = beta_off.T if getattr(beta_off, "ndim", 0) == 2 else beta_off
     to_t = tc_off.T if getattr(tc_off, "ndim", 0) == 2 else tc_off
     y = _luma_pass(y.T, qp4.T, bs_h4.T, bo_t, to_t, bd).T
     cb = _chroma_pass(cb.T, qp4.T, bs_h4.T, to_t, cb_qp_off, bd, sub_h).T
     cr = _chroma_pass(cr.T, qp4.T, bs_h4.T, to_t, cr_qp_off, bd, sub_h).T
+    if has_nf:
+        y = jnp.where(nf_y, y_in, y)
+        cb = jnp.where(nf_c, cb_in, cb)
+        cr = jnp.where(nf_c, cr_in, cr)
     return y, cb, cr
 
 
@@ -208,7 +223,7 @@ def _upsample(m, cs, h, w):
 
 @partial(jax.jit, static_argnames=("ctb_log2", "bd"))
 def sao_plane_jax(plane, type_map, band_pos, offs4, eo_class, ctb_log2,
-                  bd, edge_flags=None):
+                  bd, edge_flags=None, nf=None):
     """SAO for one plane — gather-free (masked sums over upsampled maps).
 
     plane: int32 [h, w]; type_map: int32 [cty, ctx] (0 off / 1 band /
@@ -297,4 +312,7 @@ def sao_plane_jax(plane, type_map, band_pos, offs4, eo_class, ctb_log2,
         edge_out = jnp.where(cls == k, res, edge_out)
     out = jnp.where(t == 1, band_out,
                     jnp.where(t == 2, edge_out, plane))
+    if nf is not None:
+        # PCM / transquant-bypass samples stay unmodified (8.7.3)
+        out = jnp.where(nf, plane, out)
     return out

@@ -306,6 +306,15 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
         beta4 = take8(h4 * w4, (h4, w4))
         tc4 = take8(h4 * w4, (h4, w4))
         sao_flags = take8(cth * ctw, (cth, ctw)) & 0xFF
+    nf_y = nf_c = None
+    if S.get("nf"):
+        # PCM/TQB loop-filter exemption masks, per-pixel (8.7.2/8.7.3)
+        nf4 = take8(h4 * w4, (h4, w4)) != 0
+        oy0, ox0, hl, wl = S["regions"][0]
+        nf_l = jnp.repeat(jnp.repeat(nf4, 4, axis=0), 4, axis=1)
+        nf_y = nf_l[:hl, :wl]
+        _oyc, _oxc, hc, wc = S["regions"][1]
+        nf_c = nf_l[::S["sub_h"], ::S["sub_w"]][:hc, :wc]
     dboff = take(4, (4,))
 
     # avail bitmaps (uint8 -> bool), per class
@@ -361,7 +370,9 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
         to = tc4 if S["per_slice"] else dboff[1]
         y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, bo,
                                 to, dboff[2], dboff[3], bd=bd,
-                                sub_w=S["sub_w"], sub_h=S["sub_h"])
+                                sub_w=S["sub_w"], sub_h=S["sub_h"],
+                                has_nf=bool(S.get("nf")),
+                                nf_y=nf_y, nf_c=nf_c)
     if S["do_sao"]:
         outp = []
         for plane, p in enumerate((y, cb, cr)):
@@ -369,7 +380,8 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
                                   (S["sub_w"].bit_length() - 1))
             outp.append(sao_plane_jax(p, sao_t[plane], sao_b[plane],
                                       sao_o[plane], sao_e[plane], lg, bd,
-                                      edge_flags=sao_flags))
+                                      edge_flags=sao_flags,
+                                      nf=nf_y if plane == 0 else nf_c))
         y, cb, cr = outp
     odt = jnp.uint8 if bd <= 8 else jnp.uint16
     if use_pl:
@@ -423,6 +435,25 @@ def _dev_scale_bank(pic):
     return got
 
 
+def pad_dev_refs(planes, aligned):
+    """Device-side PAD_REF padding of (possibly cropped) planes to the
+    DPB reference shape — the device mirror of _pad_np, used to seed a
+    layer's dpb_dev with the inter-layer reference without any
+    host round-trip."""
+    out = []
+    for p in planes:
+        p = jnp.asarray(p).astype(jnp.int32)
+        ph, pw = p.shape
+        if aligned:
+            ah, aw = _aligned_shape(ph + 2 * PAD_REF, pw + 2 * PAD_REF)
+            pad = ((PAD_REF, ah - ph - PAD_REF),
+                   (PAD_REF, aw - pw - PAD_REF))
+        else:
+            pad = ((PAD_REF, PAD_REF), (PAD_REF, PAD_REF))
+        out.append(jnp.pad(p, pad, mode="edge"))
+    return tuple(out)
+
+
 def _pad_np(planes, aligned=False):
     out = []
     for p in planes:
@@ -436,6 +467,77 @@ def _pad_np(planes, aligned=False):
         out.append(jax.device_put(np.pad(p, pad, mode="edge")
                                   .astype(np.int32)))
     return tuple(out)
+
+
+def _saturate_mc_windows(mcrow, nm, sps):
+    """EXACT saturation of MC reference windows overhanging the PAD_REF
+    replication band.
+
+    HEVC clamps every reference sample coordinate into the picture
+    (8.5.3.3.3.2), so MVs may point arbitrarily far outside the frame —
+    merge + per-CU MVD chains legitimately drift past 64 px (seen on
+    SHVC EL streams).  Every pad row replicates the edge row (and every
+    pad column the edge column), so:
+      * a window lying entirely beyond the frame on an axis reads
+        constant rows/cols: its origin may be clamped into the pad with
+        bit-identical output;
+      * a window that still violates the padded bounds after clamping
+        (only possible for 64-wide/tall luma blocks straddling the far
+        pad edge) splits in half along the offending axis until its
+        children qualify.
+    Returns (mcrow, nm) with split rows appended."""
+    rows = list(mcrow[:nm])
+    out = []
+    while rows:
+        r = rows.pop()
+        is_ch = r[0] == 1
+        ntap = 3 if is_ch else 7
+        hp = (sps.height // (sps.sub_h if is_ch else 1)) + 2 * PAD_REF
+        wp = (sps.width // (sps.sub_w if is_ch else 1)) + 2 * PAD_REF
+        wins = [(5, 6)] + ([(10, 11)] if r[1] == 1 else [])
+        split_axis = None
+        for cby, cbx in wins:
+            for c, ext, lim, size_col in ((cby, r[3] + ntap, hp, 3),
+                                          (cbx, r[2] + ntap, wp, 2)):
+                v = r[c]
+                if 0 <= v and v + ext <= lim:
+                    continue
+                if v + ext <= PAD_REF:           # fully before the frame
+                    if ext <= PAD_REF:
+                        r[c] = PAD_REF - ext
+                        continue
+                elif v >= lim - PAD_REF:         # fully after the frame
+                    if ext <= PAD_REF:
+                        r[c] = lim - PAD_REF
+                        continue
+                elif 0 <= v and v + ext <= lim:
+                    continue
+                split_axis = size_col
+                break
+            if split_axis is not None:
+                break
+        if split_axis is not None and r[split_axis] > 4:
+            half = int(r[split_axis]) // 2
+            r2 = r.copy()
+            r[split_axis] = half
+            r2[split_axis] = half
+            if split_axis == 3:   # vertical: by/by1/cy shift
+                for c in (5, 10) if r[1] == 1 else (5,):
+                    r2[c] += half
+                r2[14] += half
+            else:                 # horizontal: bx/bx1/cx shift
+                for c in (6, 11) if r[1] == 1 else (6,):
+                    r2[c] += half
+                r2[15] += half
+            rows.append(r)
+            rows.append(r2)
+            continue
+        out.append(r)
+    if len(out) == nm:
+        mcrow[:nm] = np.asarray(out)
+        return mcrow, nm
+    arr = np.asarray(out, np.int32)
+    return arr, arr.shape[0]
 
 
 def pack_frame_pipeline(pic):
@@ -494,6 +596,7 @@ def pack_frame_pipeline(pic):
     _t_guard = trace.span("pack.guard")
     _t_guard.__enter__()
     if nm:
+        mcrow, nm = _saturate_mc_windows(mcrow, nm, sps)
         mr = mcrow[:nm]
         hp_l = sps.height + 2 * PAD_REF
         wp_l = sps.width + 2 * PAD_REF
@@ -504,11 +607,19 @@ def pack_frame_pipeline(pic):
         ext_w = mr[:, 2] + np.where(is_ch, 3, 7)
         hp = np.where(is_ch, hp_c, hp_l)
         wp = np.where(is_ch, wp_c, wp_l)
-        ok = (mr[:, 5] + ext_h <= hp) & (mr[:, 6] + ext_w <= wp)
+        ok = (mr[:, 5] >= 0) & (mr[:, 6] >= 0) \
+            & (mr[:, 5] + ext_h <= hp) & (mr[:, 6] + ext_w <= wp)
         bi_rows = mr[:, 1] == 1
-        ok &= np.where(bi_rows, (mr[:, 10] + ext_h <= hp)
+        ok &= np.where(bi_rows, (mr[:, 10] >= 0) & (mr[:, 11] >= 0)
+                       & (mr[:, 10] + ext_h <= hp)
                        & (mr[:, 11] + ext_w <= wp), True)
-        assert ok.all(), "MV exceeds PAD_REF"
+        if not ok.all():
+            bad = mr[~ok][:3]
+            raise AssertionError(
+                f"MV exceeds PAD_REF after saturation: pic "
+                f"{sps.width}x{sps.height} "
+                f"padded l={hp_l}x{wp_l} c={hp_c}x{wp_c}; "
+                f"rows (is_ch,bi,w,h,sel,by,bx,...): {bad.tolist()}")
 
     _t_guard.__exit__(None, None, None)
     use_pl = 2 if _PIPELINE_INTERPRET else \
@@ -698,6 +809,11 @@ def pack_frame_pipeline(pic):
         do_deblock = False
         parts8 = [np.zeros(pic.h4 * pic.w4 * 3, np.int8)]
         parts.append(np.zeros(4, np.int32))
+    nfmap = getattr(pic, "no_filter", None)
+    nf_any = bool(nfmap is not None and nfmap.any())
+    if nf_any:
+        parts8.append(np.ascontiguousarray(nfmap).astype(np.int8)
+                      .reshape(-1))
 
     # meta order matches _pipeline_frame's reads: scal0..3, rmeta0..3,
     # mc groups, resid groups, sao (t, b, e, o), qp4, bs_v, bs_h, dboff
@@ -728,6 +844,7 @@ def pack_frame_pipeline(pic):
         ("do_deblock", do_deblock), ("do_sao", do_sao),
         ("n_refs", n_refs),
         ("pallas", use_pl),
+        ("nf", nf_any),
     )
     return meta, meta16, meta8, avail_u8, levels16, canvas0, spec
 
@@ -763,6 +880,28 @@ class LazyPlanes:
         if dev is None:
             return  # already materialized
         jax.block_until_ready(dev[0])
+
+    def device_planes(self):
+        """The frame's planes as DEVICE arrays, with no host transfer
+        (SHVC: the EL's inter-layer upsampling consumes the BL frame
+        device-to-device, so layers overlap on the device queue instead
+        of rendezvousing through the tunnel — the il_progress analogue,
+        pthread_frame.c:613-738).  Returns None once materialized."""
+        dev = self._dev
+        if hasattr(dev, "result"):
+            dev = dev.result()
+        if dev is None:
+            return None
+        fused = (len(dev) == 2 and isinstance(dev[1], tuple)
+                 and dev[1] and isinstance(dev[1][0], tuple))
+        if not fused:
+            return list(dev)
+        buf = dev[0]
+        planes, off = [], 0
+        for h, w in dev[1]:
+            planes.append(buf[off:off + h * w].reshape(h, w))
+            off += h * w
+        return planes
 
     def _mat(self):
         with self._lock:
