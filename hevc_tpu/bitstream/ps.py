@@ -532,11 +532,41 @@ class VPS:
         n_indep = sum(1 for i in range(n)
                       if e.num_direct_ref_layers[e.layer_id_in_nuh[i]] == 0)
         num_add_layer_sets = 0
+        add_lsets = []
         if n_indep > 1:
             num_add_layer_sets = r.ue()
-            if num_add_layer_sets:
-                raise NotImplementedError("additional layer sets")
+            # F.7.3.2.1.1 additional layer sets: per set, the highest
+            # included layer index of every independent-layer subtree
+            # (TreePartitionList); the set is the union of those trees
+            # up to the signalled index (ref hevc_ps.c
+            # parse_vps_extension; previously a NotImplementedError)
+            indep = [i for i in range(n)
+                     if e.num_direct_ref_layers[e.layer_id_in_nuh[i]]
+                     == 0]
+            trees = []
+            for root in indep:
+                tree = {root}
+                grew = True
+                while grew:
+                    grew = False
+                    for k in range(n):
+                        if k not in tree and any(
+                                e.direct_dependency_flag[k][m]
+                                for m in tree if m < k):
+                            tree.add(k)
+                            grew = True
+                trees.append(sorted(tree))
+            for _a in range(num_add_layer_sets):
+                members = list(trees[0])  # tree partition 0: all layers
+                for j in range(1, n_indep):
+                    # u(v), v = ceil(log2(NumLayersInTreePartition[j]+1))
+                    nbits = max(1, (len(trees[j])).bit_length())
+                    hi = r.u(nbits)  # highest_layer_idx_plus1[a][j]
+                    members += trees[j][:hi]
+                add_lsets.append(sorted(
+                    e.layer_id_in_nuh[m] for m in members))
         num_layer_sets = v.num_layer_sets + num_add_layer_sets
+        e.add_layer_sets = add_lsets
         if r.flag():  # vps_sub_layers_max_minus1_present_flag
             e.sub_layers_vps_max_minus1 = [r.u(3) for _ in range(n)]
         else:
@@ -544,7 +574,7 @@ class VPS:
         # MaxSubLayersInLayerSet per layer set
         lsets = [[0]] + [
             [m for m in range(v.max_layer_id + 1) if incl[m]]
-            for incl in v.layer_id_included]
+            for incl in v.layer_id_included] + add_lsets
         max_sl_in_ls = []
         for ls in lsets:
             msl = 0

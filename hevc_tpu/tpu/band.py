@@ -131,12 +131,12 @@ def _rebase_band_refs(pf, sps, k, band_w, halo_l, halo_c):
             f[:, 7] -= shift
         ext = 3 if is_ch else 7
         wp_ = refs_c.shape[2] if is_ch else refs_l.shape[2]
-        assert (f[:, 2] >= 0).all() and (f[:, 2] + w + ext <= wp_).all(), \
-            "MV exceeds band halo"
-        if bi:
-            assert (f[:, 7] >= 0).all() \
-                and (f[:, 7] + w + ext <= wp_).all(), \
-                "MV exceeds band halo"
+        if not ((f[:, 2] >= 0).all()
+                and (f[:, 2] + w + ext <= wp_).all()):
+            raise BandHaloExceeded("MV exceeds band halo")
+        if bi and not ((f[:, 7] >= 0).all()
+                       and (f[:, 7] + w + ext <= wp_).all()):
+            raise BandHaloExceeded("MV exceeds band halo")
         groups.append((is_ch, bi, w, h, wp, f))
     return dataclasses.replace(pf, mc_groups=tuple(groups),
                                refs_l=refs_l, refs_c=refs_c)
@@ -241,6 +241,18 @@ def unify_bands(pfs):
     return arrays, spec
 
 
+class BandHaloExceeded(Exception):
+    """A frame's MV bound exceeds the current band halo (or a whole
+    band) — streaming consumers catch this and re-shard with a wider
+    halo instead of dying (VERDICT r4 #8)."""
+
+
+def required_halo_frame(plan, sps, n_bands):
+    """Per-frame halo bound — required_halo over a single plan, for
+    streaming consumers that cannot walk the whole GOP first."""
+    return required_halo([plan], sps, n_bands)
+
+
 def required_halo(plans, sps, n_bands):
     """Derive the band reference-window halo from the stream's actual
     MV bound: for every MC record, how far its qpel/epel read window
@@ -271,8 +283,10 @@ def required_halo(plans, sps, n_bands):
                              rx + r.size + 3 - (x0b + bwc))
     hl = _round_up(hl, 8)
     hc = _round_up(hc, 4)
-    assert hl <= band_w and hc <= band_w // sps.sub_w, \
-        "MV range exceeds one band: need more halo than a neighbour has"
+    if hl > band_w or hc > band_w // sps.sub_w:
+        raise BandHaloExceeded(
+            "MV range exceeds one band: need more halo than a "
+            "neighbour has — use fewer/wider bands")
     return hl, hc
 
 
@@ -318,37 +332,106 @@ def prepare_gop_banded(stream: bytes, n_bands, halo_l="auto",
     # match by POC (pic.poc is stamped by Decoder._finish_picture)
     by_poc = {fr.poc: fr for fr in decoded}
 
-    frames = []
-    for ent in captured:
-        pic = ent["pic"]
-        fr = by_poc[pic.poc]
-        sps = pic.sps
-        pfs, band_w = pack_frame_bands(pic, ent["plan"], n_bands,
-                                       halo_l, halo_c)
-        arrays, spec = unify_bands(pfs)
-        dbp = ent["dbp"]
-        do_deblock = dbp is not None
-        if do_deblock:
-            pic.compute_bs()
-        sao_t, sao_b, sao_o, sao_e = pack_sao_params(pic)
-        do_sao = bool(getattr(pic, "has_sao", False)) \
-            or bool(getattr(pic, "sao_map", None))
-        frames.append(dict(
-            arrays=arrays, spec=spec, poc=fr.poc,
-            ref_pocs_l0=ent["ref_pocs_l0"],
-            ref_pocs_l1=ent["ref_pocs_l1"],
-            qp4=pic.qp_y.astype(np.int32),
-            bs_v=pic.bs_v.astype(np.int32),
-            bs_h=pic.bs_h.astype(np.int32),
-            dboff=[dbp["beta_offset"], dbp["tc_offset"],
-                   dbp["cb_qp_offset"], dbp["cr_qp_offset"]]
-            if do_deblock else [0, 0, 0, 0],
-            sao=(np.asarray(sao_t), np.asarray(sao_b),
-                 np.asarray(sao_o), np.asarray(sao_e)),
-            do_deblock=do_deblock, do_sao=do_sao,
-            ctb_log2=sps.log2_ctb_size,
-            sub_w=sps.sub_w, sub_h=sps.sub_h,
-        ))
+    frames = [_bundle_frame(ent, n_bands, halo_l, halo_c)
+              for ent in captured]
     ref_planes = [[np.asarray(p) for p in by_poc[ent["pic"].poc].planes]
                   for ent in captured]
     return frames, ref_planes, (halo_l, halo_c)
+
+
+def _bundle_frame(ent, n_bands, halo_l, halo_c):
+    """One frame's banded bundle for sharded.decode_gop_banded."""
+    from .recon import pack_sao_params
+    pic = ent["pic"]
+    sps = pic.sps
+    pfs, _band_w = pack_frame_bands(pic, ent["plan"], n_bands,
+                                    halo_l, halo_c)
+    arrays, spec = unify_bands(pfs)
+    dbp = ent["dbp"]
+    do_deblock = dbp is not None
+    if do_deblock:
+        pic.compute_bs()
+    sao_t, sao_b, sao_o, sao_e = pack_sao_params(pic)
+    do_sao = bool(getattr(pic, "has_sao", False)) \
+        or bool(getattr(pic, "sao_map", None))
+    return dict(
+        arrays=arrays, spec=spec, poc=pic.poc,
+        ref_pocs_l0=ent["ref_pocs_l0"],
+        ref_pocs_l1=ent["ref_pocs_l1"],
+        qp4=pic.qp_y.astype(np.int32),
+        bs_v=pic.bs_v.astype(np.int32),
+        bs_h=pic.bs_h.astype(np.int32),
+        dboff=[dbp["beta_offset"], dbp["tc_offset"],
+               dbp["cb_qp_offset"], dbp["cr_qp_offset"]]
+        if do_deblock else [0, 0, 0, 0],
+        sao=(np.asarray(sao_t), np.asarray(sao_b),
+             np.asarray(sao_o), np.asarray(sao_e)),
+        do_deblock=do_deblock, do_sao=do_sao,
+        ctb_log2=sps.log2_ctb_size,
+        sub_w=sps.sub_w, sub_h=sps.sub_h,
+    )
+
+
+def iter_gop_banded(stream: bytes, n_bands, margin_l=16, margin_c=8):
+    """STREAMING banded stage-A: yield per-frame bundles AS stage A
+    finishes each picture (VERDICT r4 #8 — no whole-GOP plan walk).
+
+    The halo is derived PER FRAME (required_halo_frame) and widened
+    with a margin whenever a frame's MV bound outgrows it; each yield
+    is (bundle, (halo_l, halo_c)) and a consumer re-shards (see
+    sharded.decode_stream_banded) on halo change instead of dying.
+
+    Stage A runs on a worker thread feeding a queue, so the consumer
+    overlaps device work with parsing — frames stream out before the
+    GOP completes."""
+    import queue
+    import threading
+
+    import hevc_tpu.decoder.core as dcore
+
+    q = queue.Queue(maxsize=4)
+    DONE = object()
+
+    def produce():
+        orig = dcore.execute_plan_numpy
+
+        def capture(pic, plan):
+            orig(pic, plan)
+            q.put(dict(pic=pic, plan=list(plan),
+                       ref_pocs_l0=[p for p, _ in
+                                    (getattr(pic, "ref_list_l0", [])
+                                     or [])],
+                       ref_pocs_l1=[p for p, _ in
+                                    (getattr(pic, "ref_list_l1", [])
+                                     or [])],
+                       dbp=getattr(pic, "deblock_params", None)))
+
+        dcore.execute_plan_numpy = capture
+        try:
+            dcore.Decoder(recon_backend="plan").decode_bytes(stream)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 — surface to consumer
+            q.put(e)
+        finally:
+            dcore.execute_plan_numpy = orig
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    halo_l = halo_c = 0
+    while True:
+        ent = q.get()
+        if ent is DONE:
+            break
+        if isinstance(ent, BaseException):
+            raise ent
+        sps = ent["pic"].sps
+        hl, hc = required_halo_frame(ent["plan"], sps, n_bands)
+        if hl > halo_l or hc > halo_c:
+            band_w = sps.width // n_bands
+            halo_l = min(_round_up(max(hl + margin_l, halo_l), 8),
+                         band_w)
+            halo_c = min(_round_up(max(hc + margin_c, halo_c), 4),
+                         band_w // sps.sub_w)
+        yield _bundle_frame(ent, n_bands, halo_l, halo_c), \
+            (halo_l, halo_c)
+    t.join()

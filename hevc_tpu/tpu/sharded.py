@@ -313,7 +313,8 @@ def _gop_step(mesh, axis, n, R, bd, n_chunks, regions, mc_shapes,
 
 
 def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
-                      axis: str = "tile", globalize: bool = False):
+                      axis: str = "tile", globalize: bool = False,
+                      dpb=None):
     """Decode a GOP with every stage-B phase column-band-sharded.
 
     globalize=True: the mesh spans multiple PROCESSES (jax.distributed
@@ -332,7 +333,7 @@ def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
     device), and windows refresh with one ppermute halo exchange per
     plane after the filters.  Returns [(y, cb, cr)] global arrays."""
     n = mesh.shape[axis]
-    dpb = {}
+    dpb = {} if dpb is None else dpb
     outs = []
     for fb in frames:
         A, S = fb["arrays"], fb["spec"]
@@ -363,4 +364,46 @@ def decode_gop_banded(mesh: Mesh, frames, halo_l=32, halo_c=16,
         y, cb, cr, ry, rcb, rcr = fn(*args)
         dpb[fb["poc"]] = (ry, rcb, rcr)
         outs.append((y, cb, cr))
+    return outs
+
+
+def _rewiden_dpb(mesh, axis, n, dpb, old_halo, new_halo):
+    """Re-shard the device DPB's band reference windows to a wider
+    halo: slice each window back to its band core and re-run the
+    ppermute halo exchange at the new width (no host round-trip)."""
+    from .pack import PAD_REF
+    (ol, oc), (nl, nc) = old_halo, new_halo
+
+    def body(y, cb, cr):
+        def one(w, oh, nh):
+            core = w[PAD_REF:w.shape[0] - PAD_REF,
+                     oh:w.shape[1] - oh]
+            return _make_ref_band(core, nh, n, axis)
+        return one(y, ol, nl), one(cb, oc, nc), one(cr, oc, nc)
+
+    f = jax.jit(shard_map(body, mesh=mesh,
+                          in_specs=(P(None, axis),) * 3,
+                          out_specs=(P(None, axis),) * 3))
+    return {poc: f(*w3) for poc, w3 in dpb.items()}
+
+
+def decode_stream_banded(mesh: Mesh, frame_iter, axis: str = "tile"):
+    """STREAMING banded decode: consume band.iter_gop_banded's
+    (bundle, halo) pairs as stage A produces them, re-sharding the
+    device DPB whenever the per-frame MV bound widens the halo
+    (VERDICT r4 #8 — frames decode before the GOP's stage A
+    completes, and a growing MV range degrades to a re-shard instead
+    of an assert).  Returns [(y, cb, cr)] like decode_gop_banded."""
+    n = mesh.shape[axis]
+    dpb = {}
+    cur = None
+    outs = []
+    for fb, halo in frame_iter:
+        if cur is not None and halo != cur:
+            dpb2 = _rewiden_dpb(mesh, axis, n, dpb, cur, halo)
+            dpb.clear()
+            dpb.update(dpb2)
+        cur = halo
+        outs += decode_gop_banded(mesh, [fb], halo_l=halo[0],
+                                  halo_c=halo[1], axis=axis, dpb=dpb)
     return outs
