@@ -1670,7 +1670,6 @@ class Decoder:
                 lay.cur_pic.plan = []
                 if self.recon_backend == "jax" and _native_slice() \
                         and not pps.dependent_slice_segments_enabled \
-                        and sps.chroma_format_idc != 0 \
                         and os.environ.get("HEVC_TPU_NATIVE_PACK",
                                            "1") != "0":
                     # raw record chunks feed the native packer directly
@@ -1990,10 +1989,10 @@ class Decoder:
         dev_out = None
         if plan is not None:
             if self.recon_backend == "jax" \
-                    and pic.sps.chroma_format_idc == 0:
-                # monochrome: the device pipeline's 3-plane layout does
-                # not apply; use the NumPy executor (gray streams are a
-                # niche; the reference's own gray inter path is broken)
+                    and pic.sps.chroma_format_idc == 0 \
+                    and getattr(pic, "native_chunks", None) is None:
+                # monochrome without native records (e.g. dependent
+                # slices): NumPy executor fallback
                 execute_plan_numpy(pic, plan)
             elif self.recon_backend == "jax":
                 if getattr(pic, "native_chunks", None) is not None \

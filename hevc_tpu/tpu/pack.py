@@ -68,6 +68,12 @@ class PackedFrame:
 
 def region_offsets(sps):
     h, w = sps.height, sps.width
+    if sps.chroma_format_idc == 0:
+        # monochrome: no chroma records ever target the canvas — park
+        # two dummy 8x8 regions in the top-left pad margin so the
+        # 3-plane plumbing keeps its shape (4:0:0, 7.4.3.2)
+        reg = {0: (PAD, PAD, h, w), 1: (0, 0, 8, 8), 2: (0, 8, 8, 8)}
+        return reg, PAD + h + TAIL, PAD + w + TAIL + PAD
     h2, w2 = h // sps.sub_h, w // sps.sub_w
     reg = {0: (PAD, PAD, h, w),
            1: (PAD + h + PAD, PAD, h2, w2),

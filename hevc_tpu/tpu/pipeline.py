@@ -344,9 +344,12 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
     canvas = canvas0.astype(jnp.int32)
     use_pl = S.get("pallas", 0)
     interp = use_pl == 2
+    mono = S.get("mono", False)
     if S["n_refs"]:
         refs_l = jnp.stack(refs_y)
-        refs_c = jnp.stack(refs_cb + refs_cr)
+        # monochrome: no chroma MC rows exist; alias the luma stack so
+        # the (never-indexed) chroma side keeps a valid operand
+        refs_c = refs_l if mono else jnp.stack(refs_cb + refs_cr)
         if use_pl:
             canvas = _mc_phase_pallas_prod(canvas, refs_l, refs_c,
                                            tuple(mc_groups), bd, interp)
@@ -365,7 +368,21 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
     for oy, ox, h, w in S["regions"]:
         planes.append(jax.lax.dynamic_slice(out, (oy, ox), (h, w)))
     y, cb, cr = planes
-    if S["do_deblock"]:
+    if S["do_deblock"] and mono:
+        # luma-only deblock (4:0:0): vertical pass + transposed pass
+        from .filters import _luma_pass
+        bo = beta4 if S["per_slice"] else dboff[0]
+        to = tc4 if S["per_slice"] else dboff[1]
+        y_in = y
+        y = _luma_pass(y, qp4, bs_v, bo, to, bd)
+        if S.get("nf"):
+            y = jnp.where(nf_y, y_in, y)
+        bo_t = bo.T if getattr(bo, "ndim", 0) == 2 else bo
+        to_t = to.T if getattr(to, "ndim", 0) == 2 else to
+        y = _luma_pass(y.T, qp4.T, bs_h.T, bo_t, to_t, bd).T
+        if S.get("nf"):
+            y = jnp.where(nf_y, y_in, y)
+    elif S["do_deblock"]:
         bo = beta4 if S["per_slice"] else dboff[0]
         to = tc4 if S["per_slice"] else dboff[1]
         y, cb, cr = deblock_jax(y, cb, cr, qp4, bs_v, bs_h, bo,
@@ -375,31 +392,36 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
                                 nf_y=nf_y, nf_c=nf_c)
     if S["do_sao"]:
         outp = []
-        for plane, p in enumerate((y, cb, cr)):
+        for plane, p in enumerate((y,) if mono else (y, cb, cr)):
             lg = S["ctb_log2"] - (0 if plane == 0 else
                                   (S["sub_w"].bit_length() - 1))
             outp.append(sao_plane_jax(p, sao_t[plane], sao_b[plane],
                                       sao_o[plane], sao_e[plane], lg, bd,
                                       edge_flags=sao_flags,
                                       nf=nf_y if plane == 0 else nf_c))
-        y, cb, cr = outp
+        if mono:
+            y = outp[0]
+        else:
+            y, cb, cr = outp
     odt = jnp.uint8 if bd <= 8 else jnp.uint16
+    srcs = (y,) if mono else (y, cb, cr)
     if use_pl:
         # DPB refs live at the Pallas-aligned shape so MC superwindow
         # DMAs never need a per-frame pad/crop of the ref stacks
         pads = []
-        for p in (y, cb, cr):
+        for p in srcs:
             ph, pw = p.shape
             ah, aw = _aligned_shape(ph + 2 * PAD_REF, pw + 2 * PAD_REF)
             pads.append(jnp.pad(p, ((PAD_REF, ah - ph - PAD_REF),
                                     (PAD_REF, aw - pw - PAD_REF)),
                                 mode="edge"))
     else:
-        pads = [jnp.pad(p, PAD_REF, mode="edge") for p in (y, cb, cr)]
+        pads = [jnp.pad(p, PAD_REF, mode="edge") for p in srcs]
+    while len(pads) < 3:  # fixed return arity; dummies never read
+        pads.append(pads[0])
     # one fused output buffer: a single device->host transfer per frame
     # (each fetch over a remote-chip tunnel pays a full RTT)
-    flat = jnp.concatenate([y.astype(odt).ravel(), cb.astype(odt).ravel(),
-                            cr.astype(odt).ravel()])
+    flat = jnp.concatenate([p.astype(odt).ravel() for p in srcs])
     return (flat, pads[0], pads[1], pads[2])
 
 
@@ -845,6 +867,7 @@ def pack_frame_pipeline(pic):
         ("n_refs", n_refs),
         ("pallas", use_pl),
         ("nf", nf_any),
+        ("mono", sps.chroma_format_idc == 0),
     )
     return meta, meta16, meta8, avail_u8, levels16, canvas0, spec
 
@@ -938,7 +961,14 @@ class LazyPlanes:
         return self._mat()[i]
 
     def __len__(self):
-        return 3
+        if self._np is not None:
+            return len(self._np)
+        dev = self._dev
+        if hasattr(dev, "result"):
+            dev = dev.result()
+        fused = (len(dev) == 2 and isinstance(dev[1], tuple)
+                 and dev[1] and isinstance(dev[1][0], tuple))
+        return len(dev[1]) if fused else len(dev)
 
     def __iter__(self):
         return iter(self._mat())
@@ -963,7 +993,10 @@ def finish_frame_pipeline(pic, lay, poc: int):
     def dev_ref(entry, dev):
         if dev is not None:
             return dev
-        return _pad_np([np.asarray(p) for p in entry[1]], aligned)
+        pads = _pad_np([np.asarray(p) for p in entry[1]], aligned)
+        if len(pads) == 1:  # monochrome: alias luma into the arity
+            pads = (pads[0], pads[0], pads[0])
+        return pads
 
     # device ref resolution happens HERE (on the ordered pack worker):
     # by the time frame n packs, every preceding frame's device DPB
@@ -992,6 +1025,8 @@ def finish_frame_pipeline(pic, lay, poc: int):
         pic.sao_map = {}
     pic.has_sao = False
     pic.sao_arrays = None
-    shapes = tuple((h, w) for _oy, _ox, h, w in
-                   (dict(spec)["regions"]))
+    regions = dict(spec)["regions"]
+    if dict(spec)["mono"]:
+        regions = regions[:1]
+    shapes = tuple((h, w) for _oy, _ox, h, w in regions)
     return (flat, shapes)
