@@ -508,8 +508,28 @@ def _saturate_mc_windows(mcrow, nm, sps):
         pad edge) splits in half along the offending axis until its
         children qualify.
     Returns (mcrow, nm) with split rows appended."""
-    rows = list(mcrow[:nm])
-    out = []
+    mr = mcrow[:nm]
+    # vectorized fast path: touch rows only when something violates
+    # the padded bounds (normal streams never do — the python loop
+    # below would otherwise cost ~20 ms/frame at 1080p)
+    is_ch = mr[:, 0] == 1
+    ext_h = mr[:, 3] + np.where(is_ch, 3, 7)
+    ext_w = mr[:, 2] + np.where(is_ch, 3, 7)
+    hp = np.where(is_ch, sps.height // sps.sub_h, sps.height) \
+        + 2 * PAD_REF
+    wp = np.where(is_ch, sps.width // sps.sub_w, sps.width) \
+        + 2 * PAD_REF
+    ok = (mr[:, 5] >= 0) & (mr[:, 6] >= 0) \
+        & (mr[:, 5] + ext_h <= hp) & (mr[:, 6] + ext_w <= wp)
+    bi = mr[:, 1] == 1
+    ok &= np.where(bi, (mr[:, 10] >= 0) & (mr[:, 11] >= 0)
+                   & (mr[:, 10] + ext_h <= hp)
+                   & (mr[:, 11] + ext_w <= wp), True)
+    if ok.all():
+        return mcrow, nm
+    good = [r for r in mr[ok]]
+    rows = list(mr[~ok])
+    out = good
     while rows:
         r = rows.pop()
         is_ch = r[0] == 1
