@@ -202,7 +202,7 @@ def bench_device_stage_b(stream_path, iters=16):
     meta16 = jnp.asarray(meta16)
     meta8 = jnp.asarray(meta8)
     avail = jnp.asarray(avail)
-    levels = jnp.asarray(levels)
+    levels = jax.tree_util.tree_map(jnp.asarray, levels)
 
     @jax.jit
     def timed(meta8, meta, meta16, avail, levels, canvas):

@@ -328,7 +328,13 @@ def _pipeline_frame(meta, meta16, meta8, avail_u8, levels16, scale_bank,
         avail.append((a[:n].reshape(n_chunks, B, 128) != 0)
                      if n else jnp.zeros((n_chunks, B, 128), bool))
 
-    # residual levels (int16 -> int32), per class
+    # residual levels (int16 -> int32), per class; COO uploads
+    # rebuild the dense pool with one scatter (padding indices drop)
+    coo_n, coo_total = S["coo"]
+    if coo_n:
+        idx, val = levels16
+        levels16 = jnp.zeros(coo_total, jnp.int16).at[idx].set(
+            val, mode="drop")
     lpos = 0
     levels = []
     for c, s in enumerate((4, 8, 16, 32)):
@@ -867,6 +873,21 @@ def pack_frame_pipeline(pic):
         avail_u8 = np.concatenate(avail_parts) if any(B) \
             else np.zeros(1, np.uint8)
         levels16 = np.concatenate(lvl_parts)
+        # adaptive sparse upload: residual pools are mostly zero on
+        # typical content, and this rig's device link is the compute
+        # wall at 4K — ship (int32 idx, int16 val) pairs when they cost
+        # less than the dense buffer (6 bytes/nonzero vs 2 bytes/coeff)
+        # and rebuild the dense pool with one device scatter
+        coo_n = 0
+        if levels16.size >= 1 << 16:
+            nz = np.nonzero(levels16)[0]
+            if nz.size * 3 < levels16.size:
+                coo_n = _pow2_at_least(max(int(nz.size), 1))
+                idx = np.full(coo_n, levels16.size, np.int32)  # drop
+                idx[:nz.size] = nz
+                val = np.zeros(coo_n, np.int16)
+                val[:nz.size] = levels16[nz]
+                levels16 = (idx, val)
 
     do_sao = bool(getattr(pic, "has_sao", False)) \
         or bool(getattr(pic, "sao_map", None))
@@ -888,6 +909,7 @@ def pack_frame_pipeline(pic):
         ("pallas", use_pl),
         ("nf", nf_any),
         ("mono", sps.chroma_format_idc == 0),
+        ("coo", (coo_n, sum(len(v) for v in lvl_parts))),
     )
     return meta, meta16, meta8, avail_u8, levels16, canvas0, spec
 
@@ -1034,7 +1056,9 @@ def finish_frame_pipeline(pic, lay, poc: int):
     with trace.span("device_dispatch"):
         out = _pipeline_frame(jnp.asarray(meta), jnp.asarray(meta16),
                               jnp.asarray(meta8), jnp.asarray(avail_u8),
-                              jnp.asarray(levels16), _dev_scale_bank(pic),
+                              jax.tree_util.tree_map(
+                                  jnp.asarray, levels16),
+                              _dev_scale_bank(pic),
                               canvas0, tuple(refs_y), tuple(refs_cb),
                               tuple(refs_cr), spec)
     flat, pad_y, pad_cb, pad_cr = out

@@ -51,7 +51,7 @@ def main():
     meta16 = jnp.asarray(meta16)
     meta8 = jnp.asarray(meta8)
     avail = jnp.asarray(avail)
-    levels = jnp.asarray(levels)
+    levels = jax.tree_util.tree_map(jnp.asarray, levels)
     sd = dict(spec)
     print("spec: n_chunks", sd["n_chunks"], "B", sd["B"],
           "nlv", sd["nlv"], "mc groups", len(sd["mc_groups"]),
