@@ -217,8 +217,9 @@ def bench_device_stage_b(stream_path, iters=16):
     timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
     t0 = time.time()
     timed(meta8, meta, meta16, avail, levels, canvas).block_until_ready()
-    return iters / (time.time() - t0), (spec, canvas.shape,
-                                        int(levels.size))
+    lv_n = dict(spec)["coo"][1] if isinstance(levels, tuple) \
+        else int(levels.size)   # dense coeff count (COO rebuilds it)
+    return iters / (time.time() - t0), (spec, canvas.shape, lv_n)
 
 
 def tunnel_probe(nbytes):
